@@ -1,13 +1,373 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{SyncRelations => R, Tables => T}
+import graft.operators.SyncOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 is exposed here as a named query over
+  * the driver testdata, with an independently-written DuckDB oracle in
+  * [[Oracle]] / [[oracleSql]]. Column names are aliased identically on both
+  * sides (the driver's compare sorts columns by name before hashing).
+  */
 object SparkEntry {
+  private val M = R.MappingId
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("catalog_ledger_diff")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared derived frames ------------------------------------------
+
+  private def src(s: SparkSession, d: String)  = R.sourceCatalog(T.orders(s, d))
+  private def tgt(s: SparkSession, d: String)  = R.targetCatalog(T.orders(s, d))
+  private def led(s: SparkSession, d: String)  = R.ledger(T.orders(s, d))
+  private def diff(s: SparkSession, d: String) =
+    SyncOps.catalogLedgerDiff(src(s, d), led(s, d), M)
+  private def updates(s: SparkSession, d: String) =
+    SyncOps.ledgerUpdatesFromDecisions(
+      SyncOps.needsSync(diff(s, d)), M,
+      lit(R.SyncedAtLit).cast("timestamp"))
+  private def orphans(s: SparkSession, d: String) =
+    SyncOps.orphanAntiJoin(tgt(s, d), src(s, d))
+
+  /** Exact decimal sum of a double expression, returned as double —
+    * deterministic across Spark and DuckDB regardless of accumulation order
+    * (SURVEY.md §7.4 float-parity trap).
+    */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(25,4)")).cast("double")
+
+  // ---- operator catalog (SURVEY.md §2 IDs) ----------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 scans/sources ------------------------------------------------
+    "catalog_scan_gcs" -> ((s, d) =>
+      src(s, d).orderBy("name")),
+
+    "catalog_scan_s3" -> ((s, d) => {
+      // reference does an N+1 HeadObject per key (aws/client.go:95-116);
+      // here the head-metadata lookup is ONE broadcast join.
+      val listing = src(s, d).drop("content_type")
+      val head = src(s, d).select(col("name"), col("content_type"))
+      listing.join(broadcast(head), Seq("name"), "left_outer")
+        .select("name", "bucket", "size", "content_type", "last_modified", "etag")
+        .orderBy("name")
+    }),
+
+    "catalog_scan_azure" -> ((s, d) =>
+      // azure null-guards ContentType (azure/client.go:87-90) → coalesce
+      src(s, d)
+        .withColumn("content_type",
+          coalesce(nullif(col("content_type"), lit("application/octet-stream")),
+                   lit("")))
+        .orderBy("name")),
+
+    "catalog_scan_minio" -> ((s, d) =>
+      // minio recursive listing under a prefix (minio/client.go:71-75)
+      src(s, d).filter(col("name").startsWith("obj_1")).orderBy("name")),
+
+    "object_get" -> ((s, d) => {
+      val c = src(s, d)
+      c.join(broadcast(c.agg(min(col("name")).as("min_name"))),
+             col("name") === col("min_name"))
+        .select("name", "bucket", "size", "content_type", "last_modified", "etag")
+    }),
+
+    "ledger_point_lookup" -> ((s, d) => {
+      val l = led(s, d)
+      l.join(broadcast(l.agg(min(col("object_name")).as("min_name"))),
+             col("object_name") === col("min_name"))
+        .select("mapping_id", "object_name", "size", "etag", "sync_status")
+    }),
+
+    "ledger_scan_by_mapping" -> ((s, d) =>
+      led(s, d).filter(col("mapping_id") === M)
+        .select("mapping_id", "object_name", "size", "last_modified",
+                "etag", "sync_status")
+        .orderBy("object_name")),
+
+    // §2.3 projections ---------------------------------------------------
+    "mapping_id_projection" -> ((s, d) =>
+      SyncOps.withMappingId(R.mappings(s))
+        .select("mapping_id", "source_provider_id", "source_bucket",
+                "target_provider_id", "target_bucket")
+        .orderBy("mapping_id")),
+
+    "objectinfo_projection" -> ((s, d) =>
+      // normalize a native listing record into the common ObjectInfo shape
+      T.orders(s, d).select(
+        concat(lit("obj_"), col("o_orderkey").cast("string")).as("name"),
+        lit(R.SrcBucket).as("bucket"),
+        (col("o_orderkey") % 1000000 + 1024).cast("long").as("size"),
+        col("o_orderdate").as("last_modified"))
+        .orderBy("name")),
+
+    "receipt_projection" -> ((s, d) =>
+      SyncOps.needsSync(diff(s, d)).select(
+        lit(R.DstBucket).as("bucket"),
+        col("name").as("key"),
+        col("etag"),
+        col("size"))
+        .orderBy("key")),
+
+    // §2.4 / §2.5 the diff core -----------------------------------------
+    "catalog_ledger_diff" -> ((s, d) =>
+      diff(s, d)
+        .select("name", "size", "last_modified", "etag", "action")
+        .orderBy("name")),
+
+    "needs_sync_predicate" -> ((s, d) =>
+      SyncOps.needsSync(diff(s, d)).select("name", "action").orderBy("name")),
+
+    "orphan_anti_join" -> ((s, d) =>
+      orphans(s, d).select("name", "bucket", "size", "etag").orderBy("name")),
+
+    "bucket_exists_guard" -> ((s, d) => {
+      val c = src(s, d)
+      c.filter(col("bucket") === R.SrcBucket)
+        .agg(count(lit(1)).as("n")).select(lit(R.SrcBucket).as("bucket"), col("n"))
+        .unionByName(
+          c.filter(col("bucket") === "missing-bucket")
+            .agg(count(lit(1)).as("n"))
+            .select(lit("missing-bucket").as("bucket"), col("n")))
+        .orderBy("bucket")
+    }),
+
+    "config_validation" -> ((s, d) =>
+      SyncOps.duplicateProviderIds(R.providers(s)).orderBy("id")),
+
+    // §2.6 aggregations --------------------------------------------------
+    "sync_outcome_counts" -> ((s, d) =>
+      SyncOps.syncOutcomeCounts(diff(s, d), M).orderBy("outcome")),
+
+    "delete_outcome_counts" -> ((s, d) =>
+      SyncOps.deleteOutcomeCounts(orphans(s, d), M)),
+
+    "schema_version_max" -> ((s, d) =>
+      SyncOps.schemaVersionMax(R.schemaMigrations(s))),
+
+    "exists_count_agg" -> ((s, d) =>
+      T.orders(s, d).agg((count(lit(1)) > 0).as("has_rows"))),
+
+    // §2.7 window / set ops ---------------------------------------------
+    "ledger_latest_wins" -> ((s, d) =>
+      SyncOps.ledgerLatestWins(led(s, d), updates(s, d))
+        .select("mapping_id", "object_name", "etag", "last_synced", "sync_status")
+        .orderBy("object_name")),
+
+    "ledger_upsert" -> ((s, d) =>
+      SyncOps.ledgerLatestWins(led(s, d), updates(s, d))
+        .select("mapping_id", "object_name", "size", "last_modified", "etag",
+                "content_type", "last_synced", "sync_status")
+        .orderBy("object_name")),
+
+    "ledger_delete" -> ((s, d) =>
+      SyncOps.ledgerDelete(
+          led(s, d),
+          src(s, d).filter(expr("substr(name, 5)").cast("long") % 17 === 0))
+        .select("mapping_id", "object_name", "etag", "sync_status")
+        .orderBy("object_name")),
+
+    "migration_backfill" -> ((s, d) =>
+      SyncOps.migrationBackfill(
+          T.orders(s, d).select(
+            lit(R.SrcBucket).as("bucket_name"),
+            concat(lit("obj_"), col("o_orderkey").cast("string"))
+              .as("object_name")))
+        .select("mapping_id", "object_name")
+        .orderBy("object_name")),
+
+    "catalog_union_all_mappings" -> ((s, d) =>
+      src(s, d).withColumn("mapping_id", lit(M))
+        .unionByName(tgt(s, d).withColumn("mapping_id", lit("tgt-listing")))
+        .select("mapping_id", "name", "bucket", "size", "etag")
+        .orderBy("mapping_id", "name")),
+
+    // relational parity / bench headliners ------------------------------
+    "q1_agg" -> ((s, d) => {
+      val li = T.lineitem(s, d)
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_topk" -> ((s, d) => {
+      val c = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = T.orders(s, d)
+      val li = T.lineitem(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    })
+  )
+
+  // ---- DuckDB oracles --------------------------------------------------
+
+  private def syncQ(body: String): String = s"WITH ${Oracle.SyncCtes} $body"
+
+  def oracleSql: Map[String, String] = Map(
+    "catalog_scan_gcs" -> syncQ(
+      "SELECT * FROM source_catalog ORDER BY name"),
+
+    "catalog_scan_s3" -> syncQ(
+      """SELECT l.name, l.bucket, l.size, h.content_type, l.last_modified, l.etag
+         FROM source_catalog l
+         LEFT JOIN (SELECT name, content_type FROM source_catalog) h
+           ON h.name = l.name
+         ORDER BY l.name"""),
+
+    "catalog_scan_azure" -> syncQ(
+      """SELECT name, bucket, size,
+                coalesce(nullif(content_type, 'application/octet-stream'), '')
+                  AS content_type,
+                last_modified, etag
+         FROM source_catalog ORDER BY name"""),
+
+    "catalog_scan_minio" -> syncQ(
+      "SELECT * FROM source_catalog WHERE name LIKE 'obj\\_1%' ESCAPE '\\' ORDER BY name"),
+
+    "object_get" -> syncQ(
+      """SELECT name, bucket, size, content_type, last_modified, etag
+         FROM source_catalog
+         WHERE name = (SELECT min(name) FROM source_catalog)"""),
+
+    "ledger_point_lookup" -> syncQ(
+      """SELECT mapping_id, object_name, size, etag, sync_status
+         FROM ledger
+         WHERE object_name = (SELECT min(object_name) FROM ledger)"""),
+
+    "ledger_scan_by_mapping" -> syncQ(
+      s"""SELECT mapping_id, object_name, size, last_modified, etag, sync_status
+          FROM ledger WHERE mapping_id = '$M' ORDER BY object_name"""),
+
+    "mapping_id_projection" ->
+      """WITH mappings(source_provider_id, source_bucket,
+                       target_provider_id, target_bucket) AS (
+           VALUES ('gcs', 'src-bucket', 's3', 'dst-bucket'),
+                  ('azure', 'backup-bucket', 'minio', 'archive-bucket'))
+         SELECT source_provider_id || ':' || source_bucket || '->' ||
+                target_provider_id || ':' || target_bucket AS mapping_id,
+                source_provider_id, source_bucket,
+                target_provider_id, target_bucket
+         FROM mappings ORDER BY mapping_id""",
+
+    "objectinfo_projection" ->
+      """SELECT concat('obj_', o_orderkey) AS name,
+                'src-bucket' AS bucket,
+                o_orderkey % 1000000 + 1024 AS size,
+                o_orderdate AS last_modified
+         FROM orders ORDER BY name""",
+
+    "receipt_projection" -> syncQ(
+      """SELECT 'dst-bucket' AS bucket, name AS key, etag, size
+         FROM diff WHERE action <> 'skip' ORDER BY key"""),
+
+    "catalog_ledger_diff" -> syncQ(
+      "SELECT name, size, last_modified, etag, action FROM diff ORDER BY name"),
+
+    "needs_sync_predicate" -> syncQ(
+      "SELECT name, action FROM diff WHERE action <> 'skip' ORDER BY name"),
+
+    "orphan_anti_join" -> syncQ(
+      "SELECT name, bucket, size, etag FROM orphans ORDER BY name"),
+
+    "bucket_exists_guard" -> syncQ(
+      """SELECT 'src-bucket' AS bucket, count(*) AS n FROM source_catalog
+         WHERE bucket = 'src-bucket'
+         UNION ALL
+         SELECT 'missing-bucket' AS bucket, count(*) AS n FROM source_catalog
+         WHERE bucket = 'missing-bucket'
+         ORDER BY bucket"""),
+
+    "config_validation" ->
+      """WITH providers(id, provider_type) AS (
+           VALUES ('gcs','gcs'), ('s3','aws'), ('azure','azure'),
+                  ('minio','minio'), ('s3','aws'))
+         SELECT id, count(*) AS n FROM providers
+         GROUP BY id HAVING count(*) > 1 ORDER BY id""",
+
+    "sync_outcome_counts" -> syncQ(
+      s"""SELECT '$M' AS mapping_id, action AS outcome, count(*) AS n
+          FROM diff GROUP BY action ORDER BY outcome"""),
+
+    "delete_outcome_counts" -> syncQ(
+      s"SELECT '$M' AS mapping_id, count(*) AS n_removed FROM orphans"),
+
+    "schema_version_max" ->
+      """SELECT coalesce(max(version), 0) AS version
+         FROM (VALUES (1), (2), (3)) AS t(version)""",
+
+    "exists_count_agg" ->
+      "SELECT count(*) > 0 AS has_rows FROM orders",
+
+    "ledger_latest_wins" -> syncQ(
+      """SELECT mapping_id, object_name, etag, last_synced, sync_status
+         FROM merged ORDER BY object_name"""),
+
+    "ledger_upsert" -> syncQ(
+      """SELECT mapping_id, object_name, size, last_modified, etag,
+                content_type, last_synced, sync_status
+         FROM merged ORDER BY object_name"""),
+
+    "ledger_delete" -> syncQ(
+      """SELECT mapping_id, object_name, etag, sync_status
+         FROM ledger l
+         WHERE NOT EXISTS (
+           SELECT 1 FROM source_catalog s
+           WHERE CAST(substr(s.name, 5) AS BIGINT) % 17 = 0
+             AND s.name = l.object_name)
+         ORDER BY object_name"""),
+
+    "migration_backfill" ->
+      """SELECT 'default:' || 'src-bucket' || '->default:' || 'src-bucket'
+                  AS mapping_id,
+                concat('obj_', o_orderkey) AS object_name
+         FROM orders ORDER BY object_name""",
+
+    "catalog_union_all_mappings" -> syncQ(
+      s"""SELECT '$M' AS mapping_id, name, bucket, size, etag FROM source_catalog
+          UNION ALL
+          SELECT 'tgt-listing' AS mapping_id, name, bucket, size, etag
+          FROM target_catalog
+          ORDER BY mapping_id, name"""),
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
+                  AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(25,4))) AS DOUBLE) AS sum_disc_price,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_topk" ->
+      """SELECT o_orderkey, o_orderdate,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey
+         LIMIT 10"""
+  )
 }

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational re-expression of the reference's sync dataflow
+  * (SURVEY.md §2.3–§2.7; reference `internal/sync/sync.go`).
+  *
+  * The reference walks the source catalog one object at a time, probing a
+  * SQLite ledger per object (an N+1 loop, `sync.go:101-128`). Here the whole
+  * decision is ONE left-outer equi-join + a predicate — Catalyst broadcasts
+  * the small side, pushes filters into the scans, and the entire
+  * scan→join→filter→project pipeline runs in whole-stage codegen. At 100 TB
+  * the ledger is partitioned by `mapping_id` so the join prunes to the
+  * mapping's slice before shuffling.
+  */
+object SyncOps {
+
+  /** Composite mapping key `"src:srcBucket->tgt:tgtBucket"`
+    * (reference `sync.go:93-95`).
+    */
+  def mappingId(
+      srcProv: Column, srcBucket: Column,
+      tgtProv: Column, tgtBucket: Column): Column =
+    format_string("%s:%s->%s:%s", srcProv, srcBucket, tgtProv, tgtBucket)
+
+  def withMappingId(mappings: DataFrame): DataFrame =
+    mappings.withColumn("mapping_id",
+      mappingId(col("source_provider_id"), col("source_bucket"),
+                col("target_provider_id"), col("target_bucket")))
+
+  /** The needs-sync truth table (reference `sync.go:111-128`): skip iff the
+    * ledger row exists, metadata (mtime, etag) matches, and the last sync
+    * succeeded; everything else — miss, drift, prior failure — syncs.
+    * Expects the post-diff-join frame with ledger columns aliased `led_*`.
+    */
+  def action: Column =
+    when(col("led_object_name").isNull, "sync_new")
+      .when(col("led_last_modified") =!= col("last_modified") ||
+            col("led_etag") =!= col("etag"), "sync_changed")
+      .when(col("led_sync_status") =!= "success", "sync_retry")
+      .otherwise("skip")
+
+  /** Left-outer diff of a source catalog against its ledger slice, plus the
+    * decision column. Replaces the reference's per-object point lookups
+    * (`sync.go:101-105` → `database.go:319-344`) with one join.
+    *
+    * Scale note: the ledger side is filtered to one `mapping_id` before the
+    * join (partition pruning when the ledger is written
+    * `partitionBy("mapping_id")`); for typical catalog sizes Catalyst
+    * broadcast-hashes the smaller side, otherwise AQE picks sort-merge.
+    */
+  def catalogLedgerDiff(
+      srcCatalog: DataFrame, ledger: DataFrame, mapping: String): DataFrame = {
+    val slice = ledger
+      .filter(col("mapping_id") === mapping)
+      .select(
+        col("object_name").as("led_object_name"),
+        col("last_modified").as("led_last_modified"),
+        col("etag").as("led_etag"),
+        col("sync_status").as("led_sync_status"))
+    srcCatalog
+      .join(slice, srcCatalog("name") === slice("led_object_name"), "left_outer")
+      .withColumn("action", action)
+  }
+
+  /** Rows the copy executor must move (everything except `skip`). */
+  def needsSync(decided: DataFrame): DataFrame =
+    decided.filter(col("action") =!= "skip")
+
+  /** Objects present in the target but absent from the source → delete
+    * (reference `sync.go:212-231`, a hash-map scan == left anti-join).
+    */
+  def orphanAntiJoin(targetCatalog: DataFrame, srcCatalog: DataFrame): DataFrame =
+    targetCatalog.join(srcCatalog.select("name"), Seq("name"), "left_anti")
+
+  /** Per-mapping outcome counters (reference `sync.go:97-99,166-170`).
+    * Partial (map-side) aggregation is automatic.
+    */
+  def syncOutcomeCounts(decided: DataFrame, mapping: String): DataFrame =
+    decided
+      .groupBy(col("action").as("outcome"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("mapping_id", lit(mapping))
+      .select("mapping_id", "outcome", "n")
+
+  /** Orphan-deletion counters (reference `sync.go:208-233`). */
+  def deleteOutcomeCounts(orphans: DataFrame, mapping: String): DataFrame =
+    orphans.agg(count(lit(1)).as("n_removed"))
+      .withColumn("mapping_id", lit(mapping))
+      .select("mapping_id", "n_removed")
+
+  /** Latest-wins merge: `union(current, updates)` keeping the newest row per
+    * `(mapping_id, object_name)`. Replaces SQLite
+    * `INSERT … ON CONFLICT DO UPDATE` (reference `database.go:346-364`).
+    * Tie-break on `is_update DESC` mirrors last-writer-wins when
+    * `last_synced` collides.
+    */
+  def ledgerLatestWins(current: DataFrame, updates: DataFrame): DataFrame = {
+    val cols = current.columns
+    val tagged = current.withColumn("is_update", lit(0))
+      .unionByName(updates.selectExpr(cols: _*).withColumn("is_update", lit(1)))
+    val w = Window
+      .partitionBy("mapping_id", "object_name")
+      .orderBy(col("last_synced").desc, col("is_update").desc)
+    tagged
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "is_update")
+  }
+
+  /** Build post-sync ledger rows from the needs-sync set
+    * (reference `sync.go:179-196`): source metadata + status + synced-at.
+    */
+  def ledgerUpdatesFromDecisions(
+      needsSyncRows: DataFrame, mapping: String, syncedAt: Column): DataFrame =
+    needsSyncRows.select(
+      lit(0L).as("id"),
+      lit(mapping).as("mapping_id"),
+      col("name").as("object_name"),
+      col("size"),
+      col("last_modified"),
+      col("etag"),
+      col("content_type"),
+      syncedAt.as("last_synced"),
+      lit("success").as("sync_status"))
+
+  /** Ledger delete by key set = left anti-join (reference `database.go:405-415`). */
+  def ledgerDelete(ledger: DataFrame, doomedNames: DataFrame): DataFrame =
+    ledger.join(
+      doomedNames.select(col("name").as("object_name")),
+      Seq("object_name"), "left_anti")
+
+  /** v2-migration backfill: derive `mapping_id` for pre-migration rows
+    * (reference `database.go:242-250, 283-291`:
+    * `'default:' || bucket_name || '->default:' || bucket_name`).
+    */
+  def migrationBackfill(legacyLedger: DataFrame): DataFrame =
+    legacyLedger.withColumn("mapping_id",
+      concat(lit("default:"), col("bucket_name"),
+             lit("->default:"), col("bucket_name")))
+
+  /** Config validation as relations (reference `config.go:111-159`):
+    * duplicate provider ids and dangling mapping FKs.
+    */
+  def duplicateProviderIds(providers: DataFrame): DataFrame =
+    providers.groupBy("id").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+
+  def danglingMappings(mappings: DataFrame, providers: DataFrame): DataFrame = {
+    val ids = providers.select(col("id")).distinct()
+    mappings
+      .join(ids.withColumnRenamed("id", "source_provider_id"),
+            Seq("source_provider_id"), "left_anti")
+      .unionByName(
+        mappings.join(ids.withColumnRenamed("id", "target_provider_id"),
+                      Seq("target_provider_id"), "left_anti"))
+  }
+
+  /** `SELECT COALESCE(MAX(version), 0)` (reference `database.go:69-75`). */
+  def schemaVersionMax(migrations: DataFrame): DataFrame =
+    migrations.agg(coalesce(max(col("version")), lit(0)).as("version"))
+}

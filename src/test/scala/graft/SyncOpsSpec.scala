@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SyncOps
+
+/** Canonical needs-sync / orphan / merge cases from FIXTURES.md §A1-A2,
+  * mirroring the reference truth table (`internal/sync/sync.go:111-128`,
+  * `sync.go:212-231`) and the SQLite upsert (`database.go:346-364`).
+  */
+class SyncOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Spec.spark
+  import spark.implicits._
+
+  private val M = "gcs:a->s3:b"
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val t1 = ts("2025-01-01 00:00:00")
+  private val t2 = ts("2025-06-01 00:00:00")
+
+  // (name, bucket, size, content_type, last_modified, etag)
+  private def catalog = Seq(
+    ("new.txt",     "a", 4L, "text/plain", t1, "e1"), // not in ledger → sync_new
+    ("same.txt",    "a", 4L, "text/plain", t1, "e2"), // equal + success → skip
+    ("mtime.txt",   "a", 4L, "text/plain", t2, "e3"), // mtime differs → sync_changed
+    ("etag.txt",    "a", 4L, "text/plain", t1, "e4b"),// etag differs → sync_changed
+    ("failed.txt",  "a", 4L, "text/plain", t1, "e5")  // prior failure → sync_retry
+  ).toDF("name", "bucket", "size", "content_type", "last_modified", "etag")
+
+  private def ledger = Seq(
+    (1L, M, "same.txt",   4L, t1, "e2",  "text/plain", t1, "success"),
+    (2L, M, "mtime.txt",  4L, t1, "e3",  "text/plain", t1, "success"),
+    (3L, M, "etag.txt",   4L, t1, "e4a", "text/plain", t1, "success"),
+    (4L, M, "failed.txt", 4L, t1, "e5",  "text/plain", t1, "failed_upload"),
+    (5L, M, "gone.txt",   4L, t1, "e6",  "text/plain", t1, "success")
+  ).toDF("id", "mapping_id", "object_name", "size", "last_modified",
+         "etag", "content_type", "last_synced", "sync_status")
+
+  test("needs_sync truth table matches the reference") {
+    val decided = SyncOps.catalogLedgerDiff(catalog, ledger, M)
+      .select("name", "action").as[(String, String)].collect().toMap
+    assert(decided == Map(
+      "new.txt" -> "sync_new", "same.txt" -> "skip",
+      "mtime.txt" -> "sync_changed", "etag.txt" -> "sync_changed",
+      "failed.txt" -> "sync_retry"))
+  }
+
+  test("other mappings' ledger rows do not mask a miss") {
+    val otherMapping = ledger.withColumn("mapping_id", lit("other:x->other:y"))
+    val decided = SyncOps.catalogLedgerDiff(catalog, otherMapping, M)
+      .select("name", "action").as[(String, String)].collect()
+    assert(decided.forall(_._2 == "sync_new"))
+  }
+
+  test("orphan anti-join finds target-only objects") {
+    val target = Seq(
+      ("same.txt", "b", 4L, "text/plain", t1, "e2"),
+      ("orphan.txt", "b", 9L, "text/plain", t1, "e9")
+    ).toDF("name", "bucket", "size", "content_type", "last_modified", "etag")
+    val got = SyncOps.orphanAntiJoin(target, catalog)
+      .select("name").as[String].collect()
+    assert(got.toSeq == Seq("orphan.txt"))
+  }
+
+  test("latest-wins merge upserts and preserves untouched rows") {
+    val decided = SyncOps.catalogLedgerDiff(catalog, ledger, M)
+    val updates = SyncOps.ledgerUpdatesFromDecisions(
+      SyncOps.needsSync(decided), M, lit("2026-01-01 00:00:00").cast("timestamp"))
+    val merged = SyncOps.ledgerLatestWins(ledger, updates)
+    val byName = merged.select("object_name", "etag", "sync_status", "last_synced")
+      .as[(String, String, String, Timestamp)].collect()
+      .map(r => r._1 -> r).toMap
+
+    assert(byName.size == 6) // 5 ledger rows + new.txt
+    assert(byName("new.txt")._2 == "e1")
+    assert(byName("etag.txt")._2 == "e4b")            // updated to source etag
+    assert(byName("failed.txt")._3 == "success")      // retry succeeded
+    assert(byName("same.txt")._4 == t1)               // untouched
+    assert(byName("gone.txt")._2 == "e6")             // not in source, kept
+  }
+
+  test("latest-wins tie-break prefers the update on equal last_synced") {
+    val upd = ledger.filter($"object_name" === "same.txt")
+      .withColumn("etag", lit("e2-new"))
+    val merged = SyncOps.ledgerLatestWins(ledger, upd)
+    val etag = merged.filter($"object_name" === "same.txt")
+      .select("etag").as[String].head()
+    assert(etag == "e2-new")
+  }
+
+  test("ledger delete removes exactly the doomed keys") {
+    val doomed = Seq("gone.txt").toDF("name")
+    val left = SyncOps.ledgerDelete(ledger, doomed)
+      .select("object_name").as[String].collect().toSet
+    assert(!left.contains("gone.txt") && left.size == 4)
+  }
+
+  test("config validation finds duplicates and dangling FKs") {
+    val providers = Seq(("a", "gcs"), ("b", "s3"), ("a", "azure"))
+      .toDF("id", "provider_type")
+    val dups = SyncOps.duplicateProviderIds(providers)
+      .select("id").as[String].collect()
+    assert(dups.toSeq == Seq("a"))
+
+    val mappings = Seq(("a", "x", "nope", "y"))
+      .toDF("source_provider_id", "source_bucket",
+            "target_provider_id", "target_bucket")
+    val dangling = SyncOps.danglingMappings(mappings, providers)
+    assert(dangling.count() == 1)
+  }
+
+  test("mapping_id format matches the reference") {
+    val got = SyncOps.withMappingId(
+      Seq(("gcs", "src", "s3", "dst"))
+        .toDF("source_provider_id", "source_bucket",
+              "target_provider_id", "target_bucket"))
+      .select("mapping_id").as[String].head()
+    assert(got == "gcs:src->s3:dst")
+  }
+}
