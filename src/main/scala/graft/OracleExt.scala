@@ -1,0 +1,249 @@
+package graft
+
+import graft.operators.TextOps
+
+/** DuckDB oracles for the [EXT] text/vector/event operators. Where the
+  * Spark side hashes (minhash, simhash, fingerprints), both sides use
+  * md5-derived values so results agree bit-for-bit; float similarity is
+  * rounded to 6 decimals on both sides after identical double arithmetic.
+  * Several SQL bodies are generated from the same constants the Spark
+  * operators use (LangProfiles, Stopwords, k/band counts) to keep the two
+  * implementations in lock-step.
+  */
+object OracleExt {
+
+  /** Tokenized + shingled documents prelude. */
+  val DocCtes: String = """
+    docs_tok AS (
+      SELECT doc_id, lang, source, n_chars, text,
+             regexp_extract_all(lower(text), '\S+') AS toks
+      FROM documents),
+    docs_sh AS (
+      SELECT doc_id,
+             [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              for i in range(1, len(toks)-1)] AS sh
+      FROM docs_tok)
+  """
+
+  def docQ(body: String): String = s"WITH $DocCtes $body"
+
+  // ---- text analysis ---------------------------------------------------
+
+  val textStats: String = docQ("""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(len(toks)) AS BIGINT) AS sum_tokens,
+           CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
+    FROM docs_tok GROUP BY lang ORDER BY lang""")
+
+  private def markerFilter(markers: Seq[String]): String =
+    markers.map(m => s"x = '$m'").mkString(" OR ")
+
+  val langId: String = {
+    val scores = TextOps.LangProfiles.map { case (l, ms) =>
+      s"len(list_filter(toks, x -> ${markerFilter(ms)})) AS score_$l"
+    }.mkString(",\n             ")
+    val best = TextOps.LangProfiles.map { case (l, _) => s"score_$l" }
+      .mkString("greatest(", ", ", ")")
+    val cases = TextOps.LangProfiles.map { case (l, _) =>
+      s"WHEN score_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    docQ(s"""
+      , scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+             $scores
+        FROM docs_tok)
+      SELECT doc_id, labeled_lang,
+             CASE $cases ELSE 'und' END AS predicted_lang
+      FROM (SELECT *, $best AS best FROM scored)
+      ORDER BY doc_id""")
+  }
+
+  val textQuality: String = {
+    val stop = markerFilter(TextOps.Stopwords)
+    docQ(s"""
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS token_cnt,
+             CAST(list_sum([length(t) for t in toks]) AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_word_len,
+             CAST(len(list_filter(toks, x -> $stop)) AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+             CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+             round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + (CAST(len(list_filter(toks, x -> $stop)) AS DOUBLE)
+                      / CAST(greatest(len(toks), 1) AS DOUBLE)) * 0.3
+                   + (1.0 - least((CAST(len(regexp_extract_all(lower(text),
+                        '[^a-z0-9\\s]')) AS DOUBLE)
+                      / CAST(greatest(length(text), 1) AS DOUBLE)) * 10.0,
+                        1.0)) * 0.3, 6) AS quality_score
+      FROM docs_tok ORDER BY doc_id""")
+  }
+
+  val tokenCountBpe: String = docQ("""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM docs_tok ORDER BY doc_id""")
+
+  val fingerprint: String = docQ("""
+    SELECT t.doc_id,
+           md5(array_to_string(t.toks, ' ')) AS content_hash,
+           list_aggregate([md5(s) for s in h.sh], 'min') AS min_shingle_hash
+    FROM docs_tok t JOIN docs_sh h ON t.doc_id = h.doc_id
+    ORDER BY t.doc_id""")
+
+  // ---- dedup -----------------------------------------------------------
+
+  val dedupExact: String = """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY content_hash"""
+
+  /** MinHash k=8 sigs over 3-shingles, 4 bands × 2 rows. */
+  val dedupNearMinhash: String = {
+    val k = 8; val bands = 4; val r = k / bands
+    val sigs = (0 until k).map { i =>
+      s"list_aggregate([md5('$i:' || s) for s in sh], 'min') AS sig$i"
+    }.mkString(",\n               ")
+    val bandList = (0 until bands).map { j =>
+      val parts = (0 until r).map(i => s"sig${j * r + i}")
+      s"md5('$j|' || ${parts.mkString(" || '|' || ")})"
+    }.mkString(", ")
+    docQ(s"""
+      , sigs AS (
+        SELECT doc_id,
+               $sigs
+        FROM docs_sh),
+      bands AS (
+        SELECT doc_id, unnest([$bandList]) AS band FROM sigs)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+      ORDER BY doc_a, doc_b""")
+  }
+
+  /** 16-bit simhash clusters; bit/vote arithmetic mirrors TextOps.withSimhash. */
+  val dedupSimhash: String = {
+    val terms = (0 until 16).map { b =>
+      val digit =
+        s"(strpos('0123456789abcdef', substr(md5(t), ${b / 4 + 1}, 1)) - 1)"
+      val bit = s"(($digit >> ${b % 4}) & 1)"
+      s"CASE WHEN list_sum([$bit * 2 - 1 for t in toks]) > 0 THEN ${1 << b} ELSE 0 END"
+    }.mkString("\n               + ")
+    docQ(s"""
+      , sim AS (
+        SELECT doc_id,
+               $terms AS simhash
+        FROM docs_tok)
+      SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
+             min(doc_id) AS min_doc_id
+      FROM sim GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""")
+  }
+
+  val dedupNgramJaccard: String = docQ("""
+    , sh_ex AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh_ex a JOIN sh_ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(CAST(n_inter AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
+    ORDER BY doc_a, doc_b""")
+
+  // ---- vectors ---------------------------------------------------------
+
+  val EmbCte: String =
+    "emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  private val cosAB =
+    """round(list_dot_product(a.v, b.v)
+       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+       6)"""
+
+  val similarityTopk: String = s"""
+    WITH $EmbCte,
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosAB AS sim
+      FROM emb a JOIN emb b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  val dedupNearCosine: String = s"""
+    WITH $EmbCte
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosAB AS sim
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    WHERE $cosAB >= 0.4
+    ORDER BY vec_a, vec_b"""
+
+  val multimodalSelect: String = s"""
+    WITH $EmbCte
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+           CAST(len(e.v) AS BIGINT) AS dim,
+           round(sqrt(list_dot_product(e.v, e.v)), 6) AS l2_norm
+    FROM documents d JOIN emb e ON d.doc_id = e.vec_id
+    ORDER BY d.doc_id"""
+
+  // ---- events ----------------------------------------------------------
+
+  /** Normalize ns → µs to match Spark's TimestampType truncation. */
+  val EvCte: String =
+    """ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+              event_type, value, props FROM events)"""
+
+  val eventsWindowAgg: String = s"""
+    WITH $EvCte
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+    FROM ev GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  val eventsJsonAgg: String = s"""
+    WITH $EvCte
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$$.k') AS BIGINT))
+             AS BIGINT) AS max_k
+    FROM ev GROUP BY event_type ORDER BY event_type"""
+
+  val eventsSessionize: String = s"""
+    WITH $EvCte,
+    lagd AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM ev),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM lagd),
+    seq AS (
+      SELECT user_id,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked),
+    sess AS (
+      SELECT user_id, session_seq, count(*) AS n_events
+      FROM seq GROUP BY user_id, session_seq)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(n_events) AS BIGINT) AS max_session_events
+    FROM sess GROUP BY user_id ORDER BY user_id"""
+}

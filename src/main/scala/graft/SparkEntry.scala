@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.{SyncRelations => R, Tables => T}
-import graft.operators.SyncOps
+import graft.operators.{EventOps, SyncOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -201,6 +201,70 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // [EXT] text analysis (SURVEY.md §2.9) -------------------------------
+    "text_stats" -> ((s, d) =>
+      TextOps.textStats(T.documents(s, d)).orderBy("lang")),
+
+    "lang_id" -> ((s, d) =>
+      TextOps.langId(T.documents(s, d)).orderBy("doc_id")),
+
+    "text_quality" -> ((s, d) =>
+      TextOps.qualityScore(T.documents(s, d)).orderBy("doc_id")),
+
+    "token_count_bpe" -> ((s, d) =>
+      T.documents(s, d).select(
+        col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s, d) =>
+      TextOps.fingerprint(T.documents(s, d)).orderBy("doc_id")),
+
+    // [EXT] deduplication ------------------------------------------------
+    "dedup_exact" -> ((s, d) =>
+      TextOps.dedupExact(T.documents(s, d)).orderBy("content_hash")),
+
+    "dedup_near_minhash" -> ((s, d) =>
+      TextOps.minhashCandidates(T.documents(s, d)).orderBy("doc_a", "doc_b")),
+
+    "dedup_simhash" -> ((s, d) =>
+      TextOps.simhashClusters(T.documents(s, d)).orderBy("simhash")),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      TextOps.ngramJaccardPairs(T.documents(s, d), 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_near_cosine" -> ((s, d) =>
+      VectorOps.nearDupCosine(T.embeddings(s, d), 0.4).orderBy("vec_a", "vec_b")),
+
+    // [EXT] similarity search -------------------------------------------
+    "similarity_topk" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      VectorOps.topkCosine(emb.filter(col("vec_id") < 5), emb, 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "similarity_topk_lsh" -> ((s, d) =>
+      // approximate variant — no SQL oracle; recall asserted in VectorOpsSpec
+      VectorOps.topkCosineLsh(T.embeddings(s, d), dim = 64, k = 5)
+        .orderBy("query_id", "rank")),
+
+    "multimodal_select" -> ((s, d) =>
+      VectorOps.multimodalSelect(T.documents(s, d), T.embeddings(s, d))
+        .orderBy("doc_id")),
+
+    // [EXT] event analytics ---------------------------------------------
+    "events_window_agg" -> ((s, d) =>
+      EventOps.tumblingCounts(T.events(s, d), "1 hour")
+        .orderBy("window_start", "event_type")),
+
+    "events_json_agg" -> ((s, d) =>
+      EventOps.jsonPropsAgg(T.events(s, d)).orderBy("event_type")),
+
+    "events_sessionize" -> ((s, d) =>
+      EventOps.sessionStats(T.events(s, d), gapMinutes = 30)
+        .orderBy("user_id")),
+
     "q3_topk" -> ((s, d) => {
       val c = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = T.orders(s, d)
@@ -344,6 +408,22 @@ object SparkEntry {
           SELECT 'tgt-listing' AS mapping_id, name, bucket, size, etag
           FROM target_catalog
           ORDER BY mapping_id, name"""),
+
+    "text_stats" -> OracleExt.textStats,
+    "lang_id" -> OracleExt.langId,
+    "text_quality" -> OracleExt.textQuality,
+    "token_count_bpe" -> OracleExt.tokenCountBpe,
+    "doc_fingerprint" -> OracleExt.fingerprint,
+    "dedup_exact" -> OracleExt.dedupExact,
+    "dedup_near_minhash" -> OracleExt.dedupNearMinhash,
+    "dedup_simhash" -> OracleExt.dedupSimhash,
+    "dedup_ngram_jaccard" -> OracleExt.dedupNgramJaccard,
+    "dedup_near_cosine" -> OracleExt.dedupNearCosine,
+    "similarity_topk" -> OracleExt.similarityTopk,
+    "multimodal_select" -> OracleExt.multimodalSelect,
+    "events_window_agg" -> OracleExt.eventsWindowAgg,
+    "events_json_agg" -> OracleExt.eventsJsonAgg,
+    "events_sessionize" -> OracleExt.eventsSessionize,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table ([EXT] SURVEY.md §2.9
+  * `events_sessionize`) — the batch shapes that also run under Structured
+  * Streaming (graft.streaming): tumbling windows, JSON property extraction,
+  * gaps-and-islands sessionization.
+  */
+object EventOps {
+
+  /** Exact decimal sum of a double expression returned as double
+    * (accumulation-order independent — oracle-parity safe).
+    */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(25,4)")).cast("double")
+
+  /** Tumbling-window aggregation. Uses the `window()` operator (the same
+    * plan shape Structured Streaming uses); epoch-aligned windows so
+    * `window.start == date_trunc` for whole-unit durations.
+    */
+  def tumblingCounts(events: DataFrame, duration: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** JSON property extraction + rollup (events.props is a JSON string). */
+  def jsonPropsAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           max(col("k")).as("max_k"))
+
+  /** Gaps-and-islands sessionization: a session breaks after `gapMinutes`
+    * of inactivity per user. One shuffle on user_id; both windows reuse the
+    * same (user_id, ts) sort — Catalyst plans a single exchange+sort.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val withSession = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withSession
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  /** Per-user session stats (the aggregate consumers actually read). */
+  def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+}

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and deduplication operators for large-scale training-data
+  * pipelines ([EXT] in SURVEY.md §2.9): exact dedup, MinHash-banded near-dup,
+  * SimHash, n-gram Jaccard, language-ID, quality scoring, token counting and
+  * document fingerprinting — all over the `documents` table.
+  *
+  * Design rules:
+  *  - Everything stays inside whole-stage codegen: built-in `functions._`
+  *    plus higher-order array functions; no UDFs.
+  *  - Hashing is md5-based so the DuckDB oracle can reproduce results
+  *    bit-for-bit (Spark's murmur `hash()` is not portable).
+  *  - Pairwise ops are blocked (LSH bands / hash buckets) before any join,
+  *    so candidate generation is an equi-join, never a cross join — the
+  *    property that survives a 100 TB corpus.
+  */
+object TextOps {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+
+  /** Word n-gram shingles (1-based element_at; empty array when too short). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** BPE-ish subword count: letter runs, digit runs, single punctuation. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  // ---- per-document analysis ------------------------------------------
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  /** n-gram/marker-word language-ID heuristic. Scores each candidate
+    * language by marker hits over the token multiset; highest score wins,
+    * ties broken by profile order; no hits → "und".
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "und", "die", "ist", "das"),
+    "es" -> Seq("el", "la", "que", "los", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id") +: col("lang").as("labeled_lang") +:
+        LangProfiles.map { case (l, ms) => markerHits(toks, ms).as(s"score_$l") }: _*)
+    val best = LangProfiles.map { case (l, _) => col(s"score_$l") }
+      .reduce((a, b) => greatest(a, b))
+    // first matching profile wins ties (when-chain short-circuits in order)
+    val pred = LangProfiles.foldLeft(when(lit(false), lit("")): Column) {
+      case (chain, (l, _)) =>
+        chain.when(col(s"score_$l") === best && best > 0, lit(l))
+    }.otherwise(lit("und"))
+    scored.withColumn("predicted_lang", pred)
+      .select("doc_id", "labeled_lang", "predicted_lang")
+  }
+
+  /** Quality scoring: token count, mean word length, stopword ratio,
+    * punctuation ratio, and a composite score in [0,1].
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .withColumn("token_cnt", size(toks))
+      .withColumn("char_len", length(col("text")).cast("double"))
+      .withColumn("avg_word_len",
+        aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+          greatest(size(toks), lit(1)).cast("double"))
+      .withColumn("stopword_ratio",
+        markerHits(toks, Stopwords).cast("double") /
+          greatest(size(toks), lit(1)).cast("double"))
+      .withColumn("punct_ratio",
+        size(regexp_extract_all(lower(col("text")),
+          lit("[^a-z0-9\\s]"), lit(0))).cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double"))
+      .withColumn("quality_score", round(
+        least(col("token_cnt").cast("double") / 100.0, lit(1.0)) * 0.4 +
+          col("stopword_ratio") * 0.3 +
+          (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.3, 6))
+      .select(col("doc_id"), col("token_cnt").cast("long").as("token_cnt"),
+              col("avg_word_len"), col("stopword_ratio"),
+              col("punct_ratio"), col("quality_score"))
+  }
+
+  /** Corpus stats per language (token counts via exact integer sums). */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("token_cnt", size(tokens(col("text"))))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("token_cnt").cast("long")).as("sum_tokens"),
+        (sum(col("token_cnt").cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_tokens"))
+
+  /** Content fingerprint: md5 of the full normalized text plus the minimum
+    * shingle hash (a 1-sample winnowing sketch — stable under small edits).
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      md5(concat_ws(" ", tokens(col("text")))).as("content_hash"),
+      array_min(transform(shingles(toks, 3), s => md5(s))).as("min_shingle_hash"))
+  }
+
+  // ---- deduplication ---------------------------------------------------
+
+  /** Exact dedup by content hash: keep the lowest doc_id per hash.
+    * Scale path: hash-partitioned groupBy (one shuffle on a 32-byte key),
+    * no sort of the full corpus.
+    */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature columns sig0..sig{k-1} over 3-gram shingles. */
+  def withMinhashSignature(docs: DataFrame, k: Int = 8): DataFrame = {
+    val sh = shingles(tokens(col("text")), 3)
+    val sigs = (0 until k).map { i =>
+      array_min(transform(sh, s => md5(concat(lit(s"$i:"), s)))).as(s"sig$i")
+    }
+    docs.select(col("doc_id") +: sigs: _*)
+  }
+
+  /** LSH banding: b bands of r=k/b signature rows each; docs sharing any
+    * band hash are near-duplicate candidates. Candidate generation is a
+    * self-equi-join on the band hash — shuffle on band, never O(n²).
+    */
+  def minhashCandidates(docs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame = {
+    val r = k / bands
+    val sigs = withMinhashSignature(docs, k)
+    val bandCols = (0 until bands).map { j =>
+      md5(concat_ws("|",
+        lit(j.toString) +: (0 until r).map(i => col(s"sig${j * r + i}")): _*))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    val a = banded.select(col("band"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** SimHash (16-bit, md5-derived bits, ±1 votes per token). Returns
+    * (doc_id, simhash). Near-dup clusters = equal simhash values.
+    */
+  def withSimhash(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val hexpos = "0123456789abcdef"
+    def bitOf(t: Column, b: Int): Column = {
+      val digit = instr(lit(hexpos), substring(md5(t), b / 4 + 1, 1)) - 1
+      shiftright(digit, b % 4).bitwiseAND(lit(1))
+    }
+    val simhash = (0 until 16).map { b =>
+      val vote = aggregate(toks, lit(0),
+        (acc, t) => acc + (bitOf(t, b) * 2 - 1))
+      when(vote > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    docs.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  def simhashClusters(docs: DataFrame): DataFrame =
+    withSimhash(docs)
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  /** n-gram Jaccard near-dup: distinct 3-gram shingles per doc, candidate
+    * pairs via shared-shingle equi-join, |∩|/|∪| ≥ threshold.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Spec.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+    (2L, "the quick brown fox jumps over the lazy cat", "en", "s", 43L), // near-dup of 1
+    (3L, "der schnelle braune fuchs und der faule hund", "de", "s", 44L),
+    (4L, "el zorro y la casa que los es", "es", "s", 29L),
+    (5L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L)  // exact dup of 1
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical content") {
+    val r = TextOps.dedupExact(docs)
+      .select("keeper_doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(r.contains((1L, 2L)))            // docs 1 and 5 collapse to keeper 1
+    assert(r.count(_._2 == 1L) == 3)
+  }
+
+  test("ngram jaccard finds the near-duplicate pair") {
+    val pairs = TextOps.ngramJaccardPairs(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))        // one word differs → high overlap
+    assert(pairs.contains((1L, 5L)))        // identical
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // german unrelated
+  }
+
+  test("minhash candidates include exact and near duplicates") {
+    val pairs = TextOps.minhashCandidates(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L)))        // identical signature always collides
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("simhash of identical docs is identical, near-dups within distance") {
+    val h = graft.operators.TextOps.withSimhash(docs)
+      .as[(Long, Int)].collect().toMap
+    assert(h(1L) == h(5L))
+    val hamming = Integer.bitCount(h(1L) ^ h(2L))
+    assert(hamming <= 6, s"near-dup hamming $hamming too large")
+  }
+
+  test("lang id picks marker-bearing language") {
+    val r = TextOps.langId(docs)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(r(1L) == "en" && r(3L) == "de" && r(4L) == "es")
+  }
+
+  test("quality score is bounded and higher for stopword-rich text") {
+    val r = TextOps.qualityScore(docs)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(r.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("fingerprint is stable for identical content") {
+    val fp = TextOps.fingerprint(docs)
+      .select("doc_id", "content_hash").as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(5L) && fp(1L) != fp(2L))
+  }
+}

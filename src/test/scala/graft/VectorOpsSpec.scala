@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorOps
+
+class VectorOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Spec.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("brute-force topk: self excluded, k rows per query, sims sorted") {
+    val r = VectorOps.topkCosine(emb.filter($"vec_id" < 3), emb, 5)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(r.length == 15)
+    assert(r.forall { case (q, n, _, _) => q != n })
+    r.groupBy(_._1).values.foreach { rows =>
+      val sims = rows.sortBy(_._4).map(_._3)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val one = emb.filter($"vec_id" === 0)
+    val r = VectorOps.nearDupCosine(
+      one.unionByName(one.withColumn("vec_id", lit(999L))), 0.99)
+      .select("sim").as[Double].head()
+    assert(math.abs(r - 1.0) < 1e-9)
+  }
+
+  test("LSH topk achieves reasonable recall vs brute force") {
+    val exact = VectorOps.topkCosine(emb, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = VectorOps.topkCosineLsh(emb, dim = 64, k = 5, nPlanes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // random vectors are a worst case for LSH; just assert it finds a
+    // meaningful fraction and never fabricates non-bucket pairs
+    assert(recall > 0.05, s"recall $recall")
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("multimodal select joins docs to embeddings 1:1") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = VectorOps.multimodalSelect(docs, emb)
+    assert(r.count() == docs.count())
+    assert(r.select("dim").distinct().as[Long].head() == 64L)
+  }
+}
