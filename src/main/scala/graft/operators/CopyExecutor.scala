@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.net.URI
+
+/** Side-effecting executors: distributed object copy and delete over any
+  * Hadoop FileSystem. Replaces the reference's sequential per-object loop
+  * (`internal/sync/sync.go:101-164` — explicitly single-threaded, with
+  * parallelism listed as future work README.md:345-347) with Spark tasks:
+  * the decided copy-set is a Dataset, each partition streams its objects.
+  *
+  * Semantics preserved from the reference:
+  *  - streaming copy, never whole-object buffering (fixes the reference's
+  *    own AWS/Azure buffering asymmetry, aws/client.go:176 azure/client.go:137)
+  *  - per-object error isolation: a failed copy yields a 'failed_*' receipt
+  *    and the run continues (sync.go:136-140,153-158)
+  *  - at-least-once + idempotent target keys; run with
+  *    spark.speculation=false (SURVEY.md §7.4)
+  */
+object CopyExecutor {
+
+  case class CopyTask(name: String, size: Long, content_type: String)
+  case class Receipt(object_name: String, bucket: String, size: Long,
+                     content_type: String, sync_status: String,
+                     error: String)
+
+  /** Copy `tasks` (name/size/content_type rows, e.g. SyncOps.needsSync
+    * output) from srcBucket to dstBucket. Returns one receipt per object —
+    * the UploadInfo analog (provider.go:19-24) plus status for the ledger.
+    */
+  def copyObjects(spark: SparkSession, tasks: DataFrame,
+                  srcBucket: String, dstBucket: String,
+                  partitions: Int = 0): Dataset[Receipt] = {
+    import spark.implicits._
+    val ts = tasks.select(col("name"), col("size"), col("content_type")).as[CopyTask]
+    val repartitioned =
+      if (partitions > 0) ts.repartition(partitions) else ts
+    repartitioned.mapPartitions { it =>
+      val conf = new Configuration()
+      val srcFs = FileSystem.get(URI.create(srcBucket), conf)
+      val dstFs = FileSystem.get(URI.create(dstBucket), conf)
+      val buf = new Array[Byte](1 << 20)
+      it.map { t =>
+        val src = new Path(srcBucket + "/" + t.name)
+        val dst = new Path(dstBucket + "/" + t.name)
+        try {
+          val in = srcFs.open(src)
+          try {
+            dstFs.mkdirs(dst.getParent)
+            val out = dstFs.create(dst, true)
+            try {
+              var n = in.read(buf)
+              var total = 0L
+              while (n >= 0) {
+                if (n > 0) { out.write(buf, 0, n); total += n }
+                n = in.read(buf)
+              }
+              Receipt(t.name, dstBucket, total, t.content_type, "success", "")
+            } finally out.close()
+          } finally in.close()  // close per object — not the reference's
+                                // leaked defer-in-loop (sync.go:141-142)
+        } catch {
+          case e: java.io.FileNotFoundException =>
+            Receipt(t.name, dstBucket, 0L, t.content_type, "failed_get",
+                    String.valueOf(e.getMessage))
+          case e: Exception =>
+            Receipt(t.name, dstBucket, 0L, t.content_type, "failed_upload",
+                    String.valueOf(e.getMessage))
+        }
+      }
+    }
+  }
+
+  case class DeleteTask(name: String)
+  case class DeleteReceipt(object_name: String, removed: Boolean, error: String)
+
+  /** Delete the orphan set from the target bucket (sync.go:199-234).
+    * A failed delete is reported, not thrown — the caller keeps the ledger
+    * row, mirroring sync.go:217-221.
+    */
+  def deleteObjects(spark: SparkSession, orphans: DataFrame,
+                    dstBucket: String): Dataset[DeleteReceipt] = {
+    import spark.implicits._
+    orphans.select(col("name")).as[DeleteTask].mapPartitions { it =>
+      val fs = FileSystem.get(URI.create(dstBucket), new Configuration())
+      it.map { t =>
+        try {
+          val removed = fs.delete(new Path(dstBucket + "/" + t.name), false)
+          DeleteReceipt(t.name, removed, "")
+        } catch {
+          case e: Exception =>
+            DeleteReceipt(t.name, removed = false, String.valueOf(e.getMessage))
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.net.URI
+import scala.collection.mutable.ArrayBuffer
+
+/** Object-store connector layer: any Hadoop FileSystem URI acts as a
+  * "bucket" — `file://` in tests, `s3a://` / `gs://` / `abfs://` on a real
+  * cluster. This replaces the reference's four provider SDK clients
+  * (`internal/providers/{gcp,aws,azure,minio}/client.go`) with configuration:
+  * the provider SPI (`internal/interfaces/provider.go:26-34`) collapses to
+  * Hadoop FS URIs, exactly as SURVEY.md §7.1 prescribes.
+  */
+object ObjectStoreCatalog {
+
+  /** CATALOG schema (SURVEY.md §1.3; ObjectInfo provider.go:9-17). */
+  val CatalogSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("bucket", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("content_type", StringType, nullable = true),
+    StructField("last_modified", TimestampType, nullable = false),
+    StructField("etag", StringType, nullable = false)))
+
+  /** Extension → content-type map (stands in for provider metadata;
+    * the reference gets this from HeadObject / blob properties).
+    */
+  private val ContentTypes = Map(
+    "txt" -> "text/plain", "json" -> "application/json",
+    "csv" -> "text/csv", "parquet" -> "application/vnd.apache.parquet",
+    "jpg" -> "image/jpeg", "png" -> "image/png", "bin" -> "application/octet-stream")
+
+  def contentTypeOf(name: String): String = {
+    val dot = name.lastIndexOf('.')
+    if (dot < 0) "application/octet-stream"
+    else ContentTypes.getOrElse(name.substring(dot + 1).toLowerCase,
+                                "application/octet-stream")
+  }
+
+  /** Pseudo-ETag from (size, mtime) — the change-detection token. Real
+    * stores provide a content ETag; Hadoop FS does not, and hashing every
+    * object's bytes would read the whole corpus. Size+mtime is exactly the
+    * signal the reference's needs-sync predicate uses anyway (sync.go:114).
+    */
+  def pseudoEtag(size: Long, mtimeMs: Long): String =
+    java.lang.Long.toHexString(size * 1000003L ^ mtimeMs)
+
+  /** Driver-side recursive listing → catalog DataFrame. Fine up to ~1e5
+    * objects; beyond that use [[scanCatalogDistributed]].
+    */
+  def scanCatalog(spark: SparkSession, bucketUri: String): DataFrame = {
+    val rows = listPrefix(new Configuration(spark.sparkContext.hadoopConfiguration),
+                          bucketUri, "")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), CatalogSchema)
+  }
+
+  /** Distributed listing for huge buckets: the driver lists only the
+    * first-level prefixes, executors recurse in parallel — the listing
+    * equivalent of partitioned scan, so a 100 M-object bucket never
+    * materializes on the driver (SURVEY.md §7.4: never collect catalogs).
+    */
+  def scanCatalogDistributed(spark: SparkSession, bucketUri: String,
+                             parallelism: Int = 32): DataFrame = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val fs = FileSystem.get(URI.create(bucketUri), conf)
+    val root = new Path(bucketUri)
+    if (!fs.exists(root))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], CatalogSchema)
+    val (dirs, files) = fs.listStatus(root).partition(_.isDirectory)
+    val topRows = files.map(st => toRow(bucketUri, relName(bucketUri, st.getPath), st))
+    val prefixes = dirs.map(_.getPath.toString)
+    val nested = spark.sparkContext
+      .parallelize(prefixes.toSeq, math.max(1, math.min(parallelism, prefixes.length)))
+      .mapPartitions { it =>
+        val c = new Configuration()
+        it.flatMap(p => listPrefix(c, p, prefixOf(bucketUri, p)))
+      }
+    spark.createDataFrame(
+      nested ++ spark.sparkContext.parallelize(topRows.toSeq, 1), CatalogSchema)
+  }
+
+  private def prefixOf(bucketUri: String, dirUri: String): String = {
+    val rel = relName(bucketUri, new Path(dirUri))
+    if (rel.isEmpty) "" else rel + "/"
+  }
+
+  private def relName(bucketUri: String, p: Path): String = {
+    val base = new Path(bucketUri).toUri.getPath.stripSuffix("/")
+    p.toUri.getPath.stripPrefix(base).stripPrefix("/")
+  }
+
+  private def toRow(bucketUri: String, name: String,
+                    st: org.apache.hadoop.fs.FileStatus): Row =
+    Row(name, bucketUri, st.getLen, contentTypeOf(name),
+        new java.sql.Timestamp(st.getModificationTime),
+        pseudoEtag(st.getLen, st.getModificationTime))
+
+  /** Recursive paged listing under one prefix (mirrors the reference's
+    * iterator/paged listings, e.g. aws/client.go:77-88).
+    */
+  private def listPrefix(conf: Configuration, uri: String,
+                         namePrefix: String): ArrayBuffer[Row] = {
+    val fs = FileSystem.get(URI.create(uri), conf)
+    val root = new Path(uri)
+    val out = ArrayBuffer.empty[Row]
+    if (!fs.exists(root)) return out  // bucket_exists_guard: empty, not error
+    val it = fs.listFiles(root, true)
+    val base = root.toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      val name = namePrefix + rel
+      out += Row(name, uri.toString, st.getLen,
+                 contentTypeOf(rel),
+                 new java.sql.Timestamp(st.getModificationTime),
+                 pseudoEtag(st.getLen, st.getModificationTime))
+    }
+    out
+  }
+
+  /** bucket_ddl (reference gcp/client.go:153-180 etc.): exists + ensure. */
+  def bucketExists(spark: SparkSession, bucketUri: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    FileSystem.get(URI.create(bucketUri), conf).exists(new Path(bucketUri))
+  }
+
+  def ensureBucket(spark: SparkSession, bucketUri: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(URI.create(bucketUri), conf)
+    val p = new Path(bucketUri)
+    if (!fs.exists(p)) fs.mkdirs(p)  // race-tolerant like azure/client.go:202-204
+  }
+}
