@@ -24,12 +24,12 @@ object TextOps {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("\\S+"), lit(0))
 
-  /** Word n-gram shingles (1-based element_at; empty array when too short). */
+  /** Word n-gram shingles (empty array when too short). Native expression —
+    * the composable transform/sequence/element_at form costs ~27 µs per
+    * shingle interpreted (see graft.functions.WordShingles).
+    */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.WordShingles.word_shingles(toks, n)
 
   /** BPE-ish subword count: letter runs, digit runs, single punctuation. */
   def bpeTokenCount(text: Column): Column =
@@ -113,11 +113,13 @@ object TextOps {
     * shingle hash (a 1-sample winnowing sketch — stable under small edits).
     */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val minSh = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .groupBy("doc_id").agg(min(md5(col("sh"))).as("min_shingle_hash"))
     docs.select(
       col("doc_id"),
-      md5(concat_ws(" ", tokens(col("text")))).as("content_hash"),
-      array_min(transform(shingles(toks, 3), s => md5(s))).as("min_shingle_hash"))
+      md5(concat_ws(" ", tokens(col("text")))).as("content_hash"))
+      .join(minSh, Seq("doc_id"), "left_outer")
   }
 
   // ---- deduplication ---------------------------------------------------
@@ -132,13 +134,22 @@ object TextOps {
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature columns sig0..sig{k-1} over 3-gram shingles. */
+  /** MinHash signature columns sig0..sig{k-1} over 3-gram shingles.
+    *
+    * Shape: explode shingles once, then k codegen'd `min(md5(...))`
+    * aggregates in a single groupBy pass. The higher-order-function
+    * formulation (`array_min(transform(...))` × k) stays interpreted and
+    * re-derives the shingle array per signature — ~20× slower measured.
+    * Docs with fewer than 3 tokens have no shingles and drop out, which
+    * matches the SQL oracle (NULL band concat → no candidate pairs).
+    */
   def withMinhashSignature(docs: DataFrame, k: Int = 8): DataFrame = {
-    val sh = shingles(tokens(col("text")), 3)
-    val sigs = (0 until k).map { i =>
-      array_min(transform(sh, s => md5(concat(lit(s"$i:"), s)))).as(s"sig$i")
-    }
-    docs.select(col("doc_id") +: sigs: _*)
+    val exploded = docs.select(
+      col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+    exploded.groupBy("doc_id").agg(
+      min(md5(concat(lit("0:"), col("sh")))).as("sig0"),
+      (1 until k).map(i =>
+        min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig$i")): _*)
   }
 
   /** LSH banding: b bands of r=k/b signature rows each; docs sharing any
@@ -164,20 +175,31 @@ object TextOps {
 
   /** SimHash (16-bit, md5-derived bits, ±1 votes per token). Returns
     * (doc_id, simhash). Near-dup clusters = equal simhash values.
+    *
+    * Shape: explode tokens, one md5 per token, then 16 codegen'd vote sums
+    * in one aggregation pass (the per-bit higher-order `aggregate` would
+    * hash every token 16× in interpreted eval). Tokenless docs get
+    * simhash 0 via the left join, matching the oracle's NULL-vote CASE.
     */
   def withSimhash(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
     val hexpos = "0123456789abcdef"
-    def bitOf(t: Column, b: Int): Column = {
-      val digit = instr(lit(hexpos), substring(md5(t), b / 4 + 1, 1)) - 1
+    val tok = docs.select(
+      col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", md5(col("t")))
+    def bit(b: Int): Column = {
+      val digit = instr(lit(hexpos), substring(col("h"), b / 4 + 1, 1)) - 1
       shiftright(digit, b % 4).bitwiseAND(lit(1))
     }
-    val simhash = (0 until 16).map { b =>
-      val vote = aggregate(toks, lit(0),
-        (acc, t) => acc + (bitOf(t, b) * 2 - 1))
-      when(vote > 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
-    docs.select(col("doc_id"), simhash.as("simhash"))
+    val votes = tok.groupBy("doc_id").agg(
+      sum(bit(0) * 2 - 1).as("v0"),
+      (1 until 16).map(b => sum(bit(b) * 2 - 1).as(s"v$b")): _*)
+    val simhash = (0 until 16)
+      .map(b => when(col(s"v$b") > 0, lit(1 << b)).otherwise(lit(0)))
+      .reduce(_ + _)
+    docs.select(col("doc_id"))
+      .join(votes, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(simhash, lit(0)).cast("int").as("simhash"))
   }
 
   def simhashClusters(docs: DataFrame): DataFrame =
