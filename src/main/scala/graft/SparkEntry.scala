@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{SyncRelations => R, Tables => T}
-import graft.operators.{EventOps, SyncOps, TextOps, VectorOps}
+import graft.sources.{IoFixtures, ObjectStoreCatalog, SyncRelations => R, Tables => T}
+import graft.operators.{CopyExecutor, EventOps, Multimodal, SyncOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -187,6 +187,95 @@ object SparkEntry {
         .select("mapping_id", "name", "bucket", "size", "etag")
         .orderBy("mapping_id", "name")),
 
+    // [EXT] streaming (Structured Streaming run to completion) ----------
+    "events_stream_window" -> ((s, d) =>
+      graft.streaming.StreamingOps.windowCounts(s, d, "1 hour")
+        .orderBy("window_start", "event_type")),
+
+    "events_stream_sessionize" -> ((s, d) =>
+      graft.streaming.StreamingOps.sessionizeStateful(s, d, gapMinutes = 30)
+        .orderBy("user_id")),
+
+    // [EXT] multimodal binary columns -----------------------------------
+    "multimodal_media_stats" -> ((s, d) =>
+      Multimodal.mediaFromDocuments(T.documents(s, d))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+             sum(octet_length(col("payload"))).as("total_bytes"))
+        .orderBy("kind")),
+
+    "multimodal_decode_stub" -> ((s, d) =>
+      Multimodal.mediaSummary(s, T.documents(s, d)).orderBy("kind")),
+
+    "multimodal_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+          Multimodal.mediaFromDocuments(T.documents(s, d)),
+          frameBytes = 64, stride = 2)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+             sum(col("frame_len")).cast("long").as("sampled_bytes"))
+        .orderBy("media_id")),
+
+    // side-effecting operators over scratch buckets (§2.2) --------------
+    "object_put" -> ((s, d) => {
+      val src = IoFixtures.freshDir("put/src"); val dst = IoFixtures.freshDir("put/dst")
+      IoFixtures.write(src, "a.txt", "alpha")
+      IoFixtures.write(src, "b/c.json", "{}")
+      import s.implicits._
+      val tasks = Seq(("a.txt", 5L, "text/plain"), ("b/c.json", 2L, "application/json"))
+        .toDF("name", "size", "content_type")
+      // localCheckpoint = execute-once barrier: the orderBy's range
+      // partitioner samples its child, which would re-run the side effects
+      CopyExecutor.copyObjects(s, tasks, IoFixtures.uri(src), IoFixtures.uri(dst))
+        .toDF.localCheckpoint(true)
+        .select("object_name", "size", "content_type", "sync_status")
+        .orderBy("object_name")
+    }),
+
+    "object_delete" -> ((s, d) => {
+      val dst = IoFixtures.freshDir("del/dst")
+      IoFixtures.write(dst, "x.txt", "x")
+      IoFixtures.write(dst, "y.txt", "y")
+      import s.implicits._
+      val orphans = Seq("x.txt", "y.txt").toDF("name")
+      CopyExecutor.deleteObjects(s, orphans, IoFixtures.uri(dst))
+        .toDF.localCheckpoint(true)
+        .select("object_name", "removed").orderBy("object_name")
+    }),
+
+    "bucket_ddl" -> ((s, d) => {
+      val root = IoFixtures.freshDir("ddl")
+      val bucket = IoFixtures.uri(root) + "/fresh-bucket"
+      val before = ObjectStoreCatalog.bucketExists(s, bucket)
+      ObjectStoreCatalog.ensureBucket(s, bucket)
+      val after = ObjectStoreCatalog.bucketExists(s, bucket)
+      import s.implicits._
+      Seq(("fresh-bucket", before, after))
+        .toDF("bucket_name", "existed_before", "exists_after")
+    }),
+
+    "config_load" -> ((s, d) => {
+      val dir = IoFixtures.freshDir("cfg")
+      val f = dir.resolve("default.json").toString
+      graft.config.SyncConfig.saveDefault(f)
+      val cfg = graft.config.SyncConfig.load(f)
+      import s.implicits._
+      cfg.providers.map(p => (p.id, p.providerType, p.uri, cfg.ledgerPath))
+        .toDF("provider_id", "provider_type", "uri", "ledger_path")
+    }),
+
+    "config_save_default" -> ((s, d) => {
+      val dir = IoFixtures.freshDir("cfg-save")
+      val f = dir.resolve("default.json").toString
+      graft.config.SyncConfig.saveDefault(f)
+      val cfg = graft.config.SyncConfig.load(f)
+      import s.implicits._
+      cfg.mappings.map(m => (m.sourceProviderId, m.sourceBucket,
+                             m.targetProviderId, m.targetBucket, m.mappingId))
+        .toDF("source_provider_id", "source_bucket",
+              "target_provider_id", "target_bucket", "mapping_id")
+    }),
+
     // relational parity / bench headliners ------------------------------
     "q1_agg" -> ((s, d) => {
       val li = T.lineitem(s, d)
@@ -276,7 +365,68 @@ object SparkEntry {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
-    })
+    }),
+
+    "q5_region_revenue" -> ((s, d) => {
+      val li = T.lineitem(s, d); val o = T.orders(s, d)
+      val c = T.customer(s, d); val su = T.supplier(s, d)
+      val n = T.nation(s, d); val r = T.region(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey") &&
+                  c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    "q_rollup" -> ((s, d) =>
+      T.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
+    "window_running_sum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.lineitem(s, d).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast("decimal(25,4)")).over(w)
+          .cast("double").as("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    "topk_per_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      T.part(s, d)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rank")
+        .orderBy("p_brand", "rank")
+    }),
+
+    "semi_join_exists" -> ((s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d).select("o_custkey"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "anti_join_not_exists" -> ((s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d).select("o_custkey"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"))
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -437,6 +587,87 @@ object SparkEntry {
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "events_stream_window" -> OracleExt.eventsWindowAgg,
+    "events_stream_sessionize" -> OracleExt.eventsSessionize,
+
+    "multimodal_media_stats" ->
+      """SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+         FROM documents GROUP BY 1 ORDER BY kind""",
+
+    "object_put" ->
+      """SELECT * FROM (VALUES
+           ('a.txt', CAST(5 AS BIGINT), 'text/plain', 'success'),
+           ('b/c.json', CAST(2 AS BIGINT), 'application/json', 'success'))
+         AS t(object_name, size, content_type, sync_status)
+         ORDER BY object_name""",
+
+    "object_delete" ->
+      """SELECT * FROM (VALUES ('x.txt', true), ('y.txt', true))
+         AS t(object_name, removed) ORDER BY object_name""",
+
+    "bucket_ddl" ->
+      """SELECT 'fresh-bucket' AS bucket_name, false AS existed_before,
+                true AS exists_after""",
+
+    "config_load" ->
+      """SELECT 'local' AS provider_id, 'file' AS provider_type,
+                'file:///tmp/graft-buckets' AS uri, 'ledger' AS ledger_path""",
+
+    "config_save_default" ->
+      """SELECT 'local' AS source_provider_id, 'src' AS source_bucket,
+                'local' AS target_provider_id, 'dst' AS target_bucket,
+                'local:src->local:dst' AS mapping_id""",
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+                CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) OVER (
+                  PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_qty
+         FROM lineitem
+         ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+
+    "topk_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, CAST(rank AS BIGINT) AS rank
+         FROM (SELECT p_brand, p_partkey, p_retailprice,
+                      ROW_NUMBER() OVER (PARTITION BY p_brand
+                        ORDER BY p_retailprice DESC, p_partkey) AS rank
+               FROM part)
+         WHERE rank <= 3 ORDER BY p_brand, rank""",
+
+    "semi_join_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "anti_join_not_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
 
     "q3_topk" ->
       """SELECT o_orderkey, o_orderdate,

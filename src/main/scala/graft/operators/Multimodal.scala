@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing ([EXT]): image/audio/video payloads ride as
+  * opaque BINARY columns with typed metadata; decode / feature-extract /
+  * resize / frame-sample run as per-partition transforms over the binary
+  * payload.
+  *
+  * The media codecs themselves are STUBBED with a deterministic fake
+  * (this container ships no image/audio libraries — see the builder
+  * contract); everything Spark-side is real and tested: schema, binary
+  * column handling, partitioning, batch shape of the per-partition decode,
+  * and the join topology. Swapping `StubCodec` for a real JNI/javacv codec
+  * changes no plan shape.
+  */
+object Multimodal {
+
+  /** Typed metadata + payload schema for media objects. */
+  case class MediaObject(media_id: Long, kind: String, content_type: String,
+                         payload: Array[Byte])
+  case class DecodedMedia(media_id: Long, kind: String, byte_len: Long,
+                          width: Int, height: Int, n_frames: Int,
+                          features: Array[Float])
+
+  /** Deterministic fake codec: "decodes" a payload into dimensions, frame
+    * count and a feature vector derived from the bytes. STUB — stands in
+    * for image/audio decode (cv2/PIL/ffmpeg equivalents absent here).
+    */
+  object StubCodec {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
+      val h = java.util.Arrays.hashCode(payload)
+      val w = 64 + math.abs(h % 1024)
+      val ht = 64 + math.abs((h / 1024) % 1024)
+      val frames = kind match {
+        case "video" => 1 + math.abs(h % 240)
+        case "audio" => 1 + math.abs(h % 16000)
+        case _       => 1
+      }
+      (w, ht, frames)
+    }
+
+    /** 8-dim byte-statistics "embedding" — deterministic, codec-free. */
+    def features(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % dim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      if (payload.length > 0) {
+        val scale = dim.toFloat / payload.length
+        var j = 0
+        while (j < dim) { out(j) *= scale; j += 1 }
+      }
+      out
+    }
+  }
+
+  /** Synthesize a media table from the documents corpus: payload = UTF-8
+    * bytes, kind cycles image/audio/video. Deterministic, so tests and the
+    * rows-only driver check are stable.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+                 (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+                 (col("doc_id") % 3 + 1).cast("int")).as("content_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Distributed decode: one pass per partition over the binary payloads —
+    * the Scala analog of `mapInPandas` batch decode. Binary columns are
+    * never collected to the driver; column pruning drops `payload` for
+    * consumers that only read metadata.
+    */
+  def decodeAll(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "kind", "content_type", "payload")
+      .as[MediaObject]
+      .mapPartitions { it =>
+        it.map { m =>
+          val (w, h, frames) = StubCodec.decode(m.kind, m.payload)
+          DecodedMedia(m.media_id, m.kind, m.payload.length.toLong,
+                       w, h, frames, StubCodec.features(m.payload))
+        }
+      }
+      .toDF()
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size chunk of the payload —
+    * the plan shape of video frame extraction (binary in, array of binary
+    * out, exploded downstream).
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = floor(octet_length(col("payload")).cast("long") / frameBytes)
+    media.select(
+      col("media_id"),
+      explode(transform(
+        sequence(lit(0L), greatest(ceil(nFrames / stride) - 1, lit(0L))),
+        i => substring(col("payload"), (i * stride * frameBytes + 1).cast("int"),
+                       lit(frameBytes)))).as("frame"))
+      .withColumn("frame_len", octet_length(col("frame")))
+  }
+
+  /** Metadata-only projection over media + decoded features + documents —
+    * the "one frame with text, vector and binary-derived columns" shape.
+    */
+  def mediaSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val media = mediaFromDocuments(docs)
+    val decoded = decodeAll(spark, media)
+    decoded
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("byte_len")).as("total_bytes"),
+        max(col("n_frames")).cast("long").as("max_frames"))
+  }
+}

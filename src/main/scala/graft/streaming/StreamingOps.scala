@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events table: watermarked
+  * windowed aggregation and custom-state sessionization
+  * (flatMapGroupsWithState) — the streaming generalization of the
+  * reference's ticker micro-batch (SURVEY.md §2.10).
+  *
+  * Each entry runs the stream synchronously to completion over the parquet
+  * input (memory sink + processAllAvailable) and returns the result as a
+  * static DataFrame, so the same driver harness that checks batch queries
+  * can check streaming ones; results match the batch operators exactly,
+  * which is what the shared DuckDB oracles assert.
+  */
+object StreamingOps {
+
+  private val counter = new AtomicLong(0)
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    // the streaming file source wants a directory; stage the single
+    // parquet file into one (the real deployment reads a landing dir)
+    val stage = java.nio.file.Paths.get("/tmp/graft-io/events-stream",
+      Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(stage)
+    val dst = stage.resolve("events.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path), dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(path).schema  // ts: LONG nanos (legacy flag)
+    val raw = spark.readStream.schema(schema).parquet(stage.toString)
+    if (schema("ts").dataType.typeName == "long")
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+  }
+
+  private def runToTable(spark: SparkSession, df: DataFrame,
+                         mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    // copy out of the memory sink so the result survives the query stop
+    val out = spark.table(name).localCheckpoint(eager = true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /** Watermarked tumbling-window counts; complete mode so the finite input
+    * emits every window (append would hold the tail back behind the
+    * watermark). Matches EventOps.tumblingCounts — same oracle.
+    */
+  def windowCounts(spark: SparkSession, dir: String,
+                   duration: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(25,4)")).cast("double").as("sum_value"))
+    runToTable(spark, agg, OutputMode.Complete())
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+  }
+
+  case class Ev(user_id: Long, ts_us: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long,
+                          max_session_events: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset stateful path (guide §Structured Streaming).
+    * Gap semantics identical to EventOps.sessionize (strict > gap, µs) so
+    * the batch oracle validates the streaming implementation.
+    */
+  def sessionizeStateful(spark: SparkSession, dir: String,
+                         gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[Ev]
+    val sessions = ev
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, events: Iterator[Ev], state: GroupState[Long]) => {
+          val ts = events.map(_.ts_us).toArray
+          java.util.Arrays.sort(ts)
+          var nSessions = 0L; var cur = 0L; var maxLen = 0L; var prev = Long.MinValue
+          ts.foreach { t =>
+            if (prev == Long.MinValue || t - prev > gapUs) {
+              nSessions += 1; cur = 0
+            }
+            cur += 1; if (cur > maxLen) maxLen = cur
+            prev = t
+          }
+          Iterator.single(UserSessions(user, nSessions, ts.length.toLong, maxLen))
+        })
+    runToTable(spark, sessions.toDF(), OutputMode.Append())
+      .select("user_id", "n_sessions", "n_events", "max_session_events")
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventOps
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** Streaming results must equal the batch operators row-for-row — that is
+  * the contract the shared DuckDB oracles rely on.
+  */
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Spec.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming window counts equal batch tumbling counts") {
+    val streamed = StreamingOps.windowCounts(spark, dir, "1 hour")
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps.tumblingCounts(Tables.events(spark, dir), "1 hour")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("stateful streaming sessionize equals batch sessionize") {
+    val streamed = StreamingOps.sessionizeStateful(spark, dir, 30)
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps.sessionStats(Tables.events(spark, dir), 30)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+}
