@@ -40,24 +40,39 @@ object OracleExt {
   private def markerFilter(markers: Seq[String]): String =
     markers.map(m => s"x = '$m'").mkString(" OR ")
 
-  val langId: String = {
-    val scores = TextOps.LangProfiles.map { case (l, ms) =>
-      s"len(list_filter(toks, x -> ${markerFilter(ms)})) AS score_$l"
-    }.mkString(",\n             ")
-    val best = TextOps.LangProfiles.map { case (l, _) => s"score_$l" }
-      .mkString("greatest(", ", ", ")")
-    val cases = TextOps.LangProfiles.map { case (l, _) =>
-      s"WHEN score_$l = best AND best > 0 THEN '$l'"
-    }.mkString(" ")
+  /** Shared language-ID SQL pieces (kept in lock-step with TextOps.langId). */
+  private val langScores: String = TextOps.LangProfiles.map { case (l, ms) =>
+    s"len(list_filter(toks, x -> ${markerFilter(ms)})) AS score_$l"
+  }.mkString(",\n             ")
+  private val langBest: String = TextOps.LangProfiles
+    .map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+  private val langCase: String = "CASE " + TextOps.LangProfiles.map {
+    case (l, _) => s"WHEN score_$l = best AND best > 0 THEN '$l'"
+  }.mkString(" ") + " ELSE 'und' END"
+
+  val langId: String =
     docQ(s"""
       , scored AS (
         SELECT doc_id, lang AS labeled_lang,
-             $scores
+             $langScores
         FROM docs_tok)
       SELECT doc_id, labeled_lang,
-             CASE $cases ELSE 'und' END AS predicted_lang
-      FROM (SELECT *, $best AS best FROM scored)
+             $langCase AS predicted_lang
+      FROM (SELECT *, $langBest AS best FROM scored)
       ORDER BY doc_id""")
+
+  /** The composite quality-score expression over docs_tok columns —
+    * shared by textQuality and the corpus pipeline oracle.
+    */
+  private val qualityExpr: String = {
+    val stop = markerFilter(TextOps.Stopwords)
+    s"""round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+        + (CAST(len(list_filter(toks, x -> $stop)) AS DOUBLE)
+           / CAST(greatest(len(toks), 1) AS DOUBLE)) * 0.3
+        + (1.0 - least((CAST(len(regexp_extract_all(lower(text),
+             '[^a-z0-9\\s]')) AS DOUBLE)
+           / CAST(greatest(length(text), 1) AS DOUBLE)) * 10.0,
+             1.0)) * 0.3, 6)"""
   }
 
   val textQuality: String = {
@@ -71,13 +86,7 @@ object OracleExt {
                / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
              CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE)
                / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
-             round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
-                   + (CAST(len(list_filter(toks, x -> $stop)) AS DOUBLE)
-                      / CAST(greatest(len(toks), 1) AS DOUBLE)) * 0.3
-                   + (1.0 - least((CAST(len(regexp_extract_all(lower(text),
-                        '[^a-z0-9\\s]')) AS DOUBLE)
-                      / CAST(greatest(length(text), 1) AS DOUBLE)) * 10.0,
-                        1.0)) * 0.3, 6) AS quality_score
+             $qualityExpr AS quality_score
       FROM docs_tok ORDER BY doc_id""")
   }
 
@@ -102,27 +111,67 @@ object OracleExt {
            CAST(count(*) AS BIGINT) AS n_copies
     FROM documents GROUP BY md5(text) ORDER BY content_hash"""
 
-  /** MinHash k=8 sigs over 3-shingles, 4 bands × 2 rows. */
-  val dedupNearMinhash: String = {
-    val k = 8; val bands = 4; val r = k / bands
-    val sigs = (0 until k).map { i =>
-      s"list_aggregate([md5('$i:' || s) for s in sh], 'min') AS sig$i"
-    }.mkString(",\n               ")
-    val bandList = (0 until bands).map { j =>
-      val parts = (0 until r).map(i => s"sig${j * r + i}")
-      s"md5('$j|' || ${parts.mkString(" || '|' || ")})"
-    }.mkString(", ")
+  /** MinHash k=8 sigs over 3-shingles, 4 bands × 2 rows — shared between
+    * the standalone dedup oracle and the pipeline oracle.
+    */
+  private val minhashSigs: String = (0 until 8).map { i =>
+    s"list_aggregate([md5('$i:' || s) for s in sh], 'min') AS sig$i"
+  }.mkString(",\n               ")
+  private val minhashBands: String = (0 until 4).map { j =>
+    val parts = (0 until 2).map(i => s"sig${j * 2 + i}")
+    s"md5('$j|' || ${parts.mkString(" || '|' || ")})"
+  }.mkString(", ")
+
+  val dedupNearMinhash: String =
     docQ(s"""
       , sigs AS (
         SELECT doc_id,
-               $sigs
+               $minhashSigs
         FROM docs_sh),
       bands AS (
-        SELECT doc_id, unnest([$bandList]) AS band FROM sigs)
+        SELECT doc_id, unnest([$minhashBands]) AS band FROM sigs)
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
       ORDER BY doc_a, doc_b""")
-  }
+
+  /** Full cleaning pipeline: predicted-en → quality ≥ minQuality → exact
+    * dedup (min doc_id per content hash) → minhash near-dup removal (drop
+    * doc_b) → per-source stats. Mirrors CorpusPipeline.cleanCorpusStats.
+    */
+  def pipelineCleanCorpus(minQuality: Double): String =
+    docQ(s"""
+      , scored AS (
+        SELECT doc_id, $langScores FROM docs_tok),
+      lang_en AS (
+        SELECT doc_id FROM (SELECT *, $langBest AS best FROM scored)
+        WHERE $langCase = 'en'),
+      qual AS (
+        SELECT doc_id FROM docs_tok WHERE $qualityExpr >= $minQuality),
+      cand AS (
+        SELECT d.* FROM docs_tok d
+        JOIN lang_en USING (doc_id) JOIN qual USING (doc_id)),
+      keepers AS (
+        SELECT doc_id, lang, source, n_chars, text, toks FROM (
+          SELECT c.*, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+          FROM cand c)
+        WHERE doc_id = keeper),
+      ksh AS (
+        SELECT s.doc_id, s.sh FROM docs_sh s JOIN keepers k USING (doc_id)),
+      sigs AS (
+        SELECT doc_id, $minhashSigs FROM ksh),
+      bands AS (
+        SELECT doc_id, unnest([$minhashBands]) AS band FROM sigs),
+      dropped AS (
+        SELECT DISTINCT b.doc_id FROM bands a
+        JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      final AS (
+        SELECT k.* FROM keepers k
+        WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = k.doc_id))
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+             CAST(sum(len(toks)) AS BIGINT) AS kept_tokens
+      FROM final GROUP BY source ORDER BY source""")
 
   /** 16-bit simhash clusters; bit/vote arithmetic mirrors TextOps.withSimhash. */
   val dedupSimhash: String = {

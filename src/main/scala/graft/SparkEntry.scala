@@ -333,6 +333,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "pipeline_clean_corpus" -> ((s, d) =>
+      graft.operators.CorpusPipeline.cleanCorpusStats(T.documents(s, d), 0.3)
+        .orderBy("source")),
+
+    "similarity_topk_ivf" -> ((s, d) =>
+      // IVF scale-path variant — approximate; recall asserted in VectorOpsSpec
+      VectorOps.topkCosineIvf(T.embeddings(s, d), k = 5)
+        .orderBy("query_id", "rank")),
+
     "similarity_topk_lsh" -> ((s, d) =>
       // approximate variant — no SQL oracle; recall asserted in VectorOpsSpec
       VectorOps.topkCosineLsh(T.embeddings(s, d), dim = 64, k = 5)
@@ -587,6 +596,8 @@ object SparkEntry {
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "pipeline_clean_corpus" -> OracleExt.pipelineCleanCorpus(0.3),
 
     "events_stream_window" -> OracleExt.eventsWindowAgg,
     "events_stream_sessionize" -> OracleExt.eventsSessionize,

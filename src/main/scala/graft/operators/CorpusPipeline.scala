@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data cleaning pipeline — the composed shape a
+  * 100 TB corpus actually runs ([EXT]): language filter → quality filter →
+  * exact dedup → near-dup (MinHash) removal → per-source stats.
+  *
+  * Every stage is one of the already-verified operators; the pipeline is a
+  * single lazy plan, so Catalyst pushes the language/quality filters below
+  * the dedup shuffles and prunes text columns where only ids flow.
+  */
+object CorpusPipeline {
+
+  /** Documents that survive cleaning: predicted-English, quality above
+    * threshold, exact-duplicate collapsed (min doc_id wins), near-dup
+    * candidate pairs resolved by dropping the larger doc_id.
+    */
+  def cleanCorpus(docs: DataFrame, minQuality: Double): DataFrame = {
+    val lang = TextOps.langId(docs)
+      .filter(col("predicted_lang") === "en")
+      .select("doc_id")
+    val quality = TextOps.qualityScore(docs)
+      .filter(col("quality_score") >= minQuality)
+      .select("doc_id")
+    val candidates = docs
+      .join(lang, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+
+    // exact dedup: keep the lowest doc_id per content hash
+    val keepers = candidates
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("keeper", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
+      .filter(col("doc_id") === col("keeper"))
+      .drop("content_hash", "keeper")
+
+    // near-dup removal among survivors: drop doc_b of every candidate pair
+    val nearDups = TextOps.minhashCandidates(keepers)
+      .select(col("doc_b").as("doc_id")).distinct()
+    keepers.join(nearDups, Seq("doc_id"), "left_anti")
+  }
+
+  /** Per-source outcome of the cleaning run — the report a pipeline job
+    * emits (kept counts, kept volume, token totals).
+    */
+  def cleanCorpusStats(docs: DataFrame, minQuality: Double): DataFrame =
+    cleanCorpus(docs, minQuality)
+      .withColumn("token_cnt", size(TextOps.tokens(col("text"))).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"),
+        sum(col("token_cnt")).as("kept_tokens"))
+}

@@ -145,6 +145,55 @@ object VectorOps {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** IVF (inverted-file) ANN: deterministic centroid subset, one
+    * broadcast-assignment pass, then search only the `nProbe` closest
+    * centroid lists per query.
+    *
+    * Scale shape: centroids are tiny (≈√n) and broadcast; assignment is a
+    * single map-side pass over the corpus (no shuffle of the vectors
+    * beyond the final centroid-keyed join). Versus LSH, IVF trades a
+    * second tiny pass (query→centroid) for much better list balance on
+    * clustered data.
+    */
+  def topkCosineIvf(corpus: DataFrame, k: Int, nProbe: Int = 4,
+                    centroidEvery: Int = 50): DataFrame = {
+    import graft.functions.ArrayMath.{dot_product, l2_norm}
+    val cent = corpus.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+      .withColumn("centn", l2_norm(col("centv")))
+
+    def assign(df: DataFrame, idCol: String, vCol: String, keep: Int) = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("csim").desc, col("centroid_id"))
+      df.crossJoin(broadcast(cent))
+        .withColumn("csim",
+          dot_product(col(vCol), col("centv")) /
+            (l2_norm(col(vCol)) * col("centn")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("centv", "centn", "csim", "crank")
+    }
+
+    val corpusAssigned = assign(
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      "neighbor_id", "cv", keep = 1)
+    val queryAssigned = assign(
+      corpus.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      "query_id", "qv", keep = nProbe)
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    queryAssigned.join(corpusAssigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(
+        dot_product(col("qv"), col("cv")) /
+          (sqrt(dot_product(col("qv"), col("qv"))) *
+           sqrt(dot_product(col("cv"), col("cv")))), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Multimodal projection: text metadata ⋈ embedding vectors in one frame
     * (documents ⋈ embeddings on doc_id = vec_id), with derived vector stats.
     */

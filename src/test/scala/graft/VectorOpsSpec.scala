@@ -45,6 +45,25 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("IVF topk achieves reasonable recall vs brute force") {
+    val exact = VectorOps.topkCosine(emb, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = VectorOps.topkCosineIvf(emb, k = 5, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.10, s"recall $recall")
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("pipeline clean corpus keeps a nonempty deduped subset") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val kept = graft.operators.CorpusPipeline.cleanCorpus(docs, 0.3)
+    val n = kept.count()
+    assert(n > 0 && n <= docs.count())
+    // no exact duplicates survive
+    assert(kept.select(md5($"text")).distinct().count() == n)
+  }
+
   test("multimodal select joins docs to embeddings 1:1") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val r = VectorOps.multimodalSelect(docs, emb)
