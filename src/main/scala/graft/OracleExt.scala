@@ -270,6 +270,21 @@ object OracleExt {
              AS BIGINT) AS max_k
     FROM ev GROUP BY event_type ORDER BY event_type"""
 
+  /** ASOF join — DuckDB has it natively; the Spark side composes it from
+    * union + window (EventOps.asofJoin), which is exactly why both sides
+    * agreeing is a meaningful check.
+    */
+  val eventsAsofJoin: String = s"""
+    WITH $EvCte,
+    p AS (SELECT event_id, user_id, ts, value FROM ev
+          WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, max(value) AS view_value FROM ev
+          WHERE event_type = 'view' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.value, v.view_value AS last_view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    ORDER BY p.event_id"""
+
   val eventsSessionize: String = s"""
     WITH $EvCte,
     lagd AS (

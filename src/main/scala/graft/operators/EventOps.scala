@@ -60,6 +60,40 @@ object EventOps {
         max(col("ts")).as("session_end"))
   }
 
+  /** As-of join: for each left row, the latest right row with
+    * `right.ts <= left.ts` per key — an operator Spark lacks natively.
+    *
+    * Composed Spark-first (SURVEY §7.5 preference (a)): tag and union both
+    * sides, then carry the right value forward with `last(ignoreNulls)`
+    * over one (key, ts) sort. ONE shuffle + ONE sort over |L|+|R| rows —
+    * versus a naive range join's |L|·|R| explosion; this is the
+    * formulation that survives 100 TB event tables. Right rows sort
+    * before left rows on ts ties, so an equal-timestamp right row is
+    * visible (ASOF `<=` semantics, matching DuckDB's ASOF JOIN).
+    *
+    * The right side must be unique per (key, ts); pre-aggregate it
+    * (e.g. max value) to keep ties deterministic.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               tsCol: String, valueCol: String,
+               outCol: String): DataFrame = {
+    val lCols = left.columns
+    val tagged = left
+      .withColumn("_is_left", lit(1))
+      .withColumn("_rv", lit(null).cast(right.schema(valueCol).dataType))
+      .unionByName(
+        right.select(
+          col(key), col(tsCol),
+          lit(0).as("_is_left"), col(valueCol).as("_rv")),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("_is_left"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn(outCol, last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_is_left") === 1)
+      .select(lCols.map(col) :+ col(outCol): _*)
+  }
+
   /** Per-user session stats (the aggregate consumers actually read). */
   def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
     sessionize(events, gapMinutes)

@@ -35,6 +35,28 @@ class EventOpsSpec extends AnyFunSuite {
     assert(r(ts("2024-01-01 11:00:00")) == 1L)
   }
 
+  test("asof join picks latest right row at or before left ts") {
+    val purchases = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), 10.0),
+      (2L, 7L, ts("2024-01-01 12:00:00"), 20.0),
+      (3L, 8L, ts("2024-01-01 09:00:00"), 30.0)  // user 8: no prior view
+    ).toDF("event_id", "user_id", "ts", "value")
+    val views = Seq(
+      (7L, ts("2024-01-01 09:30:00"), 1.0),
+      (7L, ts("2024-01-01 10:00:00"), 2.0),  // equal ts → visible (<=)
+      (7L, ts("2024-01-01 11:00:00"), 3.0),
+      (8L, ts("2024-01-01 09:30:00"), 4.0)   // after user 8's purchase
+    ).toDF("user_id", "ts", "view_value")
+    val r = EventOps.asofJoin(purchases, views, "user_id", "ts",
+                              "view_value", "last_view")
+      .select("event_id", "last_view")
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(r(1L) == Some(2.0))   // equal-ts view wins over 09:30
+    assert(r(2L) == Some(3.0))   // latest before 12:00
+    assert(r(3L) == None)        // nothing at or before
+  }
+
   test("json props extraction sums the k property") {
     val r = EventOps.jsonPropsAgg(events)
       .select("event_type", "sum_k").as[(String, Long)].collect().toMap
