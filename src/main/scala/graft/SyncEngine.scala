@@ -143,9 +143,13 @@ object SyncEngine {
   def readLedger(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      spark.read.schema(LedgerSchema).parquet(path)
-    else
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+      // read with the stored schema first: a pre-mapping (v1) ledger must
+      // be migrated, not silently null-filled by a forced schema
+      val stored = spark.read.parquet(path)
+      val (migrated, _) = LedgerMigrations.migrate(stored)
+      migrated.select(LedgerSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    } else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                             LedgerSchema)
   }
