@@ -354,6 +354,12 @@ object SparkEntry {
       VectorOps.topkCosineIvf(T.embeddings(s, d), k = 5)
         .orderBy("query_id", "rank")),
 
+    "similarity_topk_agg" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      VectorOps.topkCosineAgg(emb.filter(col("vec_id") < 5), emb, 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "similarity_topk_lsh" -> ((s, d) =>
       // approximate variant — no SQL oracle; recall asserted in VectorOpsSpec
       VectorOps.topkCosineLsh(T.embeddings(s, d), dim = 64, k = 5)
@@ -591,6 +597,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleExt.dedupNgramJaccard,
     "dedup_near_cosine" -> OracleExt.dedupNearCosine,
     "similarity_topk" -> OracleExt.similarityTopk,
+    "similarity_topk_agg" -> OracleExt.similarityTopk,
     "multimodal_select" -> OracleExt.multimodalSelect,
     "events_window_agg" -> OracleExt.eventsWindowAgg,
     "events_json_agg" -> OracleExt.eventsJsonAgg,

@@ -145,6 +145,36 @@ object VectorOps {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Brute-force top-k via the bounded [[graft.functions.TopKAgg]]
+    * aggregator instead of a window: map-side partial top-k means each
+    * task ships at most k rows per query to the shuffle — the window
+    * variant ships (and sorts) every candidate. Results are identical
+    * (same sim/tie ordering); shares the window variant's oracle.
+    */
+  def topkCosineAgg(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import graft.functions.ArrayMath.{dot_product, l2_norm}
+    import graft.functions.TopKAgg
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qn", l2_norm(col("qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("cn", l2_norm(col("cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        col("neighbor_id").as("id"),
+        round(dot_product(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("sim"))
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(TopKAgg.topK(k).toColumn.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), explode(col("topk")).as("r"))
+      .select(col("query_id"), col("r.id").as("neighbor_id"),
+              col("r.sim").as("sim"), col("r.rank").as("rank"))
+  }
+
   /** IVF (inverted-file) ANN: deterministic centroid subset, one
     * broadcast-assignment pass, then search only the `nProbe` closest
     * centroid lists per query.

@@ -45,6 +45,16 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("aggregator topk equals window topk exactly") {
+    val w = VectorOps.topkCosine(emb.filter($"vec_id" < 10), emb, 5)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .collect().map(_.toSeq).toSet
+    val a = VectorOps.topkCosineAgg(emb.filter($"vec_id" < 10), emb, 5)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(a == w && w.size == 50)
+  }
+
   test("IVF topk achieves reasonable recall vs brute force") {
     val exact = VectorOps.topkCosine(emb, emb, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
