@@ -289,6 +289,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "events_asof_join_native" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("view_value"))
+      EventOps.asofJoinNative(purchases, views, "user_id", "ts",
+                              "view_value", "last_view_value")
+        .select("event_id", "user_id", "value", "last_view_value")
+        .orderBy("event_id")
+    }),
+
     "q1_agg" -> ((s, d) => {
       val li = T.lineitem(s, d)
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -603,6 +615,7 @@ object SparkEntry {
     "events_json_agg" -> OracleExt.eventsJsonAgg,
     "events_sessionize" -> OracleExt.eventsSessionize,
     "events_asof_join" -> OracleExt.eventsAsofJoin,
+    "events_asof_join_native" -> OracleExt.eventsAsofJoin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -94,6 +94,41 @@ object EventOps {
       .select(lCols.map(col) :+ col(outCol): _*)
   }
 
+  /** Native as-of join via the custom operator stack
+    * (graft.plans.AsOfJoinNode/Strategy/Exec): one co-partitioned
+    * sort-merge pass, no union, no window buffer. Same semantics and
+    * right-side-uniqueness requirement as [[asofJoin]].
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+                     tsCol: String, valueCol: String,
+                     outCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val lp = ColumnBridge.analyzed(left)
+    // re-alias the right side so its attributes get fresh expr ids — when
+    // both inputs derive from the same source, duplicate ids would make
+    // the analyzer's DeduplicateRelations rewrite the child underneath
+    // this (unknown-to-it) node without remapping our captured attributes
+    val rp = ColumnBridge.analyzed(
+      right.select(
+        col(key).as("__asof_key"), col(tsCol).as("__asof_ts"),
+        col(valueCol).as("__asof_val")))
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val rv = attr(rp, "__asof_val")
+    val node = graft.plans.AsOfJoinNode(lp, rp,
+      attr(lp, key), attr(lp, tsCol),
+      attr(rp, "__asof_key"), attr(rp, "__asof_ts"), rv,
+      AttributeReference(outCol, rv.dataType, nullable = true)())
+    ColumnBridge.dataFrame(spark, node)
+  }
+
   /** Per-user session stats (the aggregate consumers actually read). */
   def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
     sessionize(events, gapMinutes)

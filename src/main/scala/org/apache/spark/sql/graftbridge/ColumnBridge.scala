@@ -13,4 +13,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a custom LogicalPlan (Dataset.ofRows moved
+    * behind `private[sql]` classic in Spark 4).
+    */
+  def dataFrame(spark: org.apache.spark.sql.SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Analyzed logical plan of a DataFrame. */
+  def analyzed(df: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }
