@@ -453,6 +453,41 @@ object SparkEntry {
         .orderBy("p_brand", "rank")
     }),
 
+    "q_cube" -> ((s, d) =>
+      T.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
+    "q_pivot" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")),
+
+    "q_percentiles" -> ((s, d) =>
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"))
+        .orderBy("l_returnflag")),
+
+    "set_ops" -> ((s, d) => {
+      // customers in BUILDING ∩ with-orders, minus AUTOMOBILE — set algebra
+      val c = T.customer(s, d)
+      val withOrders = c.join(T.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_semi").select("c_custkey")
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select("c_custkey")
+      building.intersect(withOrders).except(auto).orderBy("c_custkey")
+    }),
+
     "semi_join_exists" -> ((s, d) =>
       T.customer(s, d)
         .join(T.orders(s, d).select("o_custkey"),
@@ -702,6 +737,36 @@ object SparkEntry {
                         ORDER BY p_retailprice DESC, p_partkey) AS rank
                FROM part)
          WHERE rank <= 3 ORDER BY p_brand, rank""",
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_pivot" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+                CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+                CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+                CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+                CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+         FROM events GROUP BY 1 ORDER BY day""",
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+                round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "set_ops" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         EXCEPT
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+         ORDER BY c_custkey""",
 
     "semi_join_exists" ->
       """SELECT c_custkey, c_name FROM customer
