@@ -183,13 +183,16 @@ object TextOps {
     */
   def withSimhash(docs: DataFrame): DataFrame = {
     val hexpos = "0123456789abcdef"
+    // one md5 + 4 digit extractions per token; the 16 bit-votes then only
+    // shift/mask (extracting the digit inside each of 16 aggregates would
+    // redo substring+strpos 4x too often)
     val tok = docs.select(
       col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .withColumn("h", md5(col("t")))
-    def bit(b: Int): Column = {
-      val digit = instr(lit(hexpos), substring(col("h"), b / 4 + 1, 1)) - 1
-      shiftright(digit, b % 4).bitwiseAND(lit(1))
-    }
+      .select(col("doc_id"), md5(col("t")).as("h"))
+      .select(col("doc_id") +: (0 until 4).map(d =>
+        (instr(lit(hexpos), substring(col("h"), d + 1, 1)) - 1).as(s"d$d")): _*)
+    def bit(b: Int): Column =
+      shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(lit(1))
     val votes = tok.groupBy("doc_id").agg(
       sum(bit(0) * 2 - 1).as("v0"),
       (1 until 16).map(b => sum(bit(b) * 2 - 1).as(s"v$b")): _*)

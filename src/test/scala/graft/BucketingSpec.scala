@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Bucketing, Tables}
+
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Spec.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed join runs without a shuffle exchange") {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    Bucketing.writeBucketed(li.select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "k"), "b_lineitem", "k", 8)
+    Bucketing.writeBucketed(o.select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "k"), "b_orders", "k", 8)
+
+    // force SMJ (broadcast would hide the bucketing effect at this size)
+    withAutoBroadcastOff {
+      val joined = Bucketing.bucketedJoin(spark, "b_lineitem", "b_orders", "k")
+      assert(!Bucketing.hasShuffle(joined),
+        "bucketed join must not shuffle:\n" +
+          joined.queryExecution.executedPlan.toString)
+
+      // same join over plain parquet DOES shuffle — the baseline bucketing removes
+      val plain = li.withColumnRenamed("l_orderkey", "k").select("k", "l_quantity")
+        .join(o.withColumnRenamed("o_orderkey", "k").select("k", "o_totalprice"),
+              Seq("k"))
+      assert(Bucketing.hasShuffle(plain))
+
+      // and results agree
+      assert(joined.count() == plain.count())
+    }
+  }
+
+  private def withAutoBroadcastOff[T](f: => T): T = {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+}
