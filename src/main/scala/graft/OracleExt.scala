@@ -103,6 +103,41 @@ object OracleExt {
     FROM docs_tok t JOIN docs_sh h ON t.doc_id = h.doc_id
     ORDER BY t.doc_id""")
 
+  val vocabTopTokens: String = docQ("""
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(toks) AS token FROM docs_tok)
+    GROUP BY token ORDER BY freq DESC, token LIMIT 50""")
+
+  /** chunkTokens=32, stride=24 — constants must match the SparkEntry call. */
+  val docChunking: String = docQ("""
+    , base AS (
+      SELECT doc_id, toks,
+             greatest(CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1, 1)
+               AS n_chunks
+      FROM docs_tok),
+    rows_i AS (
+      SELECT doc_id, toks, unnest(range(1, n_chunks + 1)) AS i FROM base),
+    chunks AS (
+      SELECT doc_id, i,
+             toks[((i-1)*24 + 1):((i-1)*24 + 32)] AS chunk
+      FROM rows_i)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM chunks ORDER BY doc_id, chunk_idx""")
+
+  val embeddingQuantize: String = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS scale
+          FROM e)
+    SELECT vec_id, round(scale, 6) AS scale,
+           round(list_max([abs(v[i]
+                   - CAST(round(v[i] / greatest(scale, 1e-30) * 127, 0) AS INT)
+                     * greatest(scale, 1e-30) / 127)
+                 for i in range(1, len(v) + 1)]), 6) AS max_abs_err
+    FROM s ORDER BY vec_id"""
+
   // ---- dedup -----------------------------------------------------------
 
   val dedupExact: String = """

@@ -333,6 +333,16 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) =>
       TextOps.fingerprint(T.documents(s, d)).orderBy("doc_id")),
 
+    "vocab_top_tokens" -> ((s, d) =>
+      TextOps.vocabulary(T.documents(s, d), topN = 50)),
+
+    "doc_chunking" -> ((s, d) =>
+      TextOps.chunkDocuments(T.documents(s, d), chunkTokens = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
+
+    "embedding_quantize" -> ((s, d) =>
+      VectorOps.quantizeInt8(T.embeddings(s, d)).orderBy("vec_id")),
+
     // [EXT] deduplication ------------------------------------------------
     "dedup_exact" -> ((s, d) =>
       TextOps.dedupExact(T.documents(s, d)).orderBy("content_hash")),
@@ -432,8 +442,12 @@ object SparkEntry {
 
     "window_running_sum" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // extend the ordering until tied rows contribute equal quantities,
+      // otherwise the running sum is ambiguous across engines
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber",
+                 "l_quantity", "l_partkey", "l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T.lineitem(s, d).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -638,6 +652,9 @@ object SparkEntry {
     "text_quality" -> OracleExt.textQuality,
     "token_count_bpe" -> OracleExt.tokenCountBpe,
     "doc_fingerprint" -> OracleExt.fingerprint,
+    "vocab_top_tokens" -> OracleExt.vocabTopTokens,
+    "doc_chunking" -> OracleExt.docChunking,
+    "embedding_quantize" -> OracleExt.embeddingQuantize,
     "dedup_exact" -> OracleExt.dedupExact,
     "dedup_near_minhash" -> OracleExt.dedupNearMinhash,
     "dedup_simhash" -> OracleExt.dedupSimhash,
@@ -724,7 +741,8 @@ object SparkEntry {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
                 CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) OVER (
                   PARTITION BY l_suppkey
-                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                           l_quantity, l_partkey, l_extendedprice
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS running_qty
          FROM lineitem

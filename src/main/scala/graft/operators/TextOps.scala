@@ -122,6 +122,42 @@ object TextOps {
       .join(minSh, Seq("doc_id"), "left_outer")
   }
 
+  /** Corpus vocabulary: the top-N tokens by frequency — the first pass of
+    * any tokenizer build. One explode + hash aggregation, map-side
+    * partial counts.
+    */
+  def vocabulary(docs: DataFrame, topN: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topN)
+
+  /** Fixed-size token chunking with stride (the training-data shard shape:
+    * overlapping windows of `chunkTokens`, step `stride`). Emits chunk
+    * index, token count and a content hash per chunk — the full text stays
+    * out of the result (at 100 TB the chunks are written, not collected).
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, stride: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChunks = greatest(
+      ceil((size(toks).cast("double") - chunkTokens) / stride).cast("int") + 1,
+      lit(1))
+    docs
+      .select(col("doc_id"), toks.as("toks"), nChunks.as("n_chunks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"),
+        col("toks"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkTokens))
+          .as("chunk"))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
   // ---- deduplication ---------------------------------------------------
 
   /** Exact dedup by content hash: keep the lowest doc_id per hash.

@@ -224,6 +224,29 @@ object VectorOps {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column: per-vector
+    * max-abs scale, values mapped to [-127, 127] — the storage/bandwidth
+    * reduction step of a large ANN index. Returns ids, the scale and the
+    * quantized vector plus a reconstruction-error metric.
+    */
+  def quantizeInt8(corpus: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val scale = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    corpus
+      .withColumn("scale", scale)
+      .withColumn("qvec", transform(v,
+        x => round(x / greatest(col("scale"), lit(1e-30)) * 127.0, 0)
+          .cast("int")))
+      .withColumn("max_abs_err", round(
+        aggregate(
+          zip_with(v, col("qvec"),
+            (x, q) => abs(x - q.cast("double") *
+              greatest(col("scale"), lit(1e-30)) / 127.0)),
+          lit(0.0), (acc, e) => greatest(acc, e)), 6))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+              col("max_abs_err"))
+  }
+
   /** Multimodal projection: text metadata ⋈ embedding vectors in one frame
     * (documents ⋈ embeddings on doc_id = vec_id), with derived vector stats.
     */
