@@ -295,6 +295,24 @@ object OracleExt {
            CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
     FROM ev GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** 1h windows sliding by 30m: each event lands in exactly two windows,
+    * generated by unnesting the two candidate epoch-aligned starts.
+    * (DuckDB time_bucket's default origin 2000-01-01 lies on the same
+    * 30-minute grid as the epoch, so alignment matches Spark's window().)
+    */
+  val eventsSlidingWindow: String = s"""
+    WITH $EvCte,
+    expanded AS (
+      SELECT unnest([
+               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE,
+               time_bucket(INTERVAL '30 minutes', ts)]) AS window_start,
+             event_type, value
+      FROM ev)
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val eventsJsonAgg: String = s"""
     WITH $EvCte
     SELECT event_type,

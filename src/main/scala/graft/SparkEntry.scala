@@ -396,6 +396,10 @@ object SparkEntry {
       EventOps.tumblingCounts(T.events(s, d), "1 hour")
         .orderBy("window_start", "event_type")),
 
+    "events_sliding_window" -> ((s, d) =>
+      EventOps.slidingCounts(T.events(s, d), "1 hour", "30 minutes")
+        .orderBy("window_start", "event_type")),
+
     "events_json_agg" -> ((s, d) =>
       EventOps.jsonPropsAgg(T.events(s, d)).orderBy("event_type")),
 
@@ -664,6 +668,7 @@ object SparkEntry {
     "similarity_topk_agg" -> OracleExt.similarityTopk,
     "multimodal_select" -> OracleExt.multimodalSelect,
     "events_window_agg" -> OracleExt.eventsWindowAgg,
+    "events_sliding_window" -> OracleExt.eventsSlidingWindow,
     "events_json_agg" -> OracleExt.eventsJsonAgg,
     "events_sessionize" -> OracleExt.eventsSessionize,
     "events_asof_join" -> OracleExt.eventsAsofJoin,

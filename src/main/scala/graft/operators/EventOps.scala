@@ -27,6 +27,18 @@ object EventOps {
       .select(col("w.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** Sliding-window aggregation: each event contributes to
+    * duration/slide overlapping windows (here 2 for 1h/30m). Same
+    * epoch-aligned `window()` operator as tumbling.
+    */
+  def slidingCounts(events: DataFrame, duration: String,
+                    slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), duration, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
   /** JSON property extraction + rollup (events.props is a JSON string). */
   def jsonPropsAgg(events: DataFrame): DataFrame =
     events
