@@ -147,10 +147,15 @@ object OracleExt {
     FROM documents GROUP BY md5(text) ORDER BY content_hash"""
 
   /** MinHash k=8 sigs over 3-shingles, 4 bands × 2 rows — shared between
-    * the standalone dedup oracle and the pipeline oracle.
+    * the standalone dedup oracle and the pipeline oracle. Mirrors
+    * TextOps.withMinhashSignature's sliced hash family: md5 #(i/4) of the
+    * shingle (prefix "1:" for the second), hex chars [i%4*8+1, +8).
     */
   private val minhashSigs: String = (0 until 8).map { i =>
-    s"list_aggregate([md5('$i:' || s) for s in sh], 'min') AS sig$i"
+    val h = i / TextOps.MinhashSlicesPerMd5
+    val off = (i % TextOps.MinhashSlicesPerMd5) * 8
+    val call = if (h == 0) "md5(s)" else s"md5('$h:' || s)"
+    s"list_aggregate([substr($call, ${off + 1}, 8) for s in sh], 'min') AS sig$i"
   }.mkString(",\n               ")
   private val minhashBands: String = (0 until 4).map { j =>
     val parts = (0 until 2).map(i => s"sig${j * 2 + i}")

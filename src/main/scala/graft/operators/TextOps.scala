@@ -172,20 +172,34 @@ object TextOps {
 
   /** MinHash signature columns sig0..sig{k-1} over 3-gram shingles.
     *
-    * Shape: explode shingles once, then k codegen'd `min(md5(...))`
-    * aggregates in a single groupBy pass. The higher-order-function
-    * formulation (`array_min(transform(...))` × k) stays interpreted and
-    * re-derives the shingle array per signature — ~20× slower measured.
+    * Shape: explode shingles once, then k codegen'd `min(...)` aggregates
+    * in a single groupBy pass. The higher-order-function formulation
+    * (`array_min(transform(...))` × k) stays interpreted and re-derives
+    * the shingle array per signature — ~20× slower measured.
+    *
+    * Hash family: each md5 yields 128 bits = four independent 32-bit
+    * (8-hex-char) slices, so k signatures need only ceil(k/4) md5 calls
+    * per shingle instead of k — at 100 TB the md5s ARE the map-side cost
+    * of near-dup candidate generation (a 4× cut, measured ~2 µs/call).
+    * Lexicographic min over fixed-width hex equals numeric min over the
+    * 32-bit value; 32-bit slices keep cross-doc min collisions negligible.
     * Docs with fewer than 3 tokens have no shingles and drop out, which
     * matches the SQL oracle (NULL band concat → no candidate pairs).
     */
+  val MinhashSlicesPerMd5 = 4 // 32 hex chars / 8 per 32-bit slice
   def withMinhashSignature(docs: DataFrame, k: Int = 8): DataFrame = {
-    val exploded = docs.select(
-      col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
-    exploded.groupBy("doc_id").agg(
-      min(md5(concat(lit("0:"), col("sh")))).as("sig0"),
-      (1 until k).map(i =>
-        min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig$i")): _*)
+    val nMd5 = (k + MinhashSlicesPerMd5 - 1) / MinhashSlicesPerMd5
+    val hashed = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id") +: (0 until nMd5).map(h =>
+        md5(if (h == 0) col("sh") else concat(lit(s"$h:"), col("sh")))
+          .as(s"h$h")): _*)
+    def slice(i: Int): Column =
+      substring(col(s"h${i / MinhashSlicesPerMd5}"),
+        (i % MinhashSlicesPerMd5) * 8 + 1, 8)
+    hashed.groupBy("doc_id").agg(
+      min(slice(0)).as("sig0"),
+      (1 until k).map(i => min(slice(i)).as(s"sig$i")): _*)
   }
 
   /** LSH banding: b bands of r=k/b signature rows each; docs sharing any
