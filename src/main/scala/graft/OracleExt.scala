@@ -153,9 +153,10 @@ object OracleExt {
     */
   private val minhashSigs: String = (0 until 8).map { i =>
     val h = i / TextOps.MinhashSlicesPerMd5
-    val off = (i % TextOps.MinhashSlicesPerMd5) * 8
+    val off = (i % TextOps.MinhashSlicesPerMd5) * TextOps.MinhashSliceHexChars
     val call = if (h == 0) "md5(s)" else s"md5('$h:' || s)"
-    s"list_aggregate([substr($call, ${off + 1}, 8) for s in sh], 'min') AS sig$i"
+    s"list_aggregate([substr($call, ${off + 1}, " +
+      s"${TextOps.MinhashSliceHexChars}) for s in sh], 'min') AS sig$i"
   }.mkString(",\n               ")
   private val minhashBands: String = (0 until 4).map { j =>
     val parts = (0 until 2).map(i => s"sig${j * 2 + i}")
@@ -231,10 +232,16 @@ object OracleExt {
       FROM sim GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""")
   }
 
-  val dedupNgramJaccard: String = docQ("""
-    , sh_ex AS (
+  /** Mirrors TextOps.ngramJaccardPairs including the document-frequency
+    * cap: shingles in more than `maxDf` docs are dropped from both the
+    * candidate join and the set sizes.
+    */
+  def dedupNgramJaccard(threshold: Double, maxDf: Int = 128): String = docQ(s"""
+    , sh_all AS (
       SELECT DISTINCT doc_id, s
       FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)),
+    rare AS (SELECT s FROM sh_all GROUP BY s HAVING count(*) <= $maxDf),
+    sh_ex AS (SELECT e.doc_id, e.s FROM sh_all e JOIN rare USING (s)),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_ex GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -247,7 +254,7 @@ object OracleExt {
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(CAST(n_inter AS DOUBLE)
-             / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
+             / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= $threshold
     ORDER BY doc_a, doc_b""")
 
   // ---- vectors ---------------------------------------------------------
@@ -260,6 +267,108 @@ object OracleExt {
        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
        6)"""
 
+  /** Random-hyperplane literals shared with the Spark side: the exact
+    * doubles from [[graft.operators.VectorOps.planeComponent]] serialized
+    * as SQL list literals (Double.toString round-trips exactly), so DuckDB
+    * reproduces every LSH bucket bit-for-bit — same generated-SQL trick as
+    * [[minhashSigs]].
+    */
+  private def planeLit(p: Int, dim: Int): String =
+    (0 until dim)
+      .map(d => graft.operators.VectorOps.planeComponent(p, d).toString)
+      .mkString("[", ", ", "]")
+
+  /** Sign-bit bucket over an explicit plane index set; bit i = sign of the
+    * projection onto plane `planes(i)` (mirrors VectorOps.bucketFromPlanes).
+    */
+  private def bucketSql(vexpr: String, dim: Int, planes: Seq[Int]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($vexpr, ${planeLit(p, dim)}) > 0 " +
+        s"THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Banded-LSH near-dup oracle (mirrors VectorOps.nearDupCosine):
+    * candidates share any of `bands` band buckets, exact cosine within.
+    */
+  def dedupNearCosineLsh(threshold: Double, dim: Int,
+                         bands: Int, rowsPerBand: Int): String = {
+    val bandExprs = (0 until bands).map { j =>
+      val b = bucketSql("v", dim, (0 until rowsPerBand).map(_ + j * rowsPerBand))
+      s"'$j:' || CAST($b AS VARCHAR)"
+    }.mkString(",\n               ")
+    s"""
+      WITH $EmbCte,
+      banded AS (
+        SELECT vec_id, unnest([$bandExprs]) AS band FROM emb),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, sim FROM (
+        SELECT c.vec_a, c.vec_b,
+               round(list_dot_product(va.v, vb.v)
+                 / (sqrt(list_dot_product(va.v, va.v))
+                    * sqrt(list_dot_product(vb.v, vb.v))), 6) AS sim
+        FROM cand c
+        JOIN emb va ON va.vec_id = c.vec_a
+        JOIN emb vb ON vb.vec_id = c.vec_b)
+      WHERE sim >= $threshold ORDER BY vec_a, vec_b"""
+  }
+
+  /** LSH-bucketed ANN top-k oracle (mirrors VectorOps.topkCosineLsh). */
+  def similarityTopkLsh(dim: Int, k: Int, nPlanes: Int): String = {
+    val b = bucketSql("v", dim, 0 until nPlanes)
+    s"""
+      WITH $EmbCte,
+      bk AS (SELECT vec_id, v, $b AS bucket FROM emb),
+      scored AS (
+        SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(a.v, c.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+        FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
+      SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** IVF ANN top-k oracle (mirrors VectorOps.topkCosineIvf): deterministic
+    * centroid subset, nearest-centroid assignment on the UNROUNDED cosine
+    * (ties by centroid_id), nProbe lists per query, exact rerank.
+    */
+  def similarityTopkIvf(k: Int, nProbe: Int, centroidEvery: Int): String = {
+    def assign(alias: String, idAs: String, vAs: String, keep: Int) = s"""
+      $alias AS (
+        SELECT $idAs, $vAs, centroid_id FROM (
+          SELECT e.vec_id AS $idAs, e.v AS $vAs, c.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.v, c.centv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+                   c.centroid_id) AS crank
+          FROM emb e CROSS JOIN cent c)
+        WHERE crank <= $keep)"""
+    s"""
+      WITH $EmbCte,
+      cent AS (SELECT vec_id AS centroid_id, v AS centv FROM emb
+               WHERE vec_id % $centroidEvery = 0),
+      ${assign("ca", "neighbor_id", "cv", 1)},
+      ${assign("qa", "query_id", "qv", nProbe)},
+      scored AS (
+        SELECT q.query_id, n.neighbor_id,
+               round(list_dot_product(q.qv, n.cv)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(n.cv, n.cv))), 6) AS sim
+        FROM qa q JOIN ca n ON q.centroid_id = n.centroid_id
+        WHERE q.query_id <> n.neighbor_id)
+      SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   val similarityTopk: String = s"""
     WITH $EmbCte,
     scored AS (
@@ -271,13 +380,6 @@ object OracleExt {
           FROM scored)
     WHERE rank <= 5 ORDER BY query_id, rank"""
 
-  val dedupNearCosine: String = s"""
-    WITH $EmbCte
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cosAB AS sim
-    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-    WHERE $cosAB >= 0.4
-    ORDER BY vec_a, vec_b"""
-
   val multimodalSelect: String = s"""
     WITH $EmbCte
     SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
@@ -285,6 +387,63 @@ object OracleExt {
            round(sqrt(list_dot_product(e.v, e.v)), 6) AS l2_norm
     FROM documents d JOIN emb e ON d.doc_id = e.vec_id
     ORDER BY d.doc_id"""
+
+  // ---- multimodal ------------------------------------------------------
+
+  /** First-8-hex-chars-of-md5 parsed as a BIGINT — DuckDB restatement of
+    * StubCodec's md5-derived decode seed (Multimodal.scala). strpos-based
+    * digit parse, same trick as [[dedupSimhash]].
+    */
+  private def hexParse8(expr: String): String =
+    (0 until 8).map { i =>
+      val mult = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substr($expr, ${i + 1}, 1)) - 1) " +
+        s"* CAST($mult AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  /** Mirrors Multimodal.mediaSummary over the md5-seeded StubCodec:
+    * kind cycles image/audio/video by doc_id, frame count is kind-gated
+    * arithmetic on the md5 seed of the UTF-8 payload.
+    */
+  val multimodalDecodeStub: String = s"""
+    WITH m AS (
+      SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+             octet_length(encode(text)) AS byte_len,
+             ${hexParse8("substr(md5(text), 1, 8)")} AS h
+      FROM documents),
+    d AS (
+      SELECT kind, byte_len,
+             CASE WHEN kind = 'video' THEN 1 + h % 240
+                  WHEN kind = 'audio' THEN 1 + h % 16000
+                  ELSE 1 END AS n_frames
+      FROM m)
+    SELECT kind, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+           CAST(max(n_frames) AS BIGINT) AS max_frames
+    FROM d GROUP BY kind ORDER BY kind"""
+
+  /** Mirrors Multimodal.frameSample + the per-media aggregation in
+    * SparkEntry: every `stride`-th `frameBytes` chunk of the UTF-8 payload;
+    * chunk i covers bytes [i·stride·frameBytes, +frameBytes); short docs
+    * yield one (possibly truncated or empty) frame.
+    */
+  def multimodalFrameSample(frameBytes: Int, stride: Int): String = {
+    val step = frameBytes * stride
+    s"""
+    WITH m AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS blen
+      FROM documents),
+    n AS (
+      SELECT media_id, blen,
+             greatest(CAST(ceil((blen // $frameBytes) / ${stride}.0) AS BIGINT),
+                      1) AS n_frames
+      FROM m),
+    fr AS (SELECT media_id, blen, unnest(range(0, n_frames)) AS i FROM n)
+    SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(greatest(least($frameBytes, blen - i * $step), 0))
+             AS BIGINT) AS sampled_bytes
+    FROM fr GROUP BY media_id ORDER BY media_id"""
+  }
 
   // ---- events ----------------------------------------------------------
 

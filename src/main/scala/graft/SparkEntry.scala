@@ -151,7 +151,10 @@ object SparkEntry {
       SyncOps.schemaVersionMax(R.schemaMigrations(s))),
 
     "exists_count_agg" -> ((s, d) =>
-      T.orders(s, d).agg((count(lit(1)) > 0).as("has_rows"))),
+      // limit-1 existence probe: CollectLimit stops the scan at the first
+      // row (the reference's `SELECT COUNT(*) > 0` probe, database.go:47-50)
+      T.orders(s, d).select(lit(1).as("probe")).limit(1)
+        .agg((count(lit(1)) > 0).as("has_rows"))),
 
     // §2.7 window / set ops ---------------------------------------------
     "ledger_latest_wins" -> ((s, d) =>
@@ -358,7 +361,9 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
 
     "dedup_near_cosine" -> ((s, d) =>
-      VectorOps.nearDupCosine(T.embeddings(s, d), 0.4).orderBy("vec_a", "vec_b")),
+      // banded-LSH blocked (4 bands × 4 sign bits) — never an all-pairs join
+      VectorOps.nearDupCosine(T.embeddings(s, d), 0.4, dim = 64)
+        .orderBy("vec_a", "vec_b")),
 
     // [EXT] similarity search -------------------------------------------
     "similarity_topk" -> ((s, d) => {
@@ -372,7 +377,9 @@ object SparkEntry {
         .orderBy("source")),
 
     "similarity_topk_ivf" -> ((s, d) =>
-      // IVF scale-path variant — approximate; recall asserted in VectorOpsSpec
+      // IVF scale-path variant — approximate vs brute force (recall in
+      // VectorOpsSpec), but deterministic: hash-checked against a DuckDB
+      // restatement of the same centroid subset + nProbe search
       VectorOps.topkCosineIvf(T.embeddings(s, d), k = 5)
         .orderBy("query_id", "rank")),
 
@@ -383,7 +390,8 @@ object SparkEntry {
     }),
 
     "similarity_topk_lsh" -> ((s, d) =>
-      // approximate variant — no SQL oracle; recall asserted in VectorOpsSpec
+      // approximate vs brute force (recall in VectorOpsSpec), deterministic
+      // buckets: hash-checked against the plane-literal DuckDB oracle
       VectorOps.topkCosineLsh(T.embeddings(s, d), dim = 64, k = 5)
         .orderBy("query_id", "rank")),
 
@@ -618,7 +626,7 @@ object SparkEntry {
          FROM (VALUES (1), (2), (3)) AS t(version)""",
 
     "exists_count_agg" ->
-      "SELECT count(*) > 0 AS has_rows FROM orders",
+      "SELECT count(*) > 0 AS has_rows FROM (SELECT 1 FROM orders LIMIT 1) t",
 
     "ledger_latest_wins" -> syncQ(
       """SELECT mapping_id, object_name, etag, last_synced, sync_status
@@ -662,10 +670,18 @@ object SparkEntry {
     "dedup_exact" -> OracleExt.dedupExact,
     "dedup_near_minhash" -> OracleExt.dedupNearMinhash,
     "dedup_simhash" -> OracleExt.dedupSimhash,
-    "dedup_ngram_jaccard" -> OracleExt.dedupNgramJaccard,
-    "dedup_near_cosine" -> OracleExt.dedupNearCosine,
+    "dedup_ngram_jaccard" -> OracleExt.dedupNgramJaccard(0.5),
+    "dedup_near_cosine" -> OracleExt.dedupNearCosineLsh(
+      0.4, dim = 64, bands = 4, rowsPerBand = 4),
     "similarity_topk" -> OracleExt.similarityTopk,
     "similarity_topk_agg" -> OracleExt.similarityTopk,
+    "similarity_topk_lsh" -> OracleExt.similarityTopkLsh(
+      dim = 64, k = 5, nPlanes = 8),
+    "similarity_topk_ivf" -> OracleExt.similarityTopkIvf(
+      k = 5, nProbe = 4, centroidEvery = 50),
+    "multimodal_decode_stub" -> OracleExt.multimodalDecodeStub,
+    "multimodal_frame_sample" -> OracleExt.multimodalFrameSample(
+      frameBytes = 64, stride = 2),
     "multimodal_select" -> OracleExt.multimodalSelect,
     "events_window_agg" -> OracleExt.eventsWindowAgg,
     "events_sliding_window" -> OracleExt.eventsSlidingWindow,

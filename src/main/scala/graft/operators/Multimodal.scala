@@ -27,15 +27,22 @@ object Multimodal {
   /** Deterministic fake codec: "decodes" a payload into dimensions, frame
     * count and a feature vector derived from the bytes. STUB — stands in
     * for image/audio decode (cv2/PIL/ffmpeg equivalents absent here).
+    *
+    * The decode seed is the first 32 bits of md5(payload) — portable, so
+    * the DuckDB oracle (OracleExt.multimodalDecodeStub) reproduces
+    * dimensions and frame counts exactly (a JVM-only `Arrays.hashCode`
+    * would make the decode un-oracle-able).
     */
   object StubCodec {
     def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
-      val h = java.util.Arrays.hashCode(payload)
-      val w = 64 + math.abs(h % 1024)
-      val ht = 64 + math.abs((h / 1024) % 1024)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(payload).take(4).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex, 16)  // in [0, 2^32): no abs needed
+      val w = (64 + h % 1024).toInt
+      val ht = (64 + (h / 1024) % 1024).toInt
       val frames = kind match {
-        case "video" => 1 + math.abs(h % 240)
-        case "audio" => 1 + math.abs(h % 16000)
+        case "video" => (1 + h % 240).toInt
+        case "audio" => (1 + h % 16000).toInt
         case _       => 1
       }
       (w, ht, frames)

@@ -51,8 +51,11 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "les", "est"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
+  /** Occurrence count of markers — native expression (the `size(filter(...))`
+    * HOF form is interpreted per token; see graft.functions.MarkerCount).
+    */
   private def markerHits(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+    graft.functions.MarkerCount.marker_count(toks, markers)
 
   def langId(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
@@ -79,7 +82,10 @@ object TextOps {
       .withColumn("token_cnt", size(toks))
       .withColumn("char_len", length(col("text")).cast("double"))
       .withColumn("avg_word_len",
-        aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+        // Σ length(t) == length of the separator-less concatenation — a
+        // codegen'd form of the interpreted `aggregate` fold (same value:
+        // both count code points, and concat adds none)
+        length(concat_ws("", toks)).cast("double") /
           greatest(size(toks), lit(1)).cast("double"))
       .withColumn("stopword_ratio",
         markerHits(toks, Stopwords).cast("double") /
@@ -182,11 +188,18 @@ object TextOps {
     * per shingle instead of k — at 100 TB the md5s ARE the map-side cost
     * of near-dup candidate generation (a 4× cut, measured ~2 µs/call).
     * Lexicographic min over fixed-width hex equals numeric min over the
-    * 32-bit value; 32-bit slices keep cross-doc min collisions negligible.
+    * 32-bit value; 32-bit slices keep cross-doc min collisions negligible
+    * in the regimes this engine targets: min of n uniform 32-bit values
+    * collides across unrelated docs with prob ≈ n/2^32 per signature, so
+    * slices are safe while individual documents stay under ~10^6 shingles
+    * (web/training docs are 10^2-10^4). For corpora of multi-million-
+    * shingle documents, widen `MinhashSliceHexChars` to 16 (64-bit slices,
+    * 2 per md5) — both sides read the width from the shared constants.
     * Docs with fewer than 3 tokens have no shingles and drop out, which
     * matches the SQL oracle (NULL band concat → no candidate pairs).
     */
-  val MinhashSlicesPerMd5 = 4 // 32 hex chars / 8 per 32-bit slice
+  val MinhashSlicesPerMd5 = 4  // 32 hex chars / MinhashSliceHexChars per slice
+  val MinhashSliceHexChars = 8 // hex chars per slice (8 ⇒ 32-bit slices)
   def withMinhashSignature(docs: DataFrame, k: Int = 8): DataFrame = {
     val nMd5 = (k + MinhashSlicesPerMd5 - 1) / MinhashSlicesPerMd5
     val hashed = docs
@@ -196,7 +209,8 @@ object TextOps {
           .as(s"h$h")): _*)
     def slice(i: Int): Column =
       substring(col(s"h${i / MinhashSlicesPerMd5}"),
-        (i % MinhashSlicesPerMd5) * 8 + 1, 8)
+        (i % MinhashSlicesPerMd5) * MinhashSliceHexChars + 1,
+        MinhashSliceHexChars)
     hashed.groupBy("doc_id").agg(
       min(slice(0)).as("sig0"),
       (1 until k).map(i => min(slice(i)).as(s"sig$i")): _*)
@@ -263,11 +277,23 @@ object TextOps {
 
   /** n-gram Jaccard near-dup: distinct 3-gram shingles per doc, candidate
     * pairs via shared-shingle equi-join, |∩|/|∪| ≥ threshold.
+    *
+    * Hot-shingle cap: a boilerplate shingle ("of the and") present in 1% of
+    * a 10 B-doc corpus makes ONE join key with 10⁸ rows → 10¹⁶ candidate
+    * pairs. Shingles whose document frequency exceeds `maxDf` are dropped
+    * from BOTH the candidate join and the per-doc set sizes (Jaccard is
+    * computed over the capped sets — such shingles carry no near-dup signal
+    * anyway), which bounds per-key join cardinality at maxDf². The oracle
+    * applies the identical cap.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+                        maxDf: Int = 128): DataFrame = {
+    val shAll = docs
       .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
       .distinct()
+    val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val sh = shAll.join(rare, Seq("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") &&

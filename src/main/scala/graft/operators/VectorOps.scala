@@ -76,18 +76,43 @@ object VectorOps {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
-  /** All pairs with cosine ≥ threshold (embedding-space near-duplicate
-    * detection). Brute force over buckets would be the scale path; here the
-    * corpus self-join is blocked by LSH signature first.
+  /** Embedding-space near-duplicate pairs: candidate pairs come from a
+    * banded random-hyperplane LSH (OR over `bands` bands of `rowsPerBand`
+    * sign bits each — the cosine analog of MinHash banding), then the exact
+    * cosine is computed only within candidates and thresholded.
+    *
+    * Scale shape: the corpus is NEVER self-cross-joined. Band keys explode
+    * to `bands` short rows per vector (ids only, vectors stay put); the
+    * candidate join is an equi-join on the band key; the surviving distinct
+    * pairs join the embeddings back by id. Every shuffle is keyed — at
+    * 10 B vectors the candidate volume is governed by band-collision
+    * probability, not n².
+    *
+    * Approximate by construction (pairs missed by all bands are dropped —
+    * recall rises with sim: a sim-0.8 pair survives ~87% with 4×4 bands);
+    * the DuckDB oracle reproduces the same planes/buckets bit-for-bit from
+    * the shared [[planeComponent]] constants, so correctness stays exact.
     */
-  def nearDupCosine(corpus: DataFrame, threshold: Double): DataFrame = {
+  def nearDupCosine(corpus: DataFrame, threshold: Double, dim: Int,
+                    bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
-    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-      .withColumn("na", l2_norm(col("va")))
-    val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
-      .withColumn("nb", l2_norm(col("vb")))
-    a.crossJoin(b)
+    val bandCols = (0 until bands).map { j =>
+      val bucket = bucketFromPlanes(
+        col("embedding"), dim, (0 until rowsPerBand).map(_ + j * rowsPerBand))
+      concat(lit(s"$j:"), bucket.cast("string"))
+    }
+    val banded = corpus.select(
+      col("vec_id"), explode(array(bandCols: _*)).as("band"))
+    val cand = banded.select(col("band"), col("vec_id").as("vec_a"))
+      .join(banded.select(col("band"), col("vec_id").as("vec_b")), Seq("band"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val va = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+      .withColumn("na", l2_norm(col("va")))
+    val vb = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+      .withColumn("nb", l2_norm(col("vb")))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .withColumn("sim", round(
         dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
@@ -99,23 +124,32 @@ object VectorOps {
     * the planes become literal coefficients in a codegen'd projection, so
     * executors never rehash per row.
     */
-  private[operators] def planeComponent(plane: Int, d: Int): Double = {
+  private[graft] def planeComponent(plane: Int, d: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"plane$plane:$d".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex.take(6), 16).toDouble / 8388608.0 - 1.0
   }
 
+  /** Sign-bit bucket id from an explicit plane index set: bit i of the
+    * bucket is the sign of the projection onto plane `planes(i)`. The plane
+    * coefficients fold to literals, so the projection is one codegen'd
+    * [[graft.functions.DotProduct]] per plane.
+    */
+  private[graft] def bucketFromPlanes(
+      vec: Column, dim: Int, planes: Seq[Int]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+      val proj = graft.functions.ArrayMath.dot_product(vec, plane)
+      when(proj > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** Sign-bit LSH bucket id from `nPlanes` random hyperplanes. Vectors in
     * the same bucket are ANN candidates; cosine-close vectors collide with
     * high probability.
     */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
-      val proj = graft.functions.ArrayMath.dot_product(vec, plane)
-      when(proj > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    bucketFromPlanes(vec, dim, 0 until nPlanes)
 
   /** ANN top-k via LSH buckets: candidates share a bucket, exact cosine
     * re-rank within. Trades recall for a shuffle-on-bucket equi-join —

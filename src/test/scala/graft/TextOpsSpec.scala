@@ -33,6 +33,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // german unrelated
   }
 
+  test("ngram jaccard hot-shingle cap bounds per-key join cardinality") {
+    // 40 docs that share ONLY one boilerplate shingle ("common filler words")
+    // plus a genuine near-dup pair; with maxDf=8 the boilerplate key is
+    // dropped before the self-join, so the 40×39/2 candidate pairs it would
+    // generate never exist, while the real pair still surfaces.
+    val boiler = (10L until 50L).map(i =>
+      (i, s"common filler words unique$i token$i phrase$i", "en", "s", 40L))
+    val dups = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s", 35L),
+      (2L, "alpha beta gamma delta epsilon eta", "en", "s", 34L))
+    val corpus = (dups ++ boiler).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = TextOps.ngramJaccardPairs(corpus, 0.3, maxDf = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 >= 10L), s"boilerplate-only pairs: $pairs")
+  }
+
   test("minhash candidates include exact and near duplicates") {
     val pairs = TextOps.minhashCandidates(docs)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -25,12 +25,25 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("cosine of a vector with itself is 1") {
+  test("cosine of a vector with itself is 1 (identical vecs share all bands)") {
     val one = emb.filter($"vec_id" === 0)
     val r = VectorOps.nearDupCosine(
-      one.unionByName(one.withColumn("vec_id", lit(999L))), 0.99)
+      one.unionByName(one.withColumn("vec_id", lit(999L))), 0.99, dim = 64)
       .select("sim").as[Double].head()
     assert(math.abs(r - 1.0) < 1e-9)
+  }
+
+  test("nearDupCosine never cross-joins and recalls high-sim pairs") {
+    val plan = VectorOps.nearDupCosine(emb, 0.4, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // exact duplicates (the strongest near-dups) always survive banding
+    val dup = emb.unionByName(
+      emb.filter($"vec_id" < 3).withColumn("vec_id", $"vec_id" + 100000L))
+    val pairs = VectorOps.nearDupCosine(dup, 0.99, dim = 64)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert((0 until 3).forall(i => pairs.contains((i.toLong, i + 100000L))))
   }
 
   test("LSH topk achieves reasonable recall vs brute force") {
