@@ -17,14 +17,20 @@ import scala.collection.mutable.ArrayBuffer
   */
 object ObjectStoreCatalog {
 
-  /** CATALOG schema (SURVEY.md §1.3; ObjectInfo provider.go:9-17). */
+  /** CATALOG schema (SURVEY.md §1.3; ObjectInfo provider.go:9-17).
+    * `metadata` carries the store's custom key/value metadata
+    * (reference `ObjectInfo.Metadata`, provider.go:16, populated from e.g.
+    * GCS object attrs, gcp/client.go:68); excluded from oracle parity
+    * projections per SURVEY §7.4 (DuckDB map hashing isn't portable).
+    */
   val CatalogSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("bucket", StringType, nullable = false),
     StructField("size", LongType, nullable = false),
     StructField("content_type", StringType, nullable = true),
     StructField("last_modified", TimestampType, nullable = false),
-    StructField("etag", StringType, nullable = false)))
+    StructField("etag", StringType, nullable = false),
+    StructField("metadata", MapType(StringType, StringType), nullable = true)))
 
   /** Extension → content-type map (stands in for provider metadata;
     * the reference gets this from HeadObject / blob properties).
@@ -95,11 +101,14 @@ object ObjectStoreCatalog {
     p.toUri.getPath.stripPrefix(base).stripPrefix("/")
   }
 
+  private def metadataOf(st: org.apache.hadoop.fs.FileStatus): Map[String, String] =
+    Map("mtime_ms" -> st.getModificationTime.toString)
+
   private def toRow(bucketUri: String, name: String,
                     st: org.apache.hadoop.fs.FileStatus): Row =
     Row(name, bucketUri, st.getLen, contentTypeOf(name),
         new java.sql.Timestamp(st.getModificationTime),
-        pseudoEtag(st.getLen, st.getModificationTime))
+        pseudoEtag(st.getLen, st.getModificationTime), metadataOf(st))
 
   /** Recursive paged listing under one prefix (mirrors the reference's
     * iterator/paged listings, e.g. aws/client.go:77-88).
@@ -119,7 +128,8 @@ object ObjectStoreCatalog {
       out += Row(name, uri.toString, st.getLen,
                  contentTypeOf(rel),
                  new java.sql.Timestamp(st.getModificationTime),
-                 pseudoEtag(st.getLen, st.getModificationTime))
+                 pseudoEtag(st.getLen, st.getModificationTime),
+                 metadataOf(st))
     }
     out
   }

@@ -42,6 +42,13 @@ object SyncRelations {
   private def objContentType(k: String): org.apache.spark.sql.Column =
     when(col(k) % 3 === 0, "text/plain").otherwise("application/octet-stream")
 
+  /** Custom object metadata (reference `ObjectInfo.Metadata`,
+    * provider.go:16) — deterministic map, excluded from oracle parity
+    * projections per SURVEY §7.4.
+    */
+  private def objMetadata(k: String): org.apache.spark.sql.Column =
+    map(lit("orderkey"), col(k).cast("string"))
+
   /** Source-bucket object catalog (reference `ListObjects` result). */
   def sourceCatalog(orders: DataFrame): DataFrame =
     orders.select(
@@ -50,7 +57,8 @@ object SyncRelations {
       objSize("o_orderkey").as("size"),
       objContentType("o_orderkey").as("content_type"),
       col("o_orderdate").as("last_modified"),
-      md5(objName("o_orderkey")).as("etag"))
+      md5(objName("o_orderkey")).as("etag"),
+      objMetadata("o_orderkey").as("metadata"))
 
   /** Target-bucket object catalog: most source objects plus orphans. */
   def targetCatalog(orders: DataFrame): DataFrame = {
@@ -62,7 +70,8 @@ object SyncRelations {
         objSize("o_orderkey").as("size"),
         objContentType("o_orderkey").as("content_type"),
         col("o_orderdate").as("last_modified"),
-        md5(objName("o_orderkey")).as("etag"))
+        md5(objName("o_orderkey")).as("etag"),
+        objMetadata("o_orderkey").as("metadata"))
     val orphans = orders
       .filter(col("o_orderkey") % 13 === 0)
       .select(
@@ -71,7 +80,8 @@ object SyncRelations {
         objSize("o_orderkey").as("size"),
         lit("application/octet-stream").as("content_type"),
         col("o_orderdate").as("last_modified"),
-        md5(concat(lit("orphan_"), col("o_orderkey").cast("string"))).as("etag"))
+        md5(concat(lit("orphan_"), col("o_orderkey").cast("string"))).as("etag"),
+        objMetadata("o_orderkey").as("metadata"))
     present.unionAll(orphans)
   }
 
@@ -92,7 +102,8 @@ object SyncRelations {
         objContentType("o_orderkey").as("content_type"),
         col("o_orderdate").as("last_synced"),
         when(col("o_orderkey") % 7 === 0, lit("failed_upload"))
-          .otherwise(lit("success")).as("sync_status"))
+          .otherwise(lit("success")).as("sync_status"),
+        objMetadata("o_orderkey").as("metadata"))
 
   /** The mappings relation (reference `BucketMapping`, config.go:69-74).
     * Literal rows — the reference's config file is data, not a table.
