@@ -24,21 +24,38 @@ object Bench {
     // machine contention (r2's phantom 6× regressions) — the median is
     // robust to one contended run while still reporting cold-ish cost
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // The measured pass does NOT swallow errors: a broken query must bench
+    // as an error, not as a fast "success" (a prior round timed an instant
+    // AnalysisException as a 0.2s win). Each query reports either its
+    // median-of-reps seconds or an "err:" string.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink forces full computation of every column (count() would
         // let Catalyst prune projections and undercount the real work)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+        val err =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case t: Throwable =>
+            Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(120)}") }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      runs.collectFirst { case (_, Some(e)) => e } match {
+        case Some(e) => name -> Left(e)
+        case None =>
+          val times = runs.map(_._1).sorted
+          name -> Right(times(times.length / 2))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    val qs = results.map {
+      case (k, Right(v)) => jstr(k) + ":" + v
+      case (k, Left(e))  => jstr(k) + ":" + jstr("err: " + e)
+    }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, Right(v)) => v }
+    val nErr = results.count(_._2.isLeft)
+    val total = ok.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
+    if (nErr > 0) sys.exit(2)
   }
 }

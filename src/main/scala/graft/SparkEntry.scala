@@ -45,8 +45,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 scans/sources ------------------------------------------------
+    // Parity projections drop `metadata`: the map stays in the engine
+    // relation for the copy path, but map columns can't be sorted/hashed by
+    // the DuckDB compare (SURVEY §7.4).
     "catalog_scan_gcs" -> ((s, d) =>
-      src(s, d).orderBy("name")),
+      src(s, d).drop("metadata").orderBy("name")),
 
     "catalog_scan_s3" -> ((s, d) => {
       // reference does an N+1 HeadObject per key (aws/client.go:95-116);
@@ -64,11 +67,13 @@ object SparkEntry {
         .withColumn("content_type",
           coalesce(nullif(col("content_type"), lit("application/octet-stream")),
                    lit("")))
+        .drop("metadata")
         .orderBy("name")),
 
     "catalog_scan_minio" -> ((s, d) =>
       // minio recursive listing under a prefix (minio/client.go:71-75)
-      src(s, d).filter(col("name").startsWith("obj_1")).orderBy("name")),
+      src(s, d).filter(col("name").startsWith("obj_1"))
+        .drop("metadata").orderBy("name")),
 
     "object_get" -> ((s, d) => {
       val c = src(s, d)
@@ -139,6 +144,20 @@ object SparkEntry {
 
     "config_validation" -> ((s, d) =>
       SyncOps.duplicateProviderIds(R.providers(s)).orderBy("id")),
+
+    "config_validation_fk" -> ((s, d) => {
+      // dangling-FK check (reference config.go:149-156, tested at
+      // config_test.go:9-74): mappings referencing an undeclared provider.
+      // One mapping with a bogus source provider is added so the check has
+      // a row to find.
+      import s.implicits._
+      val withDangling = R.mappings(s).unionByName(
+        Seq(("ghost", "cold-bucket", "s3", "dst-bucket"))
+          .toDF("source_provider_id", "source_bucket",
+                "target_provider_id", "target_bucket"))
+      SyncOps.danglingMappings(withDangling, R.providers(s))
+        .orderBy("source_provider_id", "source_bucket", "target_provider_id")
+    }),
 
     // §2.6 aggregations --------------------------------------------------
     "sync_outcome_counts" -> ((s, d) =>
@@ -613,6 +632,24 @@ object SparkEntry {
                   ('minio','minio'), ('s3','aws'))
          SELECT id, count(*) AS n FROM providers
          GROUP BY id HAVING count(*) > 1 ORDER BY id""",
+
+    "config_validation_fk" ->
+      """WITH mappings(source_provider_id, source_bucket,
+                       target_provider_id, target_bucket) AS (
+           VALUES ('gcs', 'src-bucket', 's3', 'dst-bucket'),
+                  ('azure', 'backup-bucket', 'minio', 'archive-bucket'),
+                  ('ghost', 'cold-bucket', 's3', 'dst-bucket')),
+           providers(id, provider_type) AS (
+           VALUES ('gcs','gcs'), ('s3','aws'), ('azure','azure'),
+                  ('minio','minio'), ('s3','aws'))
+         SELECT * FROM mappings m
+         WHERE NOT EXISTS (SELECT 1 FROM providers p
+                           WHERE p.id = m.source_provider_id)
+         UNION ALL
+         SELECT * FROM mappings m
+         WHERE NOT EXISTS (SELECT 1 FROM providers p
+                           WHERE p.id = m.target_provider_id)
+         ORDER BY source_provider_id, source_bucket, target_provider_id""",
 
     "sync_outcome_counts" -> syncQ(
       s"""SELECT '$M' AS mapping_id, action AS outcome, count(*) AS n

@@ -193,13 +193,14 @@ object TextOps {
     * collides across unrelated docs with prob ≈ n/2^32 per signature, so
     * slices are safe while individual documents stay under ~10^6 shingles
     * (web/training docs are 10^2-10^4). For corpora of multi-million-
-    * shingle documents, widen `MinhashSliceHexChars` to 16 (64-bit slices,
-    * 2 per md5) — both sides read the width from the shared constants.
+    * shingle documents, widen `MinhashSliceHexChars` to 16 (64-bit slices) —
+    * `MinhashSlicesPerMd5` is derived from it, so the substring windows stay
+    * inside the 32-hex digest automatically.
     * Docs with fewer than 3 tokens have no shingles and drop out, which
     * matches the SQL oracle (NULL band concat → no candidate pairs).
     */
-  val MinhashSlicesPerMd5 = 4  // 32 hex chars / MinhashSliceHexChars per slice
   val MinhashSliceHexChars = 8 // hex chars per slice (8 ⇒ 32-bit slices)
+  val MinhashSlicesPerMd5  = 32 / MinhashSliceHexChars // md5 = 32 hex chars
   def withMinhashSignature(docs: DataFrame, k: Int = 8): DataFrame = {
     val nMd5 = (k + MinhashSlicesPerMd5 - 1) / MinhashSlicesPerMd5
     val hashed = docs

@@ -88,10 +88,17 @@ object VectorOps {
     * 10 B vectors the candidate volume is governed by band-collision
     * probability, not n².
     *
-    * Approximate by construction (pairs missed by all bands are dropped —
-    * recall rises with sim: a sim-0.8 pair survives ~87% with 4×4 bands);
-    * the DuckDB oracle reproduces the same planes/buckets bit-for-bit from
-    * the shared [[planeComponent]] constants, so correctness stays exact.
+    * Approximate by construction — recall rises with similarity. With the
+    * default 4 bands × 4 sign bits, a pair at sim s survives with
+    * `1-(1-p^4)^4` where `p = 1-arccos(s)/π`: ~87% at s=0.8 but only ~50%
+    * right at the 0.4 threshold boundary (p≈0.63). Raising `bands` (or
+    * lowering `rowsPerBand`) buys recall at the cost of candidate volume —
+    * with random sign bits a band of r bits collides on ~2^-r of unrelated
+    * pairs, so shorter bands inflate the candidate join super-linearly.
+    * The DuckDB oracle reproduces the same planes/buckets bit-for-bit from
+    * the shared [[planeComponent]] constants, so the green hash-match
+    * verifies implementation parity (same candidates, same sims), NOT
+    * exact-pair recall against an all-pairs ground truth.
     */
   def nearDupCosine(corpus: DataFrame, threshold: Double, dim: Int,
                     bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {

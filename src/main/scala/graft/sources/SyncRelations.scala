@@ -85,7 +85,12 @@ object SyncRelations {
     present.unionAll(orphans)
   }
 
-  /** Pre-sync ledger state (reference `file_metadata`). */
+  /** Pre-sync ledger state (reference `file_metadata`,
+    * `database.go:144-157`). Deliberately has NO `metadata` map column: the
+    * reference never persists object metadata to the ledger
+    * (`sync.go:180-189`, SURVEY §1.2) — it lives in the CATALOG relations
+    * only, and is excluded from oracle parity projections (SURVEY §7.4).
+    */
   def ledger(orders: DataFrame): DataFrame =
     orders
       .filter(col("o_orderkey") % 4 =!= 0)
@@ -102,8 +107,7 @@ object SyncRelations {
         objContentType("o_orderkey").as("content_type"),
         col("o_orderdate").as("last_synced"),
         when(col("o_orderkey") % 7 === 0, lit("failed_upload"))
-          .otherwise(lit("success")).as("sync_status"),
-        objMetadata("o_orderkey").as("metadata"))
+          .otherwise(lit("success")).as("sync_status"))
 
   /** The mappings relation (reference `BucketMapping`, config.go:69-74).
     * Literal rows — the reference's config file is data, not a table.

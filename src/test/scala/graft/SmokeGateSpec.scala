@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** All-queries smoke gate: every declared driver query must EXECUTE on the
+  * sf0.001 testdata — not just the hand-built frames the unit suites use.
+  *
+  * A prior round shipped a schema change that crashed 2 queries and broke 3
+  * oracle compares while `sbt test` stayed green, because no suite ran the
+  * actual `SparkEntry.queries` entries end-to-end. This gate closes that:
+  * `sbt test` goes red if any declared query throws at analysis or runtime.
+  *
+  * Also asserts the oracle-parity contract: any query with an `oracleSql`
+  * entry is hashed by the DuckDB compare (which sorts columns and hashes
+  * values), so its schema must not contain MapType — map columns are
+  * unhashable driver-side and unorderable in DuckDB (SURVEY §7.4; the
+  * `metadata` map is carried in catalog relations only and must be dropped
+  * from every parity projection).
+  */
+class SmokeGateSpec extends AnyFunSuite {
+  lazy val spark = Spec.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def containsMap(schema: StructType): Boolean =
+    schema.fields.exists { f =>
+      def anyMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: MapType      => true
+        case a: ArrayType    => anyMap(a.elementType)
+        case s: StructType   => containsMap(s)
+        case _               => false
+      }
+      anyMap(f.dataType)
+    }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"query '$name' executes on sf0.001") {
+      val df = fn(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      if (SparkEntry.oracleSql.contains(name))
+        assert(!containsMap(df.schema),
+          s"parity query '$name' exposes a MapType column — the driver " +
+          "compare cannot hash maps; drop it from the projection")
+    }
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
+  }
+}
