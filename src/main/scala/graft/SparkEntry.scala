@@ -182,7 +182,9 @@ object SparkEntry {
         .orderBy("object_name")),
 
     "ledger_upsert" -> ((s, d) =>
-      SyncOps.ledgerLatestWins(led(s, d), updates(s, d))
+      // anti-join+union formulation (reference ON CONFLICT DO UPDATE);
+      // same oracle `merged` rows as ledger_latest_wins, better plan shape
+      SyncOps.ledgerUpsert(led(s, d), updates(s, d))
         .select("mapping_id", "object_name", "size", "last_modified", "etag",
                 "content_type", "last_synced", "sync_status")
         .orderBy("object_name")),

@@ -110,6 +110,27 @@ object SyncOps {
       .drop("rn", "is_update")
   }
 
+  /** Reference upsert semantics (`database.go:346-364`,
+    * `INSERT … ON CONFLICT DO UPDATE`): the update row wins unconditionally
+    * on key collision — no timestamp comparison. Expressed as
+    * `updates ∪ (current ⋉̸ updates)` (anti-join on the key, then union).
+    *
+    * Same result as [[ledgerLatestWins]] whenever updates are at least as
+    * new as current (always true for a sync batch), but a strictly better
+    * plan at scale: no window sort over the whole ledger — the only shuffle
+    * is a keyed anti-join whose update side (one sync batch, tiny relative
+    * to the ledger) broadcasts, leaving the ledger's partition layout
+    * untouched.
+    */
+  def ledgerUpsert(current: DataFrame, updates: DataFrame): DataFrame = {
+    val cols = current.columns
+    current
+      .join(updates.select("mapping_id", "object_name"),
+            Seq("mapping_id", "object_name"), "left_anti")
+      .selectExpr(cols: _*)
+      .unionByName(updates.selectExpr(cols: _*))
+  }
+
   /** Build post-sync ledger rows from the needs-sync set
     * (reference `sync.go:179-196`): source metadata + status + synced-at.
     */

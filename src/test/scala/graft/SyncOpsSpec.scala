@@ -90,6 +90,25 @@ class SyncOpsSpec extends AnyFunSuite {
     assert(etag == "e2-new")
   }
 
+  test("upsert (anti-join form) equals latest-wins merge on a sync batch") {
+    val decided = SyncOps.catalogLedgerDiff(catalog, ledger, M)
+    val updates = SyncOps.ledgerUpdatesFromDecisions(
+      SyncOps.needsSync(decided), M, lit("2026-01-01 00:00:00").cast("timestamp"))
+    val a = SyncOps.ledgerUpsert(ledger, updates)
+    val b = SyncOps.ledgerLatestWins(ledger, updates)
+    assert(a.columns.toSeq == b.columns.toSeq)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("upsert plan has no window sort and broadcasts the update side") {
+    val decided = SyncOps.catalogLedgerDiff(catalog, ledger, M)
+    val updates = SyncOps.ledgerUpdatesFromDecisions(
+      SyncOps.needsSync(decided), M, lit("2026-01-01 00:00:00").cast("timestamp"))
+    val plan = SyncOps.ledgerUpsert(ledger, updates)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in upsert plan:\n$plan")
+  }
+
   test("ledger delete removes exactly the doomed keys") {
     val doomed = Seq("gone.txt").toDF("name")
     val left = SyncOps.ledgerDelete(ledger, doomed)
