@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.TextOps
+import graft.operators.{CorpusOps, TextOps}
 
 /** DuckDB oracles for the [EXT] text/vector/event operators. Where the
   * Spark side hashes (minhash, simhash, fingerprints), both sides use
@@ -163,17 +163,116 @@ object OracleExt {
     s"md5('$j|' || ${parts.mkString(" || '|' || ")})"
   }.mkString(", ")
 
-  val dedupNearMinhash: String =
-    docQ(s"""
-      , sigs AS (
+  /** Candidate-pair CTE chain (sigs → bands → pairs), shared by the
+    * standalone dedup oracle and the connected-components cluster oracle.
+    */
+  private val minhashPairCtes: String = s"""
+      sigs AS (
         SELECT doc_id,
                $minhashSigs
         FROM docs_sh),
       bands AS (
-        SELECT doc_id, unnest([$minhashBands]) AS band FROM sigs)
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-      ORDER BY doc_a, doc_b""")
+        SELECT doc_id, unnest([$minhashBands]) AS band FROM sigs),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)"""
+
+  val dedupNearMinhash: String =
+    docQ(s"""
+      , $minhashPairCtes
+      SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")
+
+  /** True connected components over the candidate pairs via a recursive
+    * closure (every label reachable from a node, then min) — an
+    * INDEPENDENT formulation of what the Spark side computes iteratively
+    * with min-label propagation, so agreement checks the fixpoint itself.
+    */
+  val dedupClusters: String = s"""
+    WITH RECURSIVE $DocCtes,
+      $minhashPairCtes,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      walk(doc, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, w.lab FROM edges e JOIN walk w ON w.doc = e.dst)
+    SELECT doc AS doc_id, min(lab) AS cluster_id,
+           min(lab) = doc AS is_canonical
+    FROM walk GROUP BY doc ORDER BY doc_id"""
+
+  /** Per-language CASE for the stratified-sample rate — generated from the
+    * same CorpusOps constants the Spark side folds into its when-chain.
+    */
+  private val sampleRateCase: String = "CASE " +
+    CorpusOps.DefaultRatesPct.map { case (l, p) =>
+      s"WHEN lang = '$l' THEN $p"
+    }.mkString(" ") + s" ELSE ${CorpusOps.DefaultRatePct} END"
+
+  val sampleStratified: String = s"""
+    WITH r AS (
+      SELECT lang,
+             $sampleRateCase AS rate_pct,
+             ${hexParse8("substr(md5('sample:' || doc_id), 1, 8)")} % 100 AS u
+      FROM documents)
+    SELECT lang, CAST(max(rate_pct) AS BIGINT) AS rate_pct,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN u < rate_pct THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled
+    FROM r GROUP BY lang ORDER BY lang"""
+
+  def corpusShard(nShards: Int): String = s"""
+    WITH s AS (
+      SELECT ${hexParse8("substr(md5('shard:' || doc_id), 1, 8)")} % $nShards
+               AS shard,
+             n_chars
+      FROM documents)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY shard ORDER BY shard"""
+
+  /** PII scrub over the deterministically-enriched text (the query appends
+    * a synthetic email + URL per doc so the patterns have real hits). The
+    * regexes come from CorpusOps (Java-regex/RE2-portable subset); DuckDB
+    * regexp_replace needs the 'g' flag to match Spark's replace-all.
+    */
+  val piiScrub: String = {
+    val email = CorpusOps.EmailRe
+    val url = CorpusOps.UrlRe
+    s"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+               '@example.com via https://ex.org/d/' || doc_id AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '$url')) AS BIGINT) AS n_urls,
+           md5(regexp_replace(
+                 regexp_replace(t, '$url', '<URL>', 'g'),
+                 '$email', '<EMAIL>', 'g')) AS scrubbed_hash
+    FROM p ORDER BY doc_id"""
+  }
+
+  /** topN=5 — constant must match the SparkEntry call. */
+  val tfidfTopTerms: String = docQ("""
+    , tok AS (SELECT source, unnest(toks) AS token FROM docs_tok),
+    tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY source, token),
+    dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    ns AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_sources
+           FROM documents),
+    scored AS (
+      SELECT tf.source, tf.token, tf.tf, dft.df,
+             round(tf.tf * ln(ns.n_sources / dft.df), 6) AS tfidf
+      FROM tf, dft, ns WHERE tf.token = dft.token),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY tfidf DESC, token) AS rank
+      FROM scored)
+    SELECT source, token, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY source, rank""")
 
   /** Full cleaning pipeline: predicted-en → quality ≥ minQuality → exact
     * dedup (min doc_id per content hash) → minhash near-dup removal (drop

@@ -381,6 +381,35 @@ object SparkEntry {
       TextOps.ngramJaccardPairs(T.documents(s, d), 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    "dedup_clusters" -> ((s, d) =>
+      // pairs → transitive clusters (iterative min-label propagation);
+      // the canonical row is what a pipeline keeps
+      graft.operators.CorpusOps.dedupClusters(T.documents(s, d))
+        .orderBy("doc_id")),
+
+    "sample_stratified" -> ((s, d) =>
+      graft.operators.CorpusOps.sampleStratified(T.documents(s, d))
+        .orderBy("lang")),
+
+    "corpus_shard" -> ((s, d) =>
+      graft.operators.CorpusOps.shardAssign(T.documents(s, d), nShards = 8)
+        .orderBy("shard")),
+
+    "pii_scrub" -> ((s, d) =>
+      // enrich each doc with a deterministic synthetic email + URL so the
+      // scrub patterns have real hits to find and redact
+      graft.operators.CorpusOps.piiScrub(
+        T.documents(s, d).withColumn("text",
+          concat(col("text"), lit(" contact user"),
+                 col("doc_id").cast("string"),
+                 lit("@example.com via https://ex.org/d/"),
+                 col("doc_id").cast("string"))))
+        .orderBy("doc_id")),
+
+    "tfidf_top_terms" -> ((s, d) =>
+      graft.operators.CorpusOps.tfidfTopTerms(T.documents(s, d), topN = 5)
+        .orderBy("source", "rank")),
+
     "dedup_near_cosine" -> ((s, d) =>
       // banded-LSH blocked (4 bands × 4 sign bits) — never an all-pairs join
       VectorOps.nearDupCosine(T.embeddings(s, d), 0.4, dim = 64)
@@ -710,6 +739,11 @@ object SparkEntry {
     "dedup_near_minhash" -> OracleExt.dedupNearMinhash,
     "dedup_simhash" -> OracleExt.dedupSimhash,
     "dedup_ngram_jaccard" -> OracleExt.dedupNgramJaccard(0.5),
+    "dedup_clusters" -> OracleExt.dedupClusters,
+    "sample_stratified" -> OracleExt.sampleStratified,
+    "corpus_shard" -> OracleExt.corpusShard(nShards = 8),
+    "pii_scrub" -> OracleExt.piiScrub,
+    "tfidf_top_terms" -> OracleExt.tfidfTopTerms,
     "dedup_near_cosine" -> OracleExt.dedupNearCosineLsh(
       0.4, dim = 64, bands = 4, rowsPerBand = 4),
     "similarity_topk" -> OracleExt.similarityTopk,

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines ([EXT],
+  * SURVEY.md §2.9 extensions): near-dup cluster resolution, deterministic
+  * stratified sampling, PII scrubbing, shard assignment and TF-IDF term
+  * scoring. These complete the dedup story — candidate PAIRS (TextOps /
+  * VectorOps) become CLUSTERS with a canonical representative, which is
+  * what a real pipeline actually deletes against.
+  *
+  * Determinism rule (same as TextOps): anything "random" derives from md5
+  * so the DuckDB oracle reproduces it bit-for-bit; Spark's murmur `hash()`
+  * and `rand()` are not portable.
+  */
+object CorpusOps {
+
+  /** Deterministic uniform value in [0, 2^32) from a salted key — the
+    * portable substitute for `rand()`: `conv` parses the first 8 md5 hex
+    * chars. Stable across runs, partitionings and engines.
+    */
+  def hashUniform(salt: String, key: Column): Column =
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8),
+         16, 10).cast("long")
+
+  // ---- near-dup cluster resolution ------------------------------------
+
+  /** Connected components by iterative min-label propagation: every node
+    * starts labeled with itself; each round takes the min label over its
+    * neighborhood; fixpoint = each component labeled by its minimum id.
+    *
+    * Scale shape: per round, two keyed shuffles (edge⋈label join + groupBy
+    * min) — never a collect of the graph; `localCheckpoint` truncates the
+    * lineage so plans stay flat across rounds (on a cluster, checkpoint to
+    * durable storage instead). Rounds needed = component diameter; near-dup
+    * graphs are overwhelmingly small cliques (diameter ≤ 2-3), so the loop
+    * exits after 3-4 rounds. Convergence is detected by the label sum — it
+    * strictly decreases until fixpoint, so one scalar aggregate per round
+    * decides termination (no frame comparison).
+    *
+    * `edges` are undirected candidate pairs (doc_a, doc_b); `nodes` is the
+    * full id set so singletons come out labeled with themselves.
+    */
+  def connectedComponents(
+      nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var prevSum = Option.empty[Long]
+    var iter = 0
+    while (iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("doc_id").as("dst"),
+                            col("cluster_id").as("dst_lab")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst_lab")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+                coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("cluster_id"))).head().getLong(0)
+      labels = next
+      if (prevSum.contains(s)) iter = maxIter else { prevSum = Some(s); iter += 1 }
+    }
+    labels
+  }
+
+  /** Near-dup clusters over the MinHash LSH candidate pairs: (doc_id,
+    * cluster_id, is_canonical) for every document — the row a pipeline
+    * keeps is `is_canonical`, the rest are the transitive duplicates.
+    */
+  def dedupClusters(docs: DataFrame): DataFrame =
+    connectedComponents(docs.select("doc_id"), TextOps.minhashCandidates(docs))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+
+  // ---- deterministic sampling / sharding ------------------------------
+
+  /** Per-language sampling rates (percent) for [[sampleStratified]]:
+    * down-weight over-represented languages, keep the tail. Shared with the
+    * oracle SQL generator.
+    */
+  val DefaultRatesPct: Seq[(String, Int)] = Seq("en" -> 40, "zh" -> 80)
+  val DefaultRatePct: Int = 60
+
+  /** Stratified sample: keep a document iff its salted md5-uniform value
+    * mod 100 falls under its language's rate. Per-language summary out —
+    * the kept set itself is `kept` upstream of the aggregation. No shuffle
+    * before the groupBy; the sample decision is a per-row projection, so at
+    * 100 TB this is one scan + one partial-aggregated groupBy.
+    */
+  def sampleStratified(
+      docs: DataFrame,
+      ratesPct: Seq[(String, Int)] = DefaultRatesPct,
+      defaultPct: Int = DefaultRatePct): DataFrame = {
+    val rate = ratesPct.foldLeft(when(lit(false), lit(defaultPct)): Column) {
+      case (c, (l, p)) => c.when(col("lang") === l, lit(p))
+    }.otherwise(lit(defaultPct))
+    docs
+      .withColumn("rate_pct", rate)
+      .withColumn("kept", hashUniform("sample", col("doc_id")) % 100 < col("rate_pct"))
+      .groupBy("lang")
+      .agg(
+        max(col("rate_pct")).cast("long").as("rate_pct"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"))
+  }
+
+  /** Deterministic shard assignment for training output: shard =
+    * md5-uniform(doc_id) mod nShards. Returns per-shard stats; the write
+    * path at scale is `repartition(nShards, col("shard")).write` so each
+    * task produces exactly one shard file.
+    */
+  def shardAssign(docs: DataFrame, nShards: Int): DataFrame =
+    docs
+      .withColumn("shard", hashUniform("shard", col("doc_id")) % nShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("sum_chars"))
+
+  // ---- PII scrubbing ---------------------------------------------------
+
+  /** Patterns chosen to behave identically under Java regex (Spark) and
+    * RE2 (DuckDB): no backreferences, no lookaround.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe   = "https?://[^\\s]+"
+
+  /** Redact emails and URLs (URLs first — an email never contains `://`,
+    * but a URL may contain an `@`), returning per-doc match counts and the
+    * md5 of the scrubbed text (the scrubbed corpus is written, not
+    * collected; the hash is the parity-checkable witness). Pure per-row
+    * projection — codegen'd, no shuffle.
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0)))
+        .cast("long").as("n_urls"),
+      md5(regexp_replace(
+        regexp_replace(col("text"), UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>")).as("scrubbed_hash"))
+
+  // ---- TF-IDF ----------------------------------------------------------
+
+  /** Top-N terms per source by TF-IDF (tf = term count within the source,
+    * df = number of sources containing the term, idf = ln(nSources/df)).
+    *
+    * Shape: one explode + two hash aggregations (both map-side partial),
+    * the single-row source count broadcast, then a per-source top-N window
+    * over the scored terms — the window partitions by source, so no global
+    * sort. Ordering ties break on the rounded score then the token, which
+    * keeps ranks identical across engines.
+    */
+  def tfidfTopTerms(docs: DataFrame, topN: Int): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val tf = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nSrc = docs.agg(countDistinct(col("source")).as("n_sources"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nSrc))
+      .withColumn("tfidf", round(
+        col("tf") * log(col("n_sources").cast("double") / col("df").cast("double")),
+        6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select("source", "token", "tf", "df", "tfidf", "rank")
+  }
+}

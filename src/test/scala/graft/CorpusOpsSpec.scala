@@ -1,0 +1,85 @@
+package graft
+
+import java.security.MessageDigest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CorpusOps
+
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = Spec.spark
+  import spark.implicits._
+
+  test("connected components resolve chains, not just direct pairs") {
+    val nodes = (1L to 6L).toDF("doc_id")
+    // 1-2, 2-3 chain; 5-6 pair; 4 singleton
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = CorpusOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components handle a long path (diameter > 2)") {
+    val n = 8
+    val nodes = (1L to n.toLong).toDF("doc_id")
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val got = CorpusOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("stratified sample keeps none at 0 pct and all at 100 pct") {
+    val docs = (1L to 50L).map(i => (i, "en", "s", 10L, s"text $i"))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val none = CorpusOps.sampleStratified(docs, Seq("en" -> 0), 0)
+      .select("n_sampled").as[Long].head()
+    val all = CorpusOps.sampleStratified(docs, Seq("en" -> 100), 100)
+      .select("n_sampled").as[Long].head()
+    assert(none == 0L && all == 50L)
+  }
+
+  test("shard assignment is total and deterministic") {
+    val docs = (1L to 100L).map(i => (i, "en", "s", 7L, s"t$i"))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val shards = CorpusOps.shardAssign(docs, 8)
+      .as[(Long, Long, Long)].collect()
+    assert(shards.map(_._2).sum == 100L)
+    assert(shards.map(_._3).sum == 700L)
+    assert(shards.forall(s => s._1 >= 0 && s._1 < 8))
+    val again = CorpusOps.shardAssign(docs, 8).as[(Long, Long, Long)].collect()
+    assert(shards.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("pii scrub redacts emails and urls and counts them") {
+    val docs = Seq(
+      (1L, "mail bob@corp.io and see https://a.b/c for docs"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val got = CorpusOps.piiScrub(docs)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0)._2 == 1L && got(0)._3 == 1L)
+    assert(got(1)._2 == 0L && got(1)._3 == 0L)
+    val expected = "mail <EMAIL> and see <URL> for docs"
+    val md = MessageDigest.getInstance("MD5").digest(expected.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(0)._4 == md)
+  }
+
+  test("tfidf ranks a source-exclusive term above a shared one") {
+    val docs = Seq(
+      (1L, "en", "web", 10L, "alpha alpha shared"),
+      (2L, "en", "web", 10L, "alpha shared"),
+      (3L, "en", "books", 10L, "beta shared"),
+      (4L, "en", "books", 10L, "beta beta shared"))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val top = CorpusOps.tfidfTopTerms(docs, 2)
+      .filter(col("rank") === 1)
+      .select("source", "token").as[(String, String)].collect().toMap
+    assert(top == Map("web" -> "alpha", "books" -> "beta"))
+    // shared term appears in every source -> idf 0 -> tfidf 0
+    val sharedScore = CorpusOps.tfidfTopTerms(docs, 2)
+      .filter(col("token") === "shared")
+      .select("tfidf").as[Double].collect()
+    assert(sharedScore.forall(_ == 0.0))
+  }
+}
