@@ -220,6 +220,10 @@ object SparkEntry {
       graft.streaming.StreamingOps.sessionizeStateful(s, d, gapMinutes = 30)
         .orderBy("user_id")),
 
+    "docs_stream_dedup" -> ((s, d) =>
+      graft.streaming.StreamingOps.dedupExactStream(s, d)
+        .orderBy("content_hash")),
+
     // [EXT] multimodal binary columns -----------------------------------
     "multimodal_media_stats" -> ((s, d) =>
       Multimodal.mediaFromDocuments(T.documents(s, d))
@@ -780,6 +784,7 @@ object SparkEntry {
 
     "events_stream_window" -> OracleExt.eventsWindowAgg,
     "events_stream_sessionize" -> OracleExt.eventsSessionize,
+    "docs_stream_dedup" -> OracleExt.dedupExact,
 
     "multimodal_media_stats" ->
       """SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

@@ -65,6 +65,38 @@ object StreamingOps {
               col("n"), col("sum_value"))
   }
 
+  private def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val stage = java.nio.file.Paths.get("/tmp/graft-io/docs-stream",
+      Integer.toHexString(dir.hashCode))
+    java.nio.file.Files.createDirectories(stage)
+    val dst = stage.resolve("documents.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path), dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(stage.toString)
+  }
+
+  /** Streaming exact dedup: state = content hash → (min doc_id, count),
+    * complete mode. The streaming generalization of TextOps.dedupExact —
+    * a continuously-ingesting corpus deduplicates as it lands, instead of
+    * re-scanning the accumulated corpus per batch. Same result as the
+    * batch operator, so the same DuckDB oracle asserts it.
+    *
+    * Scale note: state is keyed by the 32-byte hash and partitioned by the
+    * shuffle, so state volume is bounded by distinct content, not stream
+    * length; at production scale use RocksDB state store + watermarked
+    * dropDuplicatesWithinWatermark when exact global state is too large.
+    */
+  def dedupExactStream(spark: SparkSession, dir: String): DataFrame = {
+    val agg = docsStream(spark, dir)
+      .withColumn("content_hash", md5(col("text")))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+           count(lit(1)).as("n_copies"))
+    runToTable(spark, agg, OutputMode.Complete())
+  }
+
   case class Ev(user_id: Long, ts_us: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long,
                           max_session_events: Long)

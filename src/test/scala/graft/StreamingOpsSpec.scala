@@ -23,6 +23,14 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming exact dedup equals batch dedup") {
+    val streamed = StreamingOps.dedupExactStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.TextOps.dedupExact(Tables.documents(spark, dir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful streaming sessionize equals batch sessionize") {
     val streamed = StreamingOps.sessionizeStateful(spark, dir, 30)
       .collect().map(_.toSeq).toSet
