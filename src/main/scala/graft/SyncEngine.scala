@@ -90,7 +90,9 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
       .select(col("object_name").as("name"))
     val removed = removedNames.count()
 
-    val merged = SyncOps.ledgerLatestWins(ledger, updates)
+    // reference ON-CONFLICT upsert semantics: the batch's rows win
+    // unconditionally — anti-join+union, no window sort over the ledger
+    val merged = SyncOps.ledgerUpsert(ledger, updates)
     // keyed delete: only this mapping's rows for successfully-removed names
     val doomed = removedNames.select(lit(mid).as("mapping_id"),
                                      col("name").as("object_name"))

@@ -65,6 +65,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(0)._4 == md)
   }
 
+  test("tfidf plan stays blocked: no cartesian product, source count broadcast") {
+    val docs = Seq((1L, "en", "web", 10L, "alpha shared"))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val plan = CorpusOps.tfidfTopTerms(docs, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"unexpected cartesian product:\n$plan")
+    assert(plan.contains("Broadcast"), s"source count not broadcast:\n$plan")
+  }
+
   test("tfidf ranks a source-exclusive term above a shared one") {
     val docs = Seq(
       (1L, "en", "web", 10L, "alpha alpha shared"),
