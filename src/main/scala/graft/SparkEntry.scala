@@ -75,6 +75,23 @@ object SparkEntry {
       src(s, d).filter(col("name").startsWith("obj_1"))
         .drop("metadata").orderBy("name")),
 
+    "catalog_scan_incremental" -> ((s, d) =>
+      // delta re-scan: only objects modified after the last cycle's
+      // watermark — the predicate reaches the parquet scan (PushedFilters,
+      // asserted in SyncOpsSpec), so a continuous-sync cycle reads the
+      // delta, not the reference's full listing (sync.go:70-85)
+      src(s, d)
+        .filter(col("last_modified") >
+          lit("1995-06-01 00:00:00").cast("timestamp"))
+        .drop("metadata")
+        .orderBy("name")),
+
+    "catalog_snapshot_diff" -> ((s, d) =>
+      SyncOps.catalogSnapshotDiff(src(s, d), tgt(s, d))
+        .filter(col("change") =!= "unchanged")
+        .select("name", "change")
+        .orderBy("name")),
+
     "object_get" -> ((s, d) => {
       val c = src(s, d)
       c.join(broadcast(c.agg(min(col("name")).as("min_name"))),
@@ -607,6 +624,25 @@ object SparkEntry {
 
     "catalog_scan_minio" -> syncQ(
       "SELECT * FROM source_catalog WHERE name LIKE 'obj\\_1%' ESCAPE '\\' ORDER BY name"),
+
+    "catalog_scan_incremental" -> syncQ(
+      """SELECT * FROM source_catalog
+         WHERE last_modified > TIMESTAMP '1995-06-01 00:00:00'
+         ORDER BY name"""),
+
+    "catalog_snapshot_diff" -> syncQ(
+      """SELECT coalesce(s.name, t.name) AS name,
+                CASE WHEN s.name IS NULL THEN 'added'
+                     WHEN t.name IS NULL THEN 'removed'
+                     WHEN s.etag <> t.etag THEN 'modified'
+                     ELSE 'unchanged' END AS change
+         FROM source_catalog s
+         FULL OUTER JOIN target_catalog t ON s.name = t.name
+         WHERE (CASE WHEN s.name IS NULL THEN 'added'
+                     WHEN t.name IS NULL THEN 'removed'
+                     WHEN s.etag <> t.etag THEN 'modified'
+                     ELSE 'unchanged' END) <> 'unchanged'
+         ORDER BY name"""),
 
     "object_get" -> syncQ(
       """SELECT name, bucket, size, content_type, last_modified, etag

@@ -65,6 +65,23 @@ object SyncOps {
       .withColumn("action", action)
   }
 
+  /** Snapshot-to-snapshot catalog diff: classify every object across two
+    * listings as added / removed / modified / unchanged by etag. The
+    * generalization of the reference's per-cycle full re-scan
+    * (`sync.go:70-85`): at scale, two bucketed-by-name snapshots diff with
+    * a co-partitioned full-outer join and the unchanged mass never leaves
+    * its partition.
+    */
+  def catalogSnapshotDiff(before: DataFrame, after: DataFrame): DataFrame =
+    before.select(col("name"), col("etag").as("before_etag"))
+      .join(after.select(col("name"), col("etag").as("after_etag")),
+            Seq("name"), "full_outer")
+      .withColumn("change",
+        when(col("before_etag").isNull, "added")
+          .when(col("after_etag").isNull, "removed")
+          .when(col("before_etag") =!= col("after_etag"), "modified")
+          .otherwise("unchanged"))
+
   /** Rows the copy executor must move (everything except `skip`). */
   def needsSync(decided: DataFrame): DataFrame =
     decided.filter(col("action") =!= "skip")

@@ -130,6 +130,25 @@ class SyncOpsSpec extends AnyFunSuite {
     assert(dangling.count() == 1)
   }
 
+  test("snapshot diff classifies added/removed/modified/unchanged") {
+    val before = Seq(("a", "e1"), ("b", "e2"), ("c", "e3"))
+      .toDF("name", "etag")
+    val after = Seq(("b", "e2"), ("c", "e3x"), ("d", "e4"))
+      .toDF("name", "etag")
+    val got = SyncOps.catalogSnapshotDiff(before, after)
+      .select("name", "change").as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "removed", "b" -> "unchanged",
+                      "c" -> "modified", "d" -> "added"))
+  }
+
+  test("incremental catalog scan pushes the watermark into the parquet scan") {
+    val plan = SparkEntry.queries("catalog_scan_incremental")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"watermark not pushed to scan:\n$plan")
+  }
+
   test("mapping_id format matches the reference") {
     val got = SyncOps.withMappingId(
       Seq(("gcs", "src", "s3", "dst"))
