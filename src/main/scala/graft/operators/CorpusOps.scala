@@ -66,7 +66,8 @@ object CorpusOps {
           least(col("cluster_id"),
                 coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("cluster_id"))).head().getLong(0)
+      val s = next.agg(coalesce(sum(col("cluster_id")), lit(0L)))
+        .head().getLong(0)
       labels = next
       if (prevSum.contains(s)) iter = maxIter else { prevSum = Some(s); iter += 1 }
     }

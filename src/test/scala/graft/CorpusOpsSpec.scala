@@ -29,6 +29,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("connected components tolerate empty edges and an empty corpus") {
+    val nodes = Seq(7L, 9L).toDF("doc_id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val singletons = CorpusOps.connectedComponents(nodes, noEdges)
+      .as[(Long, Long)].collect().toMap
+    assert(singletons == Map(7L -> 7L, 9L -> 9L))
+    val empty = CorpusOps.connectedComponents(
+      Seq.empty[Long].toDF("doc_id"), noEdges)
+    assert(empty.count() == 0L)
+  }
+
   test("stratified sample keeps none at 0 pct and all at 100 pct") {
     val docs = (1L to 50L).map(i => (i, "en", "s", 10L, s"text $i"))
       .toDF("doc_id", "lang", "source", "n_chars", "text")
