@@ -177,6 +177,17 @@ object SparkEntry {
     }),
 
     // §2.6 aggregations --------------------------------------------------
+    "sync_outcome_all_mappings" -> ((s, d) => {
+      // the reference loops mappings sequentially (main.go:87-106); here
+      // every mapping diffs in ONE plan keyed (mapping_id, object_name)
+      val tagged = src(s, d).drop("metadata").withColumn("mapping_id", lit(M))
+        .unionByName(R.backupCatalog(T.orders(s, d))
+          .withColumn("mapping_id", lit(R.MappingId2)))
+      SyncOps.syncOutcomeCountsAll(
+          SyncOps.catalogLedgerDiffAll(tagged, led(s, d)))
+        .orderBy("mapping_id", "outcome")
+    }),
+
     "sync_outcome_counts" -> ((s, d) =>
       SyncOps.syncOutcomeCounts(diff(s, d), M).orderBy("outcome")),
 
@@ -721,6 +732,33 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM providers p
                            WHERE p.id = m.target_provider_id)
          ORDER BY source_provider_id, source_bucket, target_provider_id""",
+
+    "sync_outcome_all_mappings" -> syncQ(
+      s""", backup_catalog AS (
+        SELECT concat('bak_', o_orderkey) AS name,
+               o_orderdate AS last_modified,
+               md5(concat('bak_', o_orderkey)) AS etag
+        FROM orders WHERE o_orderkey % 2 = 0),
+      tagged AS (
+        SELECT '$M' AS mapping_id, name, last_modified, etag
+        FROM source_catalog
+        UNION ALL
+        SELECT '${graft.sources.SyncRelations.MappingId2}' AS mapping_id,
+               name, last_modified, etag
+        FROM backup_catalog),
+      decided_all AS (
+        SELECT t.mapping_id,
+               CASE WHEN l.object_name IS NULL THEN 'sync_new'
+                    WHEN l.last_modified <> t.last_modified
+                         OR l.etag <> t.etag THEN 'sync_changed'
+                    WHEN l.sync_status <> 'success' THEN 'sync_retry'
+                    ELSE 'skip' END AS outcome
+        FROM tagged t
+        LEFT JOIN ledger l
+          ON l.mapping_id = t.mapping_id AND l.object_name = t.name)
+      SELECT mapping_id, outcome, CAST(count(*) AS BIGINT) AS n
+      FROM decided_all GROUP BY mapping_id, outcome
+      ORDER BY mapping_id, outcome"""),
 
     "sync_outcome_counts" -> syncQ(
       s"""SELECT '$M' AS mapping_id, action AS outcome, count(*) AS n

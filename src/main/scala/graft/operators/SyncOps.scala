@@ -65,6 +65,39 @@ object SyncOps {
       .withColumn("action", action)
   }
 
+  /** Multi-mapping diff: the reference syncs mappings one at a time in a
+    * driver loop (`main.go:87-106` → per-mapping `SyncBuckets`); here ALL
+    * mappings diff in ONE plan — catalogs tagged with `mapping_id` union
+    * together and join the whole ledger on the composite key
+    * `(mapping_id, object_name)`. At 100 TB this is the job shape you want:
+    * one shuffle keyed by the ledger's own partitioning, mappings processed
+    * concurrently by data parallelism instead of sequentially by loop.
+    */
+  def catalogLedgerDiffAll(
+      taggedCatalogs: DataFrame, ledger: DataFrame): DataFrame = {
+    val slice = ledger.select(
+      col("mapping_id"),
+      col("object_name").as("led_object_name"),
+      col("last_modified").as("led_last_modified"),
+      col("etag").as("led_etag"),
+      col("sync_status").as("led_sync_status"))
+    taggedCatalogs
+      .join(slice,
+        taggedCatalogs("mapping_id") === slice("mapping_id") &&
+          taggedCatalogs("name") === slice("led_object_name"),
+        "left_outer")
+      .drop(slice("mapping_id"))
+      .withColumn("action", action)
+  }
+
+  /** Per-(mapping, outcome) counters over a multi-mapping diff — the whole
+    * fleet's sync report from one aggregation.
+    */
+  def syncOutcomeCountsAll(decidedAll: DataFrame): DataFrame =
+    decidedAll
+      .groupBy(col("mapping_id"), col("action").as("outcome"))
+      .agg(count(lit(1)).as("n"))
+
   /** Snapshot-to-snapshot catalog diff: classify every object across two
     * listings as added / removed / modified / unchanged by etag. The
     * generalization of the reference's per-cycle full re-scan

@@ -109,6 +109,22 @@ object SyncRelations {
         when(col("o_orderkey") % 7 === 0, lit("failed_upload"))
           .otherwise(lit("success")).as("sync_status"))
 
+  /** Second mapping's source catalog (azure backup-bucket → minio
+    * archive-bucket): disjoint `bak_` name space and no ledger rows, so a
+    * multi-mapping diff sees a full sync_new mapping next to the mixed one.
+    */
+  val MappingId2 = "azure:backup-bucket->minio:archive-bucket"
+  def backupCatalog(orders: DataFrame): DataFrame = {
+    val bakName = concat(lit("bak_"), col("o_orderkey").cast("string"))
+    orders.filter(col("o_orderkey") % 2 === 0).select(
+      bakName.as("name"),
+      lit("backup-bucket").as("bucket"),
+      objSize("o_orderkey").as("size"),
+      objContentType("o_orderkey").as("content_type"),
+      col("o_orderdate").as("last_modified"),
+      md5(bakName).as("etag"))
+  }
+
   /** The mappings relation (reference `BucketMapping`, config.go:69-74).
     * Literal rows — the reference's config file is data, not a table.
     */

@@ -130,6 +130,24 @@ class SyncOpsSpec extends AnyFunSuite {
     assert(dangling.count() == 1)
   }
 
+  test("multi-mapping diff equals per-mapping diff plus all-new mapping") {
+    val m2 = "other:x->other:y"
+    val cat2 = Seq(("extra.txt", "x", 4L, "text/plain", t1, "e9"))
+      .toDF("name", "bucket", "size", "content_type", "last_modified", "etag")
+    val tagged = catalog.withColumn("mapping_id", lit(M))
+      .unionByName(cat2.withColumn("mapping_id", lit(m2)))
+    val all = SyncOps.syncOutcomeCountsAll(
+        SyncOps.catalogLedgerDiffAll(tagged, ledger))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val single = SyncOps.syncOutcomeCounts(
+        SyncOps.catalogLedgerDiff(catalog, ledger, M), M)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(all.filter(_._1._1 == M) == single)
+    assert(all((m2, "sync_new")) == 1L)
+  }
+
   test("snapshot diff classifies added/removed/modified/unchanged") {
     val before = Seq(("a", "e1"), ("b", "e2"), ("c", "e3"))
       .toDF("name", "etag")
