@@ -361,6 +361,19 @@ object OracleExt {
   val EmbCte: String =
     "emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
+  /** Mirrors VectorOps.normalizeL2: unit-sphere projection with the norm
+    * before/after as the hashable witness.
+    */
+  val embeddingNormalize: String = s"""
+    WITH $EmbCte,
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM emb),
+    u AS (SELECT vec_id, norm,
+                 list_transform(v, x -> x / greatest(norm, 1e-30)) AS unit
+          FROM n)
+    SELECT vec_id, round(norm, 6) AS norm_before,
+           round(sqrt(list_dot_product(unit, unit)), 6) AS norm_after
+    FROM u ORDER BY vec_id"""
+
   private val cosAB =
     """round(list_dot_product(a.v, b.v)
        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),

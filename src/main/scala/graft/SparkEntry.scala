@@ -399,6 +399,9 @@ object SparkEntry {
     "embedding_quantize" -> ((s, d) =>
       VectorOps.quantizeInt8(T.embeddings(s, d)).orderBy("vec_id")),
 
+    "embedding_normalize" -> ((s, d) =>
+      VectorOps.normalizeL2(T.embeddings(s, d)).orderBy("vec_id")),
+
     // [EXT] deduplication ------------------------------------------------
     "dedup_exact" -> ((s, d) =>
       TextOps.dedupExact(T.documents(s, d)).orderBy("content_hash")),
@@ -813,6 +816,7 @@ object SparkEntry {
     "vocab_top_tokens" -> OracleExt.vocabTopTokens,
     "doc_chunking" -> OracleExt.docChunking,
     "embedding_quantize" -> OracleExt.embeddingQuantize,
+    "embedding_normalize" -> OracleExt.embeddingNormalize,
     "dedup_exact" -> OracleExt.dedupExact,
     "dedup_near_minhash" -> OracleExt.dedupNearMinhash,
     "dedup_simhash" -> OracleExt.dedupSimhash,

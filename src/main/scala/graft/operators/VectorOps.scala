@@ -288,6 +288,24 @@ object VectorOps {
               col("max_abs_err"))
   }
 
+  /** L2 normalization to the unit sphere — the preprocessing step that
+    * turns dot product into cosine for every downstream ANN op. Per-row
+    * projection, no shuffle; the witness columns (norm before, norm after)
+    * keep the output small and hashable rather than shipping the vectors.
+    */
+  def normalizeL2(corpus: DataFrame): DataFrame = {
+    import graft.functions.ArrayMath.{dot_product, l2_norm}
+    val norm = l2_norm(col("embedding"))
+    corpus
+      .withColumn("norm_before", round(norm, 6))
+      .withColumn("unit", transform(col("embedding"),
+        x => x.cast("double") / greatest(norm, lit(1e-30))))
+      // same index-order dot product on both engines (proven parity path)
+      .withColumn("norm_after", round(
+        sqrt(dot_product(col("unit"), col("unit"))), 6))
+      .select("vec_id", "norm_before", "norm_after")
+  }
+
   /** Multimodal projection: text metadata ⋈ embedding vectors in one frame
     * (documents ⋈ embeddings on doc_id = vec_id), with derived vector stats.
     */

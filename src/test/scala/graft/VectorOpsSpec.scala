@@ -87,6 +87,13 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(kept.select(md5($"text")).distinct().count() == n)
   }
 
+  test("l2 normalization lands every vector on the unit sphere") {
+    val r = VectorOps.normalizeL2(emb)
+      .select("norm_before", "norm_after").as[(Double, Double)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall { case (before, after) => before <= 0.0 || after == 1.0 })
+  }
+
   test("multimodal select joins docs to embeddings 1:1") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val r = VectorOps.multimodalSelect(docs, emb)
