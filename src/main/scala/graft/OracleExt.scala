@@ -202,6 +202,20 @@ object OracleExt {
            min(lab) = doc AS is_canonical
     FROM walk GROUP BY doc ORDER BY doc_id"""
 
+  /** Confusion matrix over the langId projection (labeled × predicted). */
+  val langIdConfusion: String =
+    docQ(s"""
+      , scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+             $langScores
+        FROM docs_tok),
+      pred AS (
+        SELECT labeled_lang, $langCase AS predicted_lang
+        FROM (SELECT *, $langBest AS best FROM scored))
+      SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY labeled_lang, predicted_lang
+      ORDER BY labeled_lang, predicted_lang""")
+
   /** Per-language CASE for the stratified-sample rate — generated from the
     * same CorpusOps constants the Spark side folds into its when-chain.
     */

@@ -380,6 +380,14 @@ object SparkEntry {
     "text_quality" -> ((s, d) =>
       TextOps.qualityScore(T.documents(s, d)).orderBy("doc_id")),
 
+    "lang_id_confusion" -> ((s, d) =>
+      // classifier-evaluation shape: labeled vs predicted language counts
+      // in one partial-aggregated groupBy over the lang_id projection
+      TextOps.langId(T.documents(s, d))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("labeled_lang", "predicted_lang")),
+
     "token_count_bpe" -> ((s, d) =>
       T.documents(s, d).select(
         col("doc_id"),
@@ -811,6 +819,7 @@ object SparkEntry {
     "text_stats" -> OracleExt.textStats,
     "lang_id" -> OracleExt.langId,
     "text_quality" -> OracleExt.textQuality,
+    "lang_id_confusion" -> OracleExt.langIdConfusion,
     "token_count_bpe" -> OracleExt.tokenCountBpe,
     "doc_fingerprint" -> OracleExt.fingerprint,
     "vocab_top_tokens" -> OracleExt.vocabTopTokens,

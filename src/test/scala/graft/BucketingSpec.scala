@@ -37,6 +37,29 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed catalog-ledger diff join runs shuffle-free") {
+    // the product's hot path (SyncOps.catalogLedgerDiff) on pre-bucketed
+    // tables: at 100 TB the ledger and catalog are written bucketed by
+    // object name, so the per-cycle diff join never re-shuffles either side
+    val orders = Tables.orders(spark, dir)
+    Bucketing.writeBucketed(
+      graft.sources.SyncRelations.sourceCatalog(orders)
+        .drop("metadata").withColumnRenamed("name", "object_name"),
+      "b_catalog", "object_name", 8)
+    Bucketing.writeBucketed(
+      graft.sources.SyncRelations.ledger(orders)
+        .select("object_name", "last_modified", "etag", "sync_status"),
+      "b_ledger", "object_name", 8)
+    withAutoBroadcastOff {
+      val diff = spark.table("b_catalog")
+        .join(spark.table("b_ledger"), Seq("object_name"), "left_outer")
+      assert(!Bucketing.hasShuffle(diff),
+        "bucketed diff join must not shuffle:\n" +
+          diff.queryExecution.executedPlan.toString)
+      assert(diff.count() == spark.table("b_catalog").count())
+    }
+  }
+
   private def withAutoBroadcastOff[T](f: => T): T = {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
