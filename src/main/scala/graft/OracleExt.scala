@@ -216,6 +216,27 @@ object OracleExt {
       FROM pred GROUP BY labeled_lang, predicted_lang
       ORDER BY labeled_lang, predicted_lang""")
 
+  /** Cluster-size histogram over the recursive-closure clusters. */
+  val dedupClusterStats: String = s"""
+    WITH RECURSIVE $DocCtes,
+      $minhashPairCtes,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      walk(doc, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, w.lab FROM edges e JOIN walk w ON w.doc = e.dst),
+      clusters AS (
+        SELECT doc, min(lab) AS cluster_id FROM walk GROUP BY doc),
+      sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM clusters GROUP BY cluster_id)
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           (cluster_size - 1) * CAST(count(*) AS BIGINT) AS n_removed
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""
+
   /** Per-language CASE for the stratified-sample rate — generated from the
     * same CorpusOps constants the Spark side folds into its when-chain.
     */

@@ -430,6 +430,16 @@ object SparkEntry {
       graft.operators.CorpusOps.dedupClusters(T.documents(s, d))
         .orderBy("doc_id")),
 
+    "dedup_cluster_stats" -> ((s, d) =>
+      // cluster-size histogram: how much of the corpus near-dup clustering
+      // would actually remove (clusters of size s contribute s-1 removals)
+      graft.operators.CorpusOps.dedupClusters(T.documents(s, d))
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_removed",
+          (col("cluster_size") - 1) * col("n_clusters"))
+        .orderBy("cluster_size")),
+
     "sample_stratified" -> ((s, d) =>
       graft.operators.CorpusOps.sampleStratified(T.documents(s, d))
         .orderBy("lang")),
@@ -831,6 +841,7 @@ object SparkEntry {
     "dedup_simhash" -> OracleExt.dedupSimhash,
     "dedup_ngram_jaccard" -> OracleExt.dedupNgramJaccard(0.5),
     "dedup_clusters" -> OracleExt.dedupClusters,
+    "dedup_cluster_stats" -> OracleExt.dedupClusterStats,
     "sample_stratified" -> OracleExt.sampleStratified,
     "corpus_shard" -> OracleExt.corpusShard(nShards = 8),
     "pii_scrub" -> OracleExt.piiScrub,
