@@ -289,12 +289,18 @@ object TextOps {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
                         maxDf: Int = 128): DataFrame = {
+    // The shingle set feeds FIVE consumers (df counts, both sides of the
+    // self-join, both size lookups); without a materialization barrier
+    // Catalyst re-runs tokenize→shingle→md5→distinct for each (16 scans
+    // observed). Lazy localCheckpoint computes it once and shares the
+    // blocks; at cluster scale persist to durable storage instead.
     val shAll = docs
       .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
       .distinct()
+      .localCheckpoint(false)
     val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
-    val sh = shAll.join(rare, Seq("sh"))
+    val sh = shAll.join(rare, Seq("sh")).localCheckpoint(false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") &&
