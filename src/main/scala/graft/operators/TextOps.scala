@@ -230,6 +230,9 @@ object TextOps {
     }
     val banded = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      // both sides of the candidate self-join read this frame — without a
+      // barrier the whole shingle→signature pipeline runs twice
+      .localCheckpoint(false)
     val a = banded.select(col("band"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band"))
