@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.SyncConfig
+import graft.streaming.ContinuousSync
+
+/** CLI entry point mirroring the reference binary
+  * (`cmd/cloud-data-sync/main.go`):
+  *
+  *   --config <path>    JSON config; created with defaults when absent
+  *                      (main.go:26-35)
+  *   --continuous       sync every --interval seconds until interrupted
+  *                      (main.go:87-106)
+  *   --interval <sec>   cycle period, default 300 (main.go:23)
+  *
+  * Exit code 0 when every mapping synced, 1 on config errors or any
+  * failed mapping — the reference's log.Fatalf surface.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-sync")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try sys.exit(run(spark, args))
+    finally spark.stop()
+  }
+
+  /** Testable core: parse flags, load-or-create config, validate, run. */
+  def run(spark: SparkSession, args: Array[String]): Int = {
+    var configPath = "config.json"
+    var continuous = false
+    var intervalSec = 300L
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--config" if i + 1 < args.length =>
+          configPath = args(i + 1); i += 2
+        case "--interval" if i + 1 < args.length =>
+          intervalSec = args(i + 1).toLong; i += 2
+        case "--continuous" => continuous = true; i += 1
+        case other =>
+          System.err.println(s"[sync] unknown argument: $other"); return 1
+      }
+    }
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(configPath))) {
+      System.err.println(s"[sync] creating default config at $configPath")
+      SyncConfig.saveDefault(configPath)
+    }
+    val cfg = SyncConfig.load(configPath)
+    val problems = cfg.validate()
+    if (problems.nonEmpty) {
+      problems.foreach(p => System.err.println(s"[sync] invalid config: $p"))
+      return 1
+    }
+
+    if (continuous) {
+      val q = ContinuousSync.start(spark, cfg, intervalSec * 1000L)
+      q.awaitTermination()
+      0
+    } else {
+      val engine = new SyncEngine(spark, cfg)
+      val reports = engine.syncAll()
+      reports.foreach { r =>
+        println(s"[sync] ${r.mappingId}: synced=${r.synced} " +
+          s"skipped=${r.skipped} failed=${r.failed} " +
+          s"orphans_removed=${r.orphansRemoved}")
+      }
+      val mappingsFailed = cfg.mappings.size - reports.size
+      if (mappingsFailed > 0 || reports.exists(_.failed > 0)) 1 else 0
+    }
+  }
+}

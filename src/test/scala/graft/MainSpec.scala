@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CLI surface (reference `cmd/cloud-data-sync/main.go`): config
+  * auto-creation, validation failure exit, and a full once-mode sync over
+  * local-FS buckets.
+  */
+class MainSpec extends AnyFunSuite {
+  lazy val spark = Spec.spark
+
+  private def write(p: Path, s: String): Unit = {
+    Files.createDirectories(p.getParent)
+    Files.write(p, s.getBytes("UTF-8"))
+  }
+
+  test("once mode syncs and exits 0; unknown flag exits 1") {
+    val root = Files.createTempDirectory("graft-cli")
+    write(root.resolve("src/a.txt"), "hello")
+    val cfgPath = root.resolve("config.json")
+    write(cfgPath,
+      s"""{"providers": [{"id": "local", "type": "file", "uri": "file://$root"}],
+          "mappings": [{"sourceProviderId": "local", "sourceBucket": "src",
+                        "targetProviderId": "local", "targetBucket": "dst"}],
+          "ledgerPath": "$root/ledger"}""")
+    assert(Main.run(spark, Array("--config", cfgPath.toString)) == 0)
+    assert(new String(Files.readAllBytes(root.resolve("dst/a.txt"))) == "hello")
+    assert(Main.run(spark, Array("--bogus")) == 1)
+  }
+
+  test("missing config is created with defaults; invalid config exits 1") {
+    val root = Files.createTempDirectory("graft-cli2")
+    val fresh = root.resolve("new-config.json")
+    // default config's buckets may not exist -> mapping sync fails, but the
+    // file must be created and parse cleanly
+    Main.run(spark, Array("--config", fresh.toString))
+    assert(Files.exists(fresh))
+    assert(graft.config.SyncConfig.load(fresh.toString).validate().isEmpty)
+
+    val bad = root.resolve("bad.json")
+    write(bad,
+      """{"providers": [], "mappings": [], "ledgerPath": "x"}""")
+    assert(Main.run(spark, Array("--config", bad.toString)) == 1)
+  }
+}
