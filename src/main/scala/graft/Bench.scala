@@ -29,24 +29,33 @@ object Bench {
     // AnalysisException as a 0.2s win). Each query reports either its
     // median-of-reps seconds or an "err:" string.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to reps).map { _ =>
+      var err = Option.empty[String]
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var r = 0
+      // stop at the first failing rep — re-running a broken (possibly
+      // slow-to-fail) query for the remaining reps buys nothing
+      while (r < reps && err.isEmpty) {
         val t0 = System.nanoTime()
         // noop sink forces full computation of every column (count() would
         // let Catalyst prune projections and undercount the real work)
-        val err =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-          catch { case t: Throwable =>
-            Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(120)}") }
-        ((System.nanoTime() - t0) / 1e9, err)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case t: Throwable =>
+          err = Some(s"${t.getClass.getSimpleName}: " +
+            Option(t.getMessage).getOrElse("").take(120)) }
+        times += (System.nanoTime() - t0) / 1e9
+        r += 1
       }
-      runs.collectFirst { case (_, Some(e)) => e } match {
+      err match {
         case Some(e) => name -> Left(e)
         case None =>
-          val times = runs.map(_._1).sorted
-          name -> Right(times(times.length / 2))
+          val sorted = times.sorted
+          name -> Right(sorted(sorted.length / 2))
       }
     }
-    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    // quotes/backslashes AND all control/non-ASCII bytes must go, or an
+    // exception message breaks the one-line JSON contract
+    def jstr(s: String) =
+      "\"" + s.replaceAll("[\"\\\\]|[^\\x20-\\x7e]", " ") + "\""
     val qs = results.map {
       case (k, Right(v)) => jstr(k) + ":" + v
       case (k, Left(e))  => jstr(k) + ":" + jstr("err: " + e)

@@ -24,8 +24,25 @@ object Main {
       .appName("graft-sync")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try sys.exit(run(spark, args))
-    finally spark.stop()
+    // sys.exit never returns, so stop() must run before it, not in finally
+    val code = try run(spark, args) finally spark.stop()
+    sys.exit(code)
+  }
+
+  /** Load the config, creating the default file when absent (main.go:26-35).
+    * Left = exit code on validation failure.
+    */
+  def loadOrCreate(configPath: String): Either[Int, SyncConfig] = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(configPath))) {
+      System.err.println(s"[sync] creating default config at $configPath")
+      SyncConfig.saveDefault(configPath)
+    }
+    val cfg = SyncConfig.load(configPath)
+    val problems = cfg.validate()
+    if (problems.nonEmpty) {
+      problems.foreach(p => System.err.println(s"[sync] invalid config: $p"))
+      Left(1)
+    } else Right(cfg)
   }
 
   /** Testable core: parse flags, load-or-create config, validate, run. */
@@ -39,22 +56,22 @@ object Main {
         case "--config" if i + 1 < args.length =>
           configPath = args(i + 1); i += 2
         case "--interval" if i + 1 < args.length =>
-          intervalSec = args(i + 1).toLong; i += 2
+          args(i + 1).toLongOption.filter(_ > 0) match {
+            case Some(sec) => intervalSec = sec; i += 2
+            case None =>
+              System.err.println(
+                s"[sync] --interval needs a positive integer, got: ${args(i + 1)}")
+              return 1
+          }
         case "--continuous" => continuous = true; i += 1
         case other =>
           System.err.println(s"[sync] unknown argument: $other"); return 1
       }
     }
 
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(configPath))) {
-      System.err.println(s"[sync] creating default config at $configPath")
-      SyncConfig.saveDefault(configPath)
-    }
-    val cfg = SyncConfig.load(configPath)
-    val problems = cfg.validate()
-    if (problems.nonEmpty) {
-      problems.foreach(p => System.err.println(s"[sync] invalid config: $p"))
-      return 1
+    val cfg = loadOrCreate(configPath) match {
+      case Left(code) => return code
+      case Right(c) => c
     }
 
     if (continuous) {

@@ -53,8 +53,9 @@ object CorpusOps {
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var prevSum = Option.empty[Long]
+    var converged = false
     var iter = 0
-    while (iter < maxIter) {
+    while (iter < maxIter && !converged) {
       val nbrMin = sym
         .join(labels.select(col("doc_id").as("dst"),
                             col("cluster_id").as("dst_lab")), Seq("dst"))
@@ -69,8 +70,14 @@ object CorpusOps {
       val s = next.agg(coalesce(sum(col("cluster_id")), lit(0L)))
         .head().getLong(0)
       labels = next
-      if (prevSum.contains(s)) iter = maxIter else { prevSum = Some(s); iter += 1 }
+      if (prevSum.contains(s)) converged = true
+      else { prevSum = Some(s); iter += 1 }
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] connectedComponents: no fixpoint after $maxIter rounds — " +
+        "a component wider than maxIter hops may carry split cluster ids; " +
+        "raise maxIter for long-chain graphs")
     labels
   }
 

@@ -174,11 +174,24 @@ object SyncOps {
     */
   def ledgerUpsert(current: DataFrame, updates: DataFrame): DataFrame = {
     val cols = current.columns
+    val keys = Seq("mapping_id", "object_name")
+    // ON CONFLICT collapses duplicate keys WITHIN the batch too (last
+    // writer wins): keep one row per key via max(struct(last_synced, …)) —
+    // a partial-aggregating hash agg over the small batch, so the merged
+    // plan still contains no sort or window anywhere
+    val payload = ("last_synced" +:
+      cols.filterNot(c => keys.contains(c) || c == "last_synced").toSeq)
+    val latestUpdates = updates
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(payload.map(col): _*)).as("w"))
+      .select(keys.map(col) ++ cols.filterNot(keys.contains)
+        .map(c => col(s"w.$c").as(c)): _*)
+      .selectExpr(cols: _*)
     current
-      .join(updates.select("mapping_id", "object_name"),
+      .join(latestUpdates.select("mapping_id", "object_name"),
             Seq("mapping_id", "object_name"), "left_anti")
       .selectExpr(cols: _*)
-      .unionByName(updates.selectExpr(cols: _*))
+      .unionByName(latestUpdates)
   }
 
   /** Build post-sync ledger rows from the needs-sync set

@@ -20,19 +20,26 @@ object StreamingOps {
 
   private val counter = new AtomicLong(0)
 
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    // the streaming file source wants a directory; stage the single
-    // parquet file into one (the real deployment reads a landing dir)
-    val stage = java.nio.file.Paths.get("/tmp/graft-io/events-stream",
+  /** The streaming file source wants a directory; stage the single parquet
+    * file into one (the real deployment reads a landing dir).
+    */
+  private def stagedStream(spark: SparkSession, dir: String,
+                           table: String): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    val stage = java.nio.file.Paths.get(s"/tmp/graft-io/$table-stream",
       Integer.toHexString(dir.hashCode))
     java.nio.file.Files.createDirectories(stage)
-    val dst = stage.resolve("events.parquet")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path), dst,
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      stage.resolve(s"$table.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val schema = spark.read.parquet(path).schema  // ts: LONG nanos (legacy flag)
-    val raw = spark.readStream.schema(schema).parquet(stage.toString)
-    if (schema("ts").dataType.typeName == "long")
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(stage.toString)
+  }
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = stagedStream(spark, dir, "events")
+    // ts arrives as LONG nanos under the legacy parquet flag
+    if (raw.schema("ts").dataType.typeName == "long")
       raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
     else raw
   }
@@ -65,17 +72,8 @@ object StreamingOps {
               col("n"), col("sum_value"))
   }
 
-  private def docsStream(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/documents.parquet"
-    val stage = java.nio.file.Paths.get("/tmp/graft-io/docs-stream",
-      Integer.toHexString(dir.hashCode))
-    java.nio.file.Files.createDirectories(stage)
-    val dst = stage.resolve("documents.parquet")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path), dst,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(stage.toString)
-  }
+  private def docsStream(spark: SparkSession, dir: String): DataFrame =
+    stagedStream(spark, dir, "documents")
 
   /** Streaming exact dedup: state = content hash → (min doc_id, count),
     * complete mode. The streaming generalization of TextOps.dedupExact —

@@ -27,20 +27,23 @@ class MainSpec extends AnyFunSuite {
     assert(Main.run(spark, Array("--config", cfgPath.toString)) == 0)
     assert(new String(Files.readAllBytes(root.resolve("dst/a.txt"))) == "hello")
     assert(Main.run(spark, Array("--bogus")) == 1)
+    assert(Main.run(spark, Array("--interval", "abc", "--continuous")) == 1)
+    assert(Main.run(spark, Array("--interval", "-5", "--continuous")) == 1)
   }
 
   test("missing config is created with defaults; invalid config exits 1") {
     val root = Files.createTempDirectory("graft-cli2")
     val fresh = root.resolve("new-config.json")
-    // default config's buckets may not exist -> mapping sync fails, but the
-    // file must be created and parse cleanly
-    Main.run(spark, Array("--config", fresh.toString))
-    assert(Files.exists(fresh))
+    // bootstrap only (no sync — the default config points at shared paths):
+    // the file must be created and validate cleanly
+    val created = Main.loadOrCreate(fresh.toString)
+    assert(Files.exists(fresh) && created.isRight)
     assert(graft.config.SyncConfig.load(fresh.toString).validate().isEmpty)
 
     val bad = root.resolve("bad.json")
     write(bad,
       """{"providers": [], "mappings": [], "ledgerPath": "x"}""")
+    // validation fails before any sync runs, so nothing is written
     assert(Main.run(spark, Array("--config", bad.toString)) == 1)
   }
 }

@@ -100,6 +100,18 @@ class SyncOpsSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("upsert collapses duplicate keys WITHIN the update batch (last wins)") {
+    val dup = Seq(
+      (0L, M, "same.txt", 4L, t1, "older", "text/plain", t1, "success"),
+      (0L, M, "same.txt", 4L, t2, "newer", "text/plain", t2, "success"))
+      .toDF("id", "mapping_id", "object_name", "size", "last_modified",
+            "etag", "content_type", "last_synced", "sync_status")
+    val merged = SyncOps.ledgerUpsert(ledger, dup)
+      .filter($"object_name" === "same.txt")
+      .select("etag", "last_synced").as[(String, Timestamp)].collect()
+    assert(merged.toSeq == Seq(("newer", t2)))
+  }
+
   test("upsert plan has no window sort and broadcasts the update side") {
     val decided = SyncOps.catalogLedgerDiff(catalog, ledger, M)
     val updates = SyncOps.ledgerUpdatesFromDecisions(
