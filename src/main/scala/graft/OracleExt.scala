@@ -624,6 +624,22 @@ object OracleExt {
            CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
     FROM expanded GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** steps view→click→purchase — constants must match the SparkEntry call. */
+  val eventsFunnel: String = s"""
+    WITH $EvCte,
+    m AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM ev GROUP BY user_id)
+    SELECT user_id, t_view, t_click, t_purchase,
+           (t_view < t_click AND t_click < t_purchase) AS completed
+    FROM m
+    WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+      AND t_purchase IS NOT NULL
+    ORDER BY user_id"""
+
   val eventsJsonAgg: String = s"""
     WITH $EvCte
     SELECT event_type,

@@ -217,6 +217,10 @@ object SparkEntry {
                 "content_type", "last_synced", "sync_status")
         .orderBy("object_name")),
 
+    "ledger_history_scd2" -> ((s, d) =>
+      SyncOps.ledgerHistoryScd2(led(s, d), updates(s, d))
+        .orderBy("object_name", "valid_from")),
+
     "ledger_delete" -> ((s, d) =>
       SyncOps.ledgerDelete(
           led(s, d),
@@ -518,6 +522,10 @@ object SparkEntry {
       EventOps.sessionStats(T.events(s, d), gapMinutes = 30)
         .orderBy("user_id")),
 
+    "events_funnel" -> ((s, d) =>
+      EventOps.funnel(T.events(s, d), Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
     "q3_topk" -> ((s, d) => {
       val c = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = T.orders(s, d)
@@ -804,6 +812,17 @@ object SparkEntry {
                 content_type, last_synced, sync_status
          FROM merged ORDER BY object_name"""),
 
+    "ledger_history_scd2" -> syncQ(
+      """SELECT mapping_id, object_name, etag, sync_status,
+                last_synced AS valid_from,
+                LEAD(last_synced, 1) OVER (
+                  PARTITION BY mapping_id, object_name
+                  ORDER BY last_synced) AS valid_to
+         FROM (SELECT * FROM ledger
+               UNION ALL
+               SELECT * FROM updates)
+         ORDER BY object_name, valid_from"""),
+
     "ledger_delete" -> syncQ(
       """SELECT mapping_id, object_name, etag, sync_status
          FROM ledger l
@@ -862,6 +881,7 @@ object SparkEntry {
     "events_sliding_window" -> OracleExt.eventsSlidingWindow,
     "events_json_agg" -> OracleExt.eventsJsonAgg,
     "events_sessionize" -> OracleExt.eventsSessionize,
+    "events_funnel" -> OracleExt.eventsFunnel,
     "events_asof_join" -> OracleExt.eventsAsofJoin,
     "events_asof_join_native" -> OracleExt.eventsAsofJoin,
 

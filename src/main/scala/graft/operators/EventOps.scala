@@ -149,4 +149,21 @@ object EventOps {
         count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("n_events"),
         max(col("n_events")).as("max_session_events"))
+
+  /** Ordered funnel over `steps`: users whose FIRST occurrence of each
+    * step strictly precedes the next step's first occurrence. One groupBy
+    * computing conditional mins (map-side partial) and a projection — no
+    * self-joins, no window, no per-step passes; adding a step adds a
+    * column, not a shuffle.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val mins = steps.map(s =>
+      min(when(col("event_type") === s, col("ts"))).as(s"t_$s"))
+    val staged = events.groupBy("user_id").agg(mins.head, mins.tail: _*)
+    val reached = steps.map(s => col(s"t_$s").isNotNull).reduce(_ && _)
+    val ordered = steps.sliding(2).map { pair =>
+      col(s"t_${pair.head}") < col(s"t_${pair.last}")
+    }.reduce(_ && _)
+    staged.filter(reached).withColumn("completed", ordered)
+  }
 }

@@ -210,6 +210,23 @@ object SyncOps {
       syncedAt.as("last_synced"),
       lit("success").as("sync_status"))
 
+  /** SCD2 version history: instead of overwriting on upsert, keep every
+    * version with its validity interval — `valid_to` = the next version's
+    * `valid_from` (NULL while current). The audit-trail extension of the
+    * reference's destructive `ON CONFLICT DO UPDATE`: one window over
+    * `(mapping_id, object_name)` ordered by version time, shuffled on the
+    * ledger's own key, so history costs exactly one `lead` pass.
+    */
+  def ledgerHistoryScd2(current: DataFrame, updates: DataFrame): DataFrame = {
+    val versions = current.unionByName(updates.selectExpr(current.columns: _*))
+    val w = Window.partitionBy("mapping_id", "object_name")
+      .orderBy(col("last_synced"))
+    versions.select(
+      col("mapping_id"), col("object_name"), col("etag"), col("sync_status"),
+      col("last_synced").as("valid_from"),
+      lead(col("last_synced"), 1).over(w).as("valid_to"))
+  }
+
   /** Ledger delete by key set = left anti-join (reference `database.go:405-415`). */
   def ledgerDelete(ledger: DataFrame, doomedNames: DataFrame): DataFrame =
     ledger.join(

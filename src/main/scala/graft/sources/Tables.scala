@@ -31,8 +31,11 @@ object Tables {
     import org.apache.spark.sql.functions._
     val df = table(spark, dir, "events")
     df.schema("ts").dataType.typeName match {
-      case "long" => // read as raw nanos (legacy nanosAsLong); convert
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case "long" => // read as raw nanos (legacy nanosAsLong); convert.
+        // MUST be integer division: `/` promotes to double, and at 1.7e18
+        // the double rounds the low µs digit up for sub-µs residues —
+        // DuckDB (and any ns→µs truncation) gives the floor
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }

@@ -38,9 +38,11 @@ object StreamingOps {
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val raw = stagedStream(spark, dir, "events")
-    // ts arrives as LONG nanos under the legacy parquet flag
+    // ts arrives as LONG nanos under the legacy parquet flag; integer div
+    // (not `/`, which round-trips through double and can round the low µs
+    // digit up) keeps parity with the batch reader and the oracle
     if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 

@@ -62,4 +62,24 @@ class EventOpsSpec extends AnyFunSuite {
       .select("event_type", "sum_k").as[(String, Long)].collect().toMap
     assert(r("click") == 14L && r("view") == 5L)
   }
+
+  test("funnel orders first occurrences and drops users missing a step") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: view < click < purchase → completed
+      (1L, "view", ts("2025-01-01 09:00:00")),
+      (1L, "click", ts("2025-01-01 09:05:00")),
+      (1L, "purchase", ts("2025-01-01 09:10:00")),
+      // user 2: purchase BEFORE first click → reached all, not completed
+      (2L, "view", ts("2025-01-01 09:00:00")),
+      (2L, "purchase", ts("2025-01-01 09:01:00")),
+      (2L, "click", ts("2025-01-01 09:02:00")),
+      // user 3: never purchases → excluded
+      (3L, "view", ts("2025-01-01 09:00:00")),
+      (3L, "click", ts("2025-01-01 09:01:00")))
+      .toDF("user_id", "event_type", "ts")
+    val r = EventOps.funnel(ev, Seq("view", "click", "purchase"))
+      .select("user_id", "completed").as[(Long, Boolean)].collect().toMap
+    assert(r == Map(1L -> true, 2L -> false))
+  }
 }
