@@ -539,6 +539,41 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "q18_large_orders" -> ((s, d) => {
+      // TPC-H Q18 shape: HAVING over an aggregate drives a semi join back
+      // into the fact table — the aggregate side is tiny after the
+      // threshold, so it broadcasts into the semi join
+      val li = T.lineitem(s, d)
+      val big = li.groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("order_qty"))
+        .filter(col("order_qty") > 250)
+      val o = T.orders(s, d)
+        .join(broadcast(big.select("l_orderkey")),
+              col("o_orderkey") === col("l_orderkey"), "left_semi")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+                 col("o_orderdate"), col("o_totalprice"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    "events_retention" -> ((s, d) => {
+      // cohort retention: users grouped by first active day, counted per
+      // week offset — two hash aggs + one join, no window
+      val ev = T.events(s, d)
+      val days = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      days.join(cohort, Seq("user_id"))
+        .withColumn("week_offset",
+          expr("datediff(day, cohort_day) div 7").cast("long"))
+        .groupBy("cohort_day", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "week_offset")
+    }),
+
     "q5_region_revenue" -> ((s, d) => {
       val li = T.lineitem(s, d); val o = T.orders(s, d)
       val c = T.customer(s, d); val su = T.supplier(s, d)
@@ -933,6 +968,33 @@ object SparkEntry {
       """SELECT 'local' AS source_provider_id, 'src' AS source_bucket,
                 'local' AS target_provider_id, 'dst' AS target_bucket,
                 'local:src->local:dst' AS mapping_id""",
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+                  AS total_qty
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey
+           HAVING CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) > 250)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+         LIMIT 100""",
+
+    "events_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+         cohort AS (SELECT user_id, min(day) AS cohort_day
+                    FROM days GROUP BY user_id)
+         SELECT c.cohort_day,
+                CAST(date_diff('day', c.cohort_day, d.day) // 7 AS BIGINT)
+                  AS week_offset,
+                CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+         FROM days d JOIN cohort c ON d.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q5_region_revenue" ->
       """SELECT n_name,
