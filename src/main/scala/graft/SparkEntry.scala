@@ -467,6 +467,17 @@ object SparkEntry {
       graft.operators.CorpusOps.tfidfTopTerms(T.documents(s, d), topN = 5)
         .orderBy("source", "rank")),
 
+    "decontaminate" -> ((s, d) => {
+      // held-out "benchmark" = every 97th doc; find training docs sharing
+      // ≥3 shingles with any benchmark doc (eval-leakage check)
+      val docs = T.documents(s, d)
+      TextOps.contamination(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          minShared = 3)
+        .orderBy("doc_id", "bench_doc_id")
+    }),
+
     "dedup_near_cosine" -> ((s, d) =>
       // banded-LSH blocked (4 bands × 4 sign bits) — never an all-pairs join
       VectorOps.nearDupCosine(T.embeddings(s, d), 0.4, dim = 64)
@@ -894,6 +905,7 @@ object SparkEntry {
     "dedup_near_minhash" -> OracleExt.dedupNearMinhash,
     "dedup_simhash" -> OracleExt.dedupSimhash,
     "dedup_ngram_jaccard" -> OracleExt.dedupNgramJaccard(0.5),
+    "decontaminate" -> OracleExt.decontaminate,
     "dedup_clusters" -> OracleExt.dedupClusters,
     "dedup_cluster_stats" -> OracleExt.dedupClusterStats,
     "sample_stratified" -> OracleExt.sampleStratified,

@@ -321,4 +321,24 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct 3-gram shingles with any document in `benchmark`
+    * — the standard eval-leakage check a training pipeline runs before a
+    * data release. The benchmark side is small by definition, so its
+    * shingle set broadcasts and the corpus streams through one hash join;
+    * no self-join, no shuffle of the corpus shingles.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    minShared: Int): DataFrame = {
+    def shingleSet(d: DataFrame, idAs: String) = d
+      .select(col("doc_id").as(idAs),
+              explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .distinct()
+    shingleSet(corpus, "doc_id")
+      .join(broadcast(shingleSet(benchmark, "bench_doc_id")), Seq("sh"))
+      .groupBy("doc_id", "bench_doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }
