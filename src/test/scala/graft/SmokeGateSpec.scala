@@ -44,6 +44,10 @@ class SmokeGateSpec extends AnyFunSuite {
     }
   }
 
+  test("flagship entry() returns rows on sf0.001 (driver smoke check)") {
+    assert(SparkEntry.entry(spark).limit(1).count() == 1L)
+  }
+
   test("every oracleSql key has a matching queries entry") {
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
