@@ -60,6 +60,27 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("mapping_id-partitioned ledger reads are partition-pruned") {
+    // backs the SCALE.md claim: per-mapping ledger reads touch only that
+    // mapping's partition directory (the SQLite composite index's job,
+    // done by layout)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ledger-prune")
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(("m1", "a", "e1"), ("m1", "b", "e2"), ("m2", "c", "e3"))
+      .toDF("mapping_id", "object_name", "etag")
+      .write.mode("overwrite").partitionBy("mapping_id")
+      .parquet(dir2.toString)
+    val one = spark.read.parquet(dir2.toString)
+      .filter(col("mapping_id") === "m1")
+    val formatted = one.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PartitionFilters") &&
+           formatted.contains("mapping_id"),
+      s"mapping filter not applied as partition filter:\n$formatted")
+    assert(one.count() == 2)
+  }
+
   private def withAutoBroadcastOff[T](f: => T): T = {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
