@@ -257,6 +257,39 @@ object OracleExt {
              AS n_sampled
     FROM r GROUP BY lang ORDER BY lang"""
 
+  /** k=25 on lang — constants must match the SparkEntry call. Same salted
+    * md5 rank order as CorpusOps.hashUniform("pick", doc_id).
+    */
+  val samplePerGroup: String = s"""
+    WITH r AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ${hexParse8("substr(md5('pick:' || doc_id), 1, 8)")},
+                        doc_id) AS rk
+      FROM documents)
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 25 ORDER BY lang, rk"""
+
+  /** capacity=512, nShards=8 — constants must match the SparkEntry call. */
+  val corpusPackSequences: String = docQ(s"""
+    , sized AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             ${hexParse8("substr(md5('shard:' || doc_id), 1, 8)")} % 8 AS shard
+      FROM docs_tok),
+    offsets AS (
+      SELECT shard, doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+      FROM sized)
+    SELECT shard, start_offset // 512 AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM offsets GROUP BY shard, start_offset // 512
+    ORDER BY shard, seq_id""")
+
   def corpusShard(nShards: Int): String = s"""
     WITH s AS (
       SELECT ${hexParse8("substr(md5('shard:' || doc_id), 1, 8)")} % $nShards

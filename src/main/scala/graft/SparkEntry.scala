@@ -448,6 +448,15 @@ object SparkEntry {
       graft.operators.CorpusOps.sampleStratified(T.documents(s, d))
         .orderBy("lang")),
 
+    "sample_per_group" -> ((s, d) =>
+      graft.operators.CorpusOps.samplePerGroup(T.documents(s, d), "lang", k = 25)
+        .orderBy("lang", "rk")),
+
+    "corpus_pack_sequences" -> ((s, d) =>
+      graft.operators.CorpusOps.packSequences(
+          T.documents(s, d), capacityTokens = 512, nShards = 8)
+        .orderBy("shard", "seq_id")),
+
     "corpus_shard" -> ((s, d) =>
       graft.operators.CorpusOps.shardAssign(T.documents(s, d), nShards = 8)
         .orderBy("shard")),
@@ -910,6 +919,8 @@ object SparkEntry {
     "dedup_cluster_stats" -> OracleExt.dedupClusterStats,
     "sample_stratified" -> OracleExt.sampleStratified,
     "corpus_shard" -> OracleExt.corpusShard(nShards = 8),
+    "sample_per_group" -> OracleExt.samplePerGroup,
+    "corpus_pack_sequences" -> OracleExt.corpusPackSequences,
     "pii_scrub" -> OracleExt.piiScrub,
     "tfidf_top_terms" -> OracleExt.tfidfTopTerms,
     "dedup_near_cosine" -> OracleExt.dedupNearCosineLsh(

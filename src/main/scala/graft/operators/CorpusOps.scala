@@ -121,6 +121,45 @@ object CorpusOps {
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"))
   }
 
+  /** Exact-count per-group sample: the k documents with the smallest
+    * salted-md5 rank within each group — "take k docs per language", the
+    * balanced-subset complement of rate-based [[sampleStratified]]. The
+    * window partitions by group, so no global sort; ties cannot occur
+    * (doc_id breaks them).
+    */
+  def samplePerGroup(docs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashUniform("pick", col("doc_id")), col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col("doc_id"), col("rk"))
+  }
+
+  /** Sequence packing: shard-local contiguous packing of documents into
+    * fixed-capacity token sequences — the batch-construction step of a
+    * training pipeline. Docs are ordered deterministically within their
+    * shard; a doc's sequence is the one its starting token offset falls in
+    * (continuation/truncation of stragglers is the consumer's policy).
+    * The window partitions by shard, so packing parallelizes with the
+    * shard count instead of requiring a global sort.
+    */
+  def packSequences(docs: DataFrame, capacityTokens: Int,
+                    nShards: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    docs
+      .withColumn("n_tokens",
+        size(TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("shard", hashUniform("shard", col("doc_id")) % nShards)
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq_id", expr(s"start_offset div $capacityTokens"))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("sum_tokens"))
+  }
+
   /** Deterministic shard assignment for training output: shard =
     * md5-uniform(doc_id) mod nShards. Returns per-shard stats; the write
     * path at scale is `repartition(nShards, col("shard")).write` so each

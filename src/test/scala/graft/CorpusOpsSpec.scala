@@ -62,6 +62,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(shards.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("per-group sample returns exactly k per group and is deterministic") {
+    val docs = (1L to 60L).map(i => (i, if (i % 2 == 0) "en" else "de",
+        "s", 5L, s"doc $i")).toDF("doc_id", "lang", "source", "n_chars", "text")
+    val got = CorpusOps.samplePerGroup(docs, "lang", 10)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    assert(got.count(_._1 == "en") == 10 && got.count(_._1 == "de") == 10)
+    val again = CorpusOps.samplePerGroup(docs, "lang", 10)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    assert(got.sortBy(x => x).toSeq == again.sortBy(x => x).toSeq)
+  }
+
+  test("sequence packing conserves tokens and respects shard locality") {
+    val docs = (1L to 80L).map(i => (i, "en", "s", 5L,
+        Seq.fill(1 + (i % 7).toInt)("tok").mkString(" ")))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val packed = CorpusOps.packSequences(docs, capacityTokens = 16, nShards = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    // every token lands in exactly one (shard, seq)
+    assert(packed.map(_._4).sum == (1L to 80L).map(i => 1 + (i % 7)).sum)
+    assert(packed.map(_._3).sum == 80L)
+    assert(packed.forall(p => p._1 >= 0 && p._1 < 4 && p._2 >= 0))
+  }
+
   test("pii scrub redacts emails and urls and counts them") {
     val docs = Seq(
       (1L, "mail bob@corp.io and see https://a.b/c for docs"),
