@@ -399,20 +399,23 @@ object OracleExt {
       FROM sim GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash""")
   }
 
-  /** minShared=3, benchmark = doc_id % 97 = 0 — constants must match the
-    * SparkEntry call.
+  /** minShared=3, maxDf=128, benchmark = doc_id % 97 = 0 — constants must
+    * match the SparkEntry call. The df cap counts over the corpus side
+    * only, mirroring TextOps.contamination.
     */
   val decontaminate: String = docQ("""
     , corp AS (
       SELECT DISTINCT doc_id, s
       FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)
       WHERE doc_id % 97 <> 0),
+    rare_c AS (SELECT s FROM corp GROUP BY s HAVING count(*) <= 128),
+    corp_r AS (SELECT c.doc_id, c.s FROM corp c JOIN rare_c USING (s)),
     benchm AS (
       SELECT DISTINCT doc_id AS bench_doc_id, s
       FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)
       WHERE doc_id % 97 = 0)
     SELECT c.doc_id, b.bench_doc_id, CAST(count(*) AS BIGINT) AS n_shared
-    FROM corp c JOIN benchm b ON c.s = b.s
+    FROM corp_r c JOIN benchm b ON c.s = b.s
     GROUP BY c.doc_id, b.bench_doc_id
     HAVING count(*) >= 3
     ORDER BY doc_id, bench_doc_id""")

@@ -157,6 +157,8 @@ object EventOps {
     * column, not a shuffle.
     */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2,
+      s"funnel needs at least 2 ordered steps, got $steps")
     val mins = steps.map(s =>
       min(when(col("event_type") === s, col("ts"))).as(s"t_$s"))
     val staged = events.groupBy("user_id").agg(mins.head, mins.tail: _*)

@@ -326,16 +326,23 @@ object TextOps {
     * `minShared` distinct 3-gram shingles with any document in `benchmark`
     * — the standard eval-leakage check a training pipeline runs before a
     * data release. The benchmark side is small by definition, so its
-    * shingle set broadcasts and the corpus streams through one hash join;
-    * no self-join, no shuffle of the corpus shingles.
+    * shingle set broadcasts; the corpus pays ONE shuffle of its distinct
+    * (doc, shingle) pairs (dedup + document-frequency counting — same cost
+    * profile as [[ngramJaccardPairs]]), never a self-join. Shingles in
+    * more than `maxDf` corpus documents are boilerplate, carry no leakage
+    * signal, and would fan the join out by corpus-df × benchmark-df — the
+    * cap drops them on both sides, bounding per-key join cardinality.
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
-                    minShared: Int): DataFrame = {
+                    minShared: Int, maxDf: Int = 128): DataFrame = {
     def shingleSet(d: DataFrame, idAs: String) = d
       .select(col("doc_id").as(idAs),
               explode(shingles(tokens(col("text")), 3)).as("sh"))
       .distinct()
-    shingleSet(corpus, "doc_id")
+    val corpusSh = shingleSet(corpus, "doc_id").localCheckpoint(false)
+    val rare = corpusSh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    corpusSh.join(rare, Seq("sh"))
       .join(broadcast(shingleSet(benchmark, "bench_doc_id")), Seq("sh"))
       .groupBy("doc_id", "bench_doc_id")
       .agg(count(lit(1)).as("n_shared"))

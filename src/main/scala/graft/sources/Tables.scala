@@ -32,10 +32,13 @@ object Tables {
     val df = table(spark, dir, "events")
     df.schema("ts").dataType.typeName match {
       case "long" => // read as raw nanos (legacy nanosAsLong); convert.
-        // MUST be integer division: `/` promotes to double, and at 1.7e18
-        // the double rounds the low µs digit up for sub-µs residues —
-        // DuckDB (and any ns→µs truncation) gives the floor
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // MUST be integer FLOOR division: `/` promotes to double (rounds
+        // the low µs digit at 1.7e18), and bare `div` truncates toward
+        // zero, which disagrees with DuckDB's ns→µs floor for pre-epoch
+        // values (verified: -1.5µs casts to -2µs there). The mod-adjust
+        // makes div floor for any sign.
+        df.withColumn("ts", timestamp_micros(
+          expr("(ts - (((ts % 1000) + 1000) % 1000)) div 1000")))
       case _ => df
     }
   }

@@ -38,11 +38,12 @@ object StreamingOps {
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val raw = stagedStream(spark, dir, "events")
-    // ts arrives as LONG nanos under the legacy parquet flag; integer div
-    // (not `/`, which round-trips through double and can round the low µs
-    // digit up) keeps parity with the batch reader and the oracle
+    // ts arrives as LONG nanos under the legacy parquet flag; floor-div
+    // (not `/` through double, not truncating `div`) keeps parity with the
+    // batch reader and DuckDB's ns→µs floor — see Tables.events
     if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.withColumn("ts", timestamp_micros(
+        expr("(ts - (((ts % 1000) + 1000) % 1000)) div 1000")))
     else raw
   }
 

@@ -75,8 +75,12 @@ class BucketingSpec extends AnyFunSuite {
       .filter(col("mapping_id") === "m1")
     val formatted = one.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    assert(formatted.contains("PartitionFilters") &&
-           formatted.contains("mapping_id"),
+    // mapping_id must appear INSIDE the PartitionFilters list — the bare
+    // substrings both occur even when pruning fails (empty filter list +
+    // the column in scan output)
+    val pruned = """PartitionFilters: \[[^\]]*mapping_id""".r
+      .findFirstIn(formatted).isDefined
+    assert(pruned,
       s"mapping filter not applied as partition filter:\n$formatted")
     assert(one.count() == 2)
   }
