@@ -287,7 +287,7 @@ object SparkEntry {
       // localCheckpoint = execute-once barrier: the orderBy's range
       // partitioner samples its child, which would re-run the side effects
       CopyExecutor.copyObjects(s, tasks, IoFixtures.uri(src), IoFixtures.uri(dst))
-        .toDF.localCheckpoint(true)
+        .toDF().localCheckpoint(true)
         .select("object_name", "size", "content_type", "sync_status")
         .orderBy("object_name")
     }),
@@ -299,7 +299,7 @@ object SparkEntry {
       import s.implicits._
       val orphans = Seq("x.txt", "y.txt").toDF("name")
       CopyExecutor.deleteObjects(s, orphans, IoFixtures.uri(dst))
-        .toDF.localCheckpoint(true)
+        .toDF().localCheckpoint(true)
         .select("object_name", "removed").orderBy("object_name")
     }),
 

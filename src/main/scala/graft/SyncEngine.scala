@@ -59,7 +59,7 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
     // reuse: the executor is side-effecting, and a lazy plan would re-run
     // the copies once per downstream action.
     val receipts = materialize(spark,
-      CopyExecutor.copyObjects(spark, toCopy, srcUri, dstUri).toDF,
+      CopyExecutor.copyObjects(spark, toCopy, srcUri, dstUri).toDF(),
       config.ledgerPath + ".scratch/copy_receipts")
 
     // 6e: ledger upsert from receipts (sync.go:179-196) — receipt status
@@ -84,7 +84,7 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
     // failed deletes keep their ledger rows (sync.go:217-221)
     val orphans = SyncOps.orphanAntiJoin(tgtCatalog, srcCatalog)
     val deleteReceipts = materialize(spark,
-      CopyExecutor.deleteObjects(spark, orphans, dstUri).toDF,
+      CopyExecutor.deleteObjects(spark, orphans, dstUri).toDF(),
       config.ledgerPath + ".scratch/delete_receipts")
     val removedNames = deleteReceipts.filter(col("removed"))
       .select(col("object_name").as("name"))
@@ -150,7 +150,7 @@ object SyncEngine {
       // be migrated, not silently null-filled by a forced schema
       val stored = spark.read.parquet(path)
       val (migrated, _) = LedgerMigrations.migrate(stored)
-      migrated.select(LedgerSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      migrated.select(LedgerSchema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
     } else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                             LedgerSchema)

@@ -103,7 +103,7 @@ object EventOps {
     tagged
       .withColumn(outCol, last(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_is_left") === 1)
-      .select(lCols.map(col) :+ col(outCol): _*)
+      .select(lCols.toIndexedSeq.map(col) :+ col(outCol): _*)
   }
 
   /** Native as-of join via the custom operator stack

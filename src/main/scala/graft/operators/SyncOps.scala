@@ -150,7 +150,7 @@ object SyncOps {
   def ledgerLatestWins(current: DataFrame, updates: DataFrame): DataFrame = {
     val cols = current.columns
     val tagged = current.withColumn("is_update", lit(0))
-      .unionByName(updates.selectExpr(cols: _*).withColumn("is_update", lit(1)))
+      .unionByName(updates.selectExpr(cols.toIndexedSeq: _*).withColumn("is_update", lit(1)))
     val w = Window
       .partitionBy("mapping_id", "object_name")
       .orderBy(col("last_synced").desc, col("is_update").desc)
@@ -186,11 +186,11 @@ object SyncOps {
       .agg(max(struct(payload.map(col): _*)).as("w"))
       .select(keys.map(col) ++ cols.filterNot(keys.contains)
         .map(c => col(s"w.$c").as(c)): _*)
-      .selectExpr(cols: _*)
+      .selectExpr(cols.toIndexedSeq: _*)
     current
       .join(latestUpdates.select("mapping_id", "object_name"),
             Seq("mapping_id", "object_name"), "left_anti")
-      .selectExpr(cols: _*)
+      .selectExpr(cols.toIndexedSeq: _*)
       .unionByName(latestUpdates)
   }
 
@@ -218,7 +218,7 @@ object SyncOps {
     * ledger's own key, so history costs exactly one `lead` pass.
     */
   def ledgerHistoryScd2(current: DataFrame, updates: DataFrame): DataFrame = {
-    val versions = current.unionByName(updates.selectExpr(current.columns: _*))
+    val versions = current.unionByName(updates.selectExpr(current.columns.toIndexedSeq: _*))
     val w = Window.partitionBy("mapping_id", "object_name")
       .orderBy(col("last_synced"))
     versions.select(
