@@ -63,6 +63,29 @@ class EventOpsSpec extends AnyFunSuite {
     assert(r("click") == 14L && r("view") == 5L)
   }
 
+  test("retention counts distinct users per cohort week offset") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, ts("2025-01-01 09:00:00")), // cohort day 1
+      (1L, ts("2025-01-09 09:00:00")), // week 1
+      (2L, ts("2025-01-01 10:00:00")), // cohort day 1, never returns
+      (3L, ts("2025-01-02 10:00:00")), // cohort day 2
+      (3L, ts("2025-01-20 10:00:00"))) // week 2
+      .toDF("user_id", "ts")
+    val days = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val got = days.join(cohort, Seq("user_id"))
+      .withColumn("week_offset",
+        expr("datediff(day, cohort_day) div 7").cast("long"))
+      .groupBy("cohort_day", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => (r._1.toString, r._2) -> r._3).toMap
+    assert(got == Map(("2025-01-01", 0L) -> 2L, ("2025-01-01", 1L) -> 1L,
+                      ("2025-01-02", 0L) -> 1L, ("2025-01-02", 2L) -> 1L))
+  }
+
   test("funnel orders first occurrences and drops users missing a step") {
     def ts(s: String) = Timestamp.valueOf(s)
     val ev = Seq(

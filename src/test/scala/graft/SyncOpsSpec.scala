@@ -121,6 +121,22 @@ class SyncOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"unexpected window in upsert plan:\n$plan")
   }
 
+  test("scd2 history chains validity intervals with an open current row") {
+    val decided = SyncOps.catalogLedgerDiff(catalog, ledger, M)
+    val updates = SyncOps.ledgerUpdatesFromDecisions(
+      SyncOps.needsSync(decided), M, lit("2026-01-01 00:00:00").cast("timestamp"))
+    val hist = SyncOps.ledgerHistoryScd2(ledger, updates)
+      .select("object_name", "valid_from", "valid_to")
+      .as[(String, Timestamp, Option[Timestamp])].collect()
+    val mtime = hist.filter(_._1 == "mtime.txt").sortBy(_._2.getTime)
+    // re-synced object: old version closed at the new version's start
+    assert(mtime.length == 2)
+    assert(mtime(0)._3.contains(mtime(1)._2) && mtime(1)._3.isEmpty)
+    // untouched object: exactly one open version
+    val same = hist.filter(_._1 == "same.txt")
+    assert(same.length == 1 && same.head._3.isEmpty)
+  }
+
   test("ledger delete removes exactly the doomed keys") {
     val doomed = Seq("gone.txt").toDF("name")
     val left = SyncOps.ledgerDelete(ledger, doomed)

@@ -82,4 +82,17 @@ class TextOpsSpec extends AnyFunSuite {
       .select("doc_id", "content_hash").as[(Long, String)].collect().toMap
     assert(fp(1L) == fp(5L) && fp(1L) != fp(2L))
   }
+
+  test("contamination finds planted overlap and ignores clean docs") {
+    val bench = Seq((100L, "the secret benchmark answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains a 5-token window of the benchmark → ≥3 shared shingles
+      (1L, "prefix words the secret benchmark answer is forty then more"),
+      (2L, "completely unrelated content about weather patterns today"))
+      .toDF("doc_id", "text")
+    val hits = TextOps.contamination(corpus, bench, minShared = 3)
+      .select("doc_id", "bench_doc_id").as[(Long, Long)].collect()
+    assert(hits.toSeq == Seq((1L, 100L)))
+  }
 }
