@@ -63,7 +63,18 @@ object Bench {
     val ok = results.collect { case (_, Right(v)) => v }
     val nErr = results.count(_._2.isLeft)
     val total = ok.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's captured tail truncates at 2k chars, which silently
+    // drops most of the per-query map — also write the full line to a file
+    // (SPARK_GRAFT_BENCH_OUT, default bench_out.json) so every round's
+    // complete timing data survives and can be committed.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    if (outPath.nonEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${t.getMessage}") }
     spark.stop()
     if (nErr > 0) sys.exit(2)
   }

@@ -284,7 +284,7 @@ object OracleExt {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS start_offset
       FROM sized)
-    SELECT shard, start_offset // 512 AS seq_id,
+    SELECT shard, CAST(start_offset // 512 AS BIGINT) AS seq_id,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
     FROM offsets GROUP BY shard, start_offset // 512
@@ -313,14 +313,18 @@ object OracleExt {
       SELECT doc_id,
              text || ' contact user' || doc_id ||
                '@example.com via https://ex.org/d/' || doc_id AS t
-      FROM documents)
+      FROM documents),
+    u AS (
+      SELECT doc_id, t,
+             regexp_replace(t, '$url', '<URL>', 'g') AS t_url
+      FROM p)
     SELECT doc_id,
-           CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+           -- emails counted AFTER URL redaction, mirroring CorpusOps.piiScrub:
+           -- an email inside a URL is redacted as <URL>, so it must not count
+           CAST(len(regexp_extract_all(t_url, '$email')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(t, '$url')) AS BIGINT) AS n_urls,
-           md5(regexp_replace(
-                 regexp_replace(t, '$url', '<URL>', 'g'),
-                 '$email', '<EMAIL>', 'g')) AS scrubbed_hash
-    FROM p ORDER BY doc_id"""
+           md5(regexp_replace(t_url, '$email', '<EMAIL>', 'g')) AS scrubbed_hash
+    FROM u ORDER BY doc_id"""
   }
 
   /** topN=5 — constant must match the SparkEntry call. */

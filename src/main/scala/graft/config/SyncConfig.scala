@@ -12,7 +12,12 @@ import scala.jdk.CollectionConverters._
   * SDK blocks collapsed to a single `uri` per provider — connectors are
   * configuration in Spark, not code (SURVEY.md §7.1).
   */
-case class ProviderConf(id: String, providerType: String, uri: String)
+/** `userProject` is the GCS requester-pays billing project
+  * (reference `internal/providers/gcp/client.go:33-41`, surfaced as the
+  * provider's `userProject` config key); empty = not requester-pays.
+  */
+case class ProviderConf(id: String, providerType: String, uri: String,
+                        userProject: String = "")
 case class MappingConf(sourceProviderId: String, sourceBucket: String,
                        targetProviderId: String, targetBucket: String) {
   /** `"src:srcBucket->tgt:tgtBucket"` (sync.go:93-95). */
@@ -62,7 +67,8 @@ object SyncConfig {
   def parse(json: String): SyncConfig = {
     val root = new ObjectMapper().readTree(json)
     val providers = arr(root, "providers").map { p =>
-      ProviderConf(str(p, "id"), str(p, "type"), str(p, "uri"))
+      ProviderConf(str(p, "id"), str(p, "type"), str(p, "uri"),
+                   str(p, "userProject"))
     }
     val mappings = arr(root, "mappings").map { m =>
       MappingConf(str(m, "sourceProviderId"), str(m, "sourceBucket"),

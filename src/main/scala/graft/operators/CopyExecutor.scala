@@ -80,7 +80,10 @@ object CopyExecutor {
 
   /** Delete the orphan set from the target bucket (sync.go:199-234).
     * A failed delete is reported, not thrown — the caller keeps the ledger
-    * row, mirroring sync.go:217-221.
+    * row, mirroring sync.go:217-221. Deleting an already-missing object is
+    * success (tolerate-404), matching azure/client.go:168-170: the goal
+    * state ("object absent") holds, so the ledger row must clear rather
+    * than stick around until the object reappears.
     */
   def deleteObjects(spark: SparkSession, orphans: DataFrame,
                     dstBucket: String): Dataset[DeleteReceipt] = {
@@ -88,8 +91,9 @@ object CopyExecutor {
     orphans.select(col("name")).as[DeleteTask].mapPartitions { it =>
       val fs = FileSystem.get(URI.create(dstBucket), new Configuration())
       it.map { t =>
+        val path = new Path(dstBucket + "/" + t.name)
         try {
-          val removed = fs.delete(new Path(dstBucket + "/" + t.name), false)
+          val removed = fs.delete(path, false) || !fs.exists(path)
           DeleteReceipt(t.name, removed, "")
         } catch {
           case e: Exception =>

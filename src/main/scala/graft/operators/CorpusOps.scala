@@ -32,9 +32,10 @@ object CorpusOps {
     * neighborhood; fixpoint = each component labeled by its minimum id.
     *
     * Scale shape: per round, two keyed shuffles (edge⋈label join + groupBy
-    * min) — never a collect of the graph; `localCheckpoint` truncates the
-    * lineage so plans stay flat across rounds (on a cluster, checkpoint to
-    * durable storage instead). Rounds needed = component diameter; near-dup
+    * min) — never a collect of the graph; an eager [[Barriers.materialize]]
+    * truncates the lineage so plans stay flat across rounds (strategy
+    * `checkpoint` gives durable cluster-grade truncation). Rounds needed =
+    * component diameter; near-dup
     * graphs are overwhelmingly small cliques (diameter ≤ 2-3), so the loop
     * exits after 3-4 rounds. Convergence is detected by the label sum — it
     * strictly decreases until fixpoint, so one scalar aggregate per round
@@ -48,10 +49,10 @@ object CorpusOps {
     val sym = edges
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .transform(Barriers.materialize(_, eager = true))
     var labels = nodes
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
+      .transform(Barriers.materialize(_, eager = true))
     var prevSum = Option.empty[Long]
     var converged = false
     var iter = 0
@@ -66,17 +67,20 @@ object CorpusOps {
         .select(col("doc_id"),
           least(col("cluster_id"),
                 coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true)
+        .transform(Barriers.materialize(_, eager = true))
       val s = next.agg(coalesce(sum(col("cluster_id")), lit(0L)))
         .head().getLong(0)
       labels = next
       if (prevSum.contains(s)) converged = true
       else { prevSum = Some(s); iter += 1 }
     }
+    // Fail loudly: a non-fixpoint result carries split cluster ids, and a
+    // downstream dedup would silently keep duplicates. Long-chain graphs
+    // (diameter > maxIter) must raise maxIter, not accept a wrong answer.
     if (!converged)
-      System.err.println(
-        s"[graft] connectedComponents: no fixpoint after $maxIter rounds — " +
-        "a component wider than maxIter hops may carry split cluster ids; " +
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds — " +
+        "a component wider than maxIter hops would carry split cluster ids; " +
         "raise maxIter for long-chain graphs")
     labels
   }
@@ -183,19 +187,23 @@ object CorpusOps {
   /** Redact emails and URLs (URLs first — an email never contains `://`,
     * but a URL may contain an `@`), returning per-doc match counts and the
     * md5 of the scrubbed text (the scrubbed corpus is written, not
-    * collected; the hash is the parity-checkable witness). Pure per-row
-    * projection — codegen'd, no shuffle.
+    * collected; the hash is the parity-checkable witness). `n_emails` is
+    * counted on the URL-redacted text so an email embedded in a URL —
+    * which the redaction pass replaces as `<URL>`, not `<EMAIL>` — is not
+    * overcounted: the counts are exactly the redactions performed. Pure
+    * per-row projection — codegen'd, no shuffle.
     */
-  def piiScrub(docs: DataFrame): DataFrame =
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val urlScrubbed = regexp_replace(col("text"), UrlRe, "<URL>")
     docs.select(
       col("doc_id"),
-      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+      size(regexp_extract_all(urlScrubbed, lit(EmailRe), lit(0)))
         .cast("long").as("n_emails"),
       size(regexp_extract_all(col("text"), lit(UrlRe), lit(0)))
         .cast("long").as("n_urls"),
-      md5(regexp_replace(
-        regexp_replace(col("text"), UrlRe, "<URL>"),
-        EmailRe, "<EMAIL>")).as("scrubbed_hash"))
+      md5(regexp_replace(urlScrubbed, EmailRe, "<EMAIL>"))
+        .as("scrubbed_hash"))
+  }
 
   // ---- TF-IDF ----------------------------------------------------------
 

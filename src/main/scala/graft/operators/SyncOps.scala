@@ -178,7 +178,14 @@ object SyncOps {
     // ON CONFLICT collapses duplicate keys WITHIN the batch too (last
     // writer wins): keep one row per key via max(struct(last_synced, …)) —
     // a partial-aggregating hash agg over the small batch, so the merged
-    // plan still contains no sort or window anywhere
+    // plan still contains no sort or window anywhere.
+    // Tie rule: when two batch rows share a key AND last_synced, the max
+    // compares the remaining payload columns in struct order — a
+    // DETERMINISTIC tie-break, unlike the reference's insertion-order
+    // last-writer-wins (database.go:346-364). A Spark batch is an
+    // unordered relation, so "arrival order" does not exist here; callers
+    // needing the reference's exact tie semantics must carry their own
+    // sequence column and order the struct by it.
     val payload = ("last_synced" +:
       cols.filterNot(c => keys.contains(c) || c == "last_synced").toSeq)
     val latestUpdates = updates

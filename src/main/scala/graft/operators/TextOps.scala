@@ -232,7 +232,7 @@ object TextOps {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       // both sides of the candidate self-join read this frame — without a
       // barrier the whole shingle→signature pipeline runs twice
-      .localCheckpoint(false)
+      .transform(Barriers.materialize(_))
     val a = banded.select(col("band"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band"))
@@ -295,15 +295,14 @@ object TextOps {
     // The shingle set feeds FIVE consumers (df counts, both sides of the
     // self-join, both size lookups); without a materialization barrier
     // Catalyst re-runs tokenize→shingle→md5→distinct for each (16 scans
-    // observed). Lazy localCheckpoint computes it once and shares the
-    // blocks; at cluster scale persist to durable storage instead.
-    val shAll = docs
+    // observed). A lazy barrier computes it once and shares the blocks
+    // (strategy is config — Barriers.StrategyKey).
+    val shAll = Barriers.materialize(docs
       .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh"))
-      .distinct()
-      .localCheckpoint(false)
+      .distinct())
     val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
-    val sh = shAll.join(rare, Seq("sh")).localCheckpoint(false)
+    val sh = Barriers.materialize(shAll.join(rare, Seq("sh")))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") &&
@@ -339,7 +338,7 @@ object TextOps {
       .select(col("doc_id").as(idAs),
               explode(shingles(tokens(col("text")), 3)).as("sh"))
       .distinct()
-    val corpusSh = shingleSet(corpus, "doc_id").localCheckpoint(false)
+    val corpusSh = Barriers.materialize(shingleSet(corpus, "doc_id"))
     val rare = corpusSh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
     corpusSh.join(rare, Seq("sh"))

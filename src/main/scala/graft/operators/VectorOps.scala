@@ -111,7 +111,7 @@ object VectorOps {
     val banded = corpus.select(
       col("vec_id"), explode(array(bandCols: _*)).as("band"))
       // both join sides read this — keep the plane projections single-pass
-      .localCheckpoint(false)
+      .transform(Barriers.materialize(_))
     val cand = banded.select(col("band"), col("vec_id").as("vec_a"))
       .join(banded.select(col("band"), col("vec_id").as("vec_b")), Seq("band"))
       .filter(col("vec_a") < col("vec_b"))
@@ -172,7 +172,7 @@ object VectorOps {
       col("vec_id"), col("embedding").as("v"),
       lshBucket(col("embedding"), dim, nPlanes).as("bucket"))
       // both join sides read this — keep the plane projections single-pass
-      .localCheckpoint(false)
+      .transform(Barriers.materialize(_))
     val a = withBucket.select(col("bucket"), col("vec_id").as("query_id"),
                               col("v").as("qv"))
     val b = withBucket.select(col("bucket"), col("vec_id").as("neighbor_id"),

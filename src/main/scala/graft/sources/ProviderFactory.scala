@@ -21,8 +21,17 @@ object ProviderFactory {
     */
   def hadoopConf(p: ProviderConf): Map[String, String] = p.providerType match {
     case "file"  => Map.empty
-    case "gcs"   => Map(
-      "fs.gs.impl" -> "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem")
+    case "gcs"   =>
+      // requester-pays parity with gcp/client.go:33-41 (option.WithQuotaProject):
+      // the GCS connector bills the configured project on every request
+      val requesterPays =
+        if (p.userProject.nonEmpty)
+          Map("fs.gs.requester.pays.mode" -> "AUTO",
+              "fs.gs.requester.pays.project.id" -> p.userProject)
+        else Map.empty[String, String]
+      Map(
+        "fs.gs.impl" -> "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem"
+      ) ++ requesterPays
     case "s3" | "aws" => Map(
       "fs.s3a.impl" -> "org.apache.hadoop.fs.s3a.S3AFileSystem")
     case "azure" => Map(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.config.ProviderConf
+import graft.config.{ProviderConf, SyncConfig}
 import graft.operators.{CopyExecutor, SyncOps}
 import graft.sources.{IoFixtures, ProviderFactory}
 
@@ -68,6 +68,23 @@ class RetryAndMigrationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ProviderFactory.scheme("ftp")   // factory.go:64-66 unknown-type error
     }
+  }
+
+  test("gcs requester-pays maps userProject onto the connector config") {
+    val plain = ProviderFactory.hadoopConf(ProviderConf("g", "gcs", "gs://x"))
+    assert(!plain.contains("fs.gs.requester.pays.mode"))
+    // gcp/client.go:33-41 UserProject parity
+    val rp = ProviderFactory.hadoopConf(
+      ProviderConf("g", "gcs", "gs://x", userProject = "bill-me"))
+    assert(rp("fs.gs.requester.pays.mode") == "AUTO")
+    assert(rp("fs.gs.requester.pays.project.id") == "bill-me")
+    // round-trips through the JSON config
+    val cfg = SyncConfig.parse(
+      """{"providers":[{"id":"g","type":"gcs","uri":"gs://x",
+         "userProject":"bill-me"}],
+         "mappings":[{"sourceProviderId":"g","sourceBucket":"s",
+                      "targetProviderId":"g","targetBucket":"t"}]}""")
+    assert(cfg.providers.head.userProject == "bill-me")
   }
 
   test("ledger v1->v2 migration derives mapping_id and is idempotent") {

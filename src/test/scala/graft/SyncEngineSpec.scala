@@ -115,6 +115,28 @@ class SyncEngineSpec extends AnyFunSuite {
     assert(loaded.validate().isEmpty)
   }
 
+  test("tolerate-404: deleting an already-missing orphan clears its ledger row") {
+    val root = Files.createTempDirectory("graft-tol404")
+    write(root.resolve("dst/keep.txt"), "k")
+    import spark.implicits._
+    // the orphan set as the engine computes it, except 'gone.txt' vanished
+    // externally between the target scan and the delete executor — the
+    // reference treats that 404 as success (azure/client.go:168-170)
+    val orphans = Seq("gone.txt", "keep.txt").toDF("name")
+    val receipts = graft.operators.CopyExecutor
+      .deleteObjects(spark, orphans, s"file://$root/dst").collect()
+    assert(receipts.forall(r => r.removed && r.error.isEmpty))
+    assert(!Files.exists(root.resolve("dst/keep.txt")))
+
+    // both names reach the removed set, so neither leaves a stale ledger row
+    val ledger = Seq((1L, "m", "gone.txt"), (2L, "m", "keep.txt"),
+                     (3L, "m", "live.txt"))
+      .toDF("id", "mapping_id", "object_name")
+    val removedNames = receipts.filter(_.removed).map(_.object_name).toSeq.toDF("name")
+    val after = graft.operators.SyncOps.ledgerDelete(ledger, removedNames)
+    assert(after.collect().map(_.getAs[String]("object_name")).toSet == Set("live.txt"))
+  }
+
   test("failed copy isolates the object and records failed status") {
     val root = Files.createTempDirectory("graft-fail")
     write(root.resolve("src/ok.txt"), "fine")
