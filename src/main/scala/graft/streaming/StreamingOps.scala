@@ -86,7 +86,9 @@ object StreamingOps {
     *
     * Scale note: state is keyed by the 32-byte hash and partitioned by the
     * shuffle, so state volume is bounded by distinct content, not stream
-    * length; at production scale use RocksDB state store + watermarked
+    * length; at production scale run it under the RocksDB state store
+    * (`spark.sql.streaming.stateStore.providerClass`, disk-backed state —
+    * exercised in StreamingOpsSpec) + watermarked
     * dropDuplicatesWithinWatermark when exact global state is too large.
     */
   def dedupExactStream(spark: SparkSession, dir: String): DataFrame = {

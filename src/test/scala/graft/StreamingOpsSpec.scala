@@ -31,6 +31,22 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming dedup under the RocksDB state store matches batch") {
+    // The scale-path state backend (StreamingOps scale note): HDFS-backed
+    // in-memory state OOMs once distinct-key state outgrows executor heap;
+    // RocksDB spills to local disk. Same query, same oracle-checked result.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = StreamingOps.dedupExactStream(spark, dir)
+        .collect().map(_.toSeq).toSet
+      val batch = graft.operators.TextOps.dedupExact(Tables.documents(spark, dir))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stateful streaming sessionize equals batch sessionize") {
     val streamed = StreamingOps.sessionizeStateful(spark, dir, 30)
       .collect().map(_.toSeq).toSet
