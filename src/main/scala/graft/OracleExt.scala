@@ -538,6 +538,38 @@ object OracleExt {
       WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** OR-banded LSH ANN top-k oracle (mirrors VectorOps.topkCosineLshBanded):
+    * candidates collide in ANY band, deduped, exact cosine re-rank.
+    */
+  def similarityTopkLshBanded(dim: Int, k: Int,
+                              bands: Int, rowsPerBand: Int): String = {
+    val bandExprs = (0 until bands).map { j =>
+      val b = bucketSql("v", dim, (0 until rowsPerBand).map(_ + j * rowsPerBand))
+      s"'$j:' || CAST($b AS VARCHAR)"
+    }.mkString(",\n               ")
+    s"""
+      WITH $EmbCte,
+      banded AS (
+        SELECT vec_id, unnest([$bandExprs]) AS band FROM emb),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.vec_id <> b.vec_id),
+      scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               round(list_dot_product(q.v, n.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(n.v, n.v))), 6) AS sim
+        FROM cand c
+        JOIN emb q ON q.vec_id = c.query_id
+        JOIN emb n ON n.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** IVF ANN top-k oracle (mirrors VectorOps.topkCosineIvf): deterministic
     * centroid subset, nearest-centroid assignment on the UNROUNDED cosine
     * (ties by centroid_id), nProbe lists per query, exact rerank.

@@ -522,6 +522,13 @@ object SparkEntry {
       VectorOps.topkCosineLsh(T.embeddings(s, d), dim = 64, k = 5)
         .orderBy("query_id", "rank")),
 
+    "similarity_topk_lsh_banded" -> ((s, d) =>
+      // OR-banded multi-table LSH (4 bands x 4 sign bits) — the recall
+      // remedy SCALE.md's measured table prescribes for unclustered data;
+      // deterministic buckets, hash-checked against the DuckDB restatement
+      VectorOps.topkCosineLshBanded(T.embeddings(s, d), dim = 64, k = 5)
+        .orderBy("query_id", "rank")),
+
     "multimodal_select" -> ((s, d) =>
       VectorOps.multimodalSelect(T.documents(s, d), T.embeddings(s, d))
         .orderBy("doc_id")),
@@ -929,6 +936,8 @@ object SparkEntry {
     "similarity_topk_agg" -> OracleExt.similarityTopk,
     "similarity_topk_lsh" -> OracleExt.similarityTopkLsh(
       dim = 64, k = 5, nPlanes = 8),
+    "similarity_topk_lsh_banded" -> OracleExt.similarityTopkLshBanded(
+      dim = 64, k = 5, bands = 4, rowsPerBand = 4),
     "similarity_topk_ivf" -> OracleExt.similarityTopkIvf(
       k = 5, nProbe = 4, centroidEvery = 50),
     "multimodal_decode_stub" -> OracleExt.multimodalDecodeStub,

@@ -190,6 +190,54 @@ object VectorOps {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** ANN top-k via OR-banded LSH: `bands` independent bucket tables of
+    * `rowsPerBand` sign bits each — the multi-table construction the
+    * measured recall table (SCALE.md) prescribes when single-bucket
+    * recall is not enough. A candidate pair only needs to collide in ONE
+    * band, so each band adds its p^r recall mass:
+    * recall ≈ 1-(1-p^r)^b vs p^(r·b) for one (r·b)-bit table — ~0.50 vs
+    * ~0.02 at the synthetic corpus's neighbor sims (measured in
+    * `graft.tools.Recall`), for bands× the candidate volume.
+    *
+    * Scale shape: same as [[topkCosineLsh]] — band keys explode to
+    * `bands` short rows per vector (ids only), candidates are a band
+    * equi-join deduped on (query, neighbor) BEFORE the exact-cosine
+    * re-rank joins the vectors back by id; never n².
+    */
+  def topkCosineLshBanded(corpus: DataFrame, dim: Int, k: Int,
+                          bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    import graft.functions.ArrayMath.dot_product
+    val bandCols = (0 until bands).map { j =>
+      val bucket = bucketFromPlanes(
+        col("embedding"), dim, (0 until rowsPerBand).map(_ + j * rowsPerBand))
+      concat(lit(s"$j:"), bucket.cast("string"))
+    }
+    val banded = corpus.select(
+      col("vec_id"), explode(array(bandCols: _*)).as("band"))
+      // both join sides read this — keep the plane projections single-pass
+      .transform(Barriers.materialize(_))
+    val cand = banded.select(col("band"), col("vec_id").as("query_id"))
+      .join(banded.select(col("band"), col("vec_id").as("neighbor_id")),
+            Seq("band"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val q = corpus.select(col("vec_id").as("query_id"),
+                          col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+                          col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .withColumn("sim", round(
+        dot_product(col("qv"), col("cv")) /
+          (sqrt(dot_product(col("qv"), col("qv"))) *
+           sqrt(dot_product(col("cv"), col("cv")))), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Brute-force top-k via the bounded [[graft.functions.TopKAgg]]
     * aggregator instead of a window: map-side partial top-k means each
     * task ships at most k rows per query to the shuffle — the window

@@ -58,6 +58,22 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("banded LSH topk strictly beats the single-bucket table on recall") {
+    val exact = VectorOps.topkCosine(emb, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val approx = df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val single = recallOf(VectorOps.topkCosineLsh(emb, dim = 64, k = 5))
+    val banded = recallOf(VectorOps.topkCosineLshBanded(emb, dim = 64, k = 5))
+    // 4 OR-bands of 4 bits each: recall ~1-(1-p^4)^4 vs p^8 for the single
+    // 8-bit bucket — the whole point of the banded construction
+    assert(banded > single, s"banded $banded <= single $single")
+    assert(banded > 0.25, s"banded recall $banded")
+  }
+
   test("aggregator topk equals window topk exactly") {
     val w = VectorOps.topkCosine(emb.filter($"vec_id" < 10), emb, 5)
       .select("query_id", "neighbor_id", "sim", "rank")
