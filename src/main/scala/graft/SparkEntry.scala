@@ -256,6 +256,12 @@ object SparkEntry {
       graft.streaming.StreamingOps.dedupExactStream(s, d)
         .orderBy("content_hash")),
 
+    "docs_stream_dedup_watermark" -> ((s, d) =>
+      // bounded-state dedup: state expires with the watermark instead of
+      // accumulating one entry per distinct content forever
+      graft.streaming.StreamingOps.dedupWithinWatermarkStream(s, d)
+        .orderBy("content_hash")),
+
     // [EXT] multimodal binary columns -----------------------------------
     "multimodal_media_stats" -> ((s, d) =>
       Multimodal.mediaFromDocuments(T.documents(s, d))
@@ -970,6 +976,10 @@ object SparkEntry {
     "events_stream_window" -> OracleExt.eventsWindowAgg,
     "events_stream_sessionize" -> OracleExt.eventsSessionize,
     "docs_stream_dedup" -> OracleExt.dedupExact,
+    "docs_stream_dedup_watermark" ->
+      """SELECT DISTINCT md5(text) AS content_hash,
+                CAST(length(text) AS BIGINT) AS n_chars_text
+         FROM documents ORDER BY content_hash""",
 
     "multimodal_media_stats" ->
       """SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

@@ -100,6 +100,34 @@ object StreamingOps {
     runToTable(spark, agg, OutputMode.Complete())
   }
 
+  /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * keeps a key's state only until the watermark passes its event time
+    * plus the delay, so state volume is bounded by the duplicate-arrival
+    * window, not by all distinct content ever seen — the variant the
+    * exact-state dedup's scale note prescribes for unbounded streams.
+    *
+    * The corpus has no event time, so one is synthesized deterministically
+    * from doc_id; duplicates carried past the dedup are only columns
+    * functionally dependent on the dedup key (char count of the text), so
+    * which physical row survives a key's race is unobservable and the
+    * result equals batch `SELECT DISTINCT md5(text), length(text)` — the
+    * DuckDB oracle for the declared query.
+    */
+  def dedupWithinWatermarkStream(spark: SparkSession, dir: String): DataFrame = {
+    // offset past the epoch: Spark's event-time watermark initializes to 0,
+    // and a row AT the watermark is late — doc_id=0 landing exactly on the
+    // epoch would be silently dropped
+    val st = docsStream(spark, dir)
+      .withColumn("event_time",
+        timestamp_micros(col("doc_id") + 86400L * 1000000L))
+      .withWatermark("event_time", "1 hour")
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("n_chars_text", length(col("text")).cast("long"))
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select("content_hash", "n_chars_text")
+    runToTable(spark, st, OutputMode.Append())
+  }
+
   case class Ev(user_id: Long, ts_us: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long,
                           max_session_events: Long)

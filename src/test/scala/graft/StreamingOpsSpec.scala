@@ -47,6 +47,17 @@ class StreamingOpsSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("watermark-bounded streaming dedup equals batch distinct") {
+    import spark.implicits._
+    val streamed = StreamingOps.dedupWithinWatermarkStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.md5($"text").as("content_hash"),
+              org.apache.spark.sql.functions.length($"text").cast("long"))
+      .distinct().collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful streaming sessionize equals batch sessionize") {
     val streamed = StreamingOps.sessionizeStateful(spark, dir, 30)
       .collect().map(_.toSeq).toSet
