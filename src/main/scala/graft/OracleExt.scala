@@ -492,15 +492,21 @@ object OracleExt {
         s"THEN ${1 << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** SQL restatement of `VectorOps.bandKeyCols` — the parity-critical band
+    * layout, generated in ONE place for both banded oracles.
+    */
+  private def bandExprsSql(dim: Int, bands: Int, rowsPerBand: Int): String =
+    (0 until bands).map { j =>
+      val b = bucketSql("v", dim, (0 until rowsPerBand).map(_ + j * rowsPerBand))
+      s"'$j:' || CAST($b AS VARCHAR)"
+    }.mkString(",\n               ")
+
   /** Banded-LSH near-dup oracle (mirrors VectorOps.nearDupCosine):
     * candidates share any of `bands` band buckets, exact cosine within.
     */
   def dedupNearCosineLsh(threshold: Double, dim: Int,
                          bands: Int, rowsPerBand: Int): String = {
-    val bandExprs = (0 until bands).map { j =>
-      val b = bucketSql("v", dim, (0 until rowsPerBand).map(_ + j * rowsPerBand))
-      s"'$j:' || CAST($b AS VARCHAR)"
-    }.mkString(",\n               ")
+    val bandExprs = bandExprsSql(dim, bands, rowsPerBand)
     s"""
       WITH $EmbCte,
       banded AS (
@@ -543,10 +549,7 @@ object OracleExt {
     */
   def similarityTopkLshBanded(dim: Int, k: Int,
                               bands: Int, rowsPerBand: Int): String = {
-    val bandExprs = (0 until bands).map { j =>
-      val b = bucketSql("v", dim, (0 until rowsPerBand).map(_ + j * rowsPerBand))
-      s"'$j:' || CAST($b AS VARCHAR)"
-    }.mkString(",\n               ")
+    val bandExprs = bandExprsSql(dim, bands, rowsPerBand)
     s"""
       WITH $EmbCte,
       banded AS (

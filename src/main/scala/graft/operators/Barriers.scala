@@ -35,6 +35,16 @@ object Barriers {
 
   val StrategyKey = "graft.barrier.strategy"
 
+  /** Drop the blocks behind a frame previously returned by [[materialize]].
+    * Iterative loops MUST call this on the prior round's frame once the new
+    * round is eagerly materialized: under `persist` (and localCheckpoint)
+    * the old blocks are otherwise pinned by the CacheManager for the
+    * session's lifetime — one full copy of the frame per round. Only call
+    * on a dead frame: for localCheckpoint the blocks ARE the data and
+    * recompute is impossible afterwards.
+    */
+  def release(df: DataFrame): Unit = df.unpersist(false)
+
   /** Materialize `df` under the session-configured strategy. `eager` forces
     * computation now (iterative loops want this — the round's work must
     * happen before the driver checks convergence); lazy defers to the first

@@ -56,7 +56,11 @@ object CorpusOps {
     var prevSum = Option.empty[Long]
     var converged = false
     var iter = 0
-    while (iter < maxIter && !converged) {
+    // `iter` counts label-DECREASING rounds; the round that confirms the
+    // fixpoint (sum unchanged) doesn't increment it. `<=` admits that
+    // confirming round when the diameter is exactly maxIter — the labels
+    // are already correct then, and `<` would throw on a right answer.
+    while (iter <= maxIter && !converged) {
       val nbrMin = sym
         .join(labels.select(col("doc_id").as("dst"),
                             col("cluster_id").as("dst_lab")), Seq("dst"))
@@ -70,10 +74,14 @@ object CorpusOps {
         .transform(Barriers.materialize(_, eager = true))
       val s = next.agg(coalesce(sum(col("cluster_id")), lit(0L)))
         .head().getLong(0)
+      // the old round's blocks are dead once `next` is materialized —
+      // without this, persist/localCheckpoint pins one label copy per round
+      Barriers.release(labels)
       labels = next
       if (prevSum.contains(s)) converged = true
       else { prevSum = Some(s); iter += 1 }
     }
+    Barriers.release(sym)
     // Fail loudly: a non-fixpoint result carries split cluster ids, and a
     // downstream dedup would silently keep duplicates. Long-chain graphs
     // (diameter > maxIter) must raise maxIter, not accept a wrong answer.

@@ -103,13 +103,10 @@ object VectorOps {
   def nearDupCosine(corpus: DataFrame, threshold: Double, dim: Int,
                     bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
-    val bandCols = (0 until bands).map { j =>
-      val bucket = bucketFromPlanes(
-        col("embedding"), dim, (0 until rowsPerBand).map(_ + j * rowsPerBand))
-      concat(lit(s"$j:"), bucket.cast("string"))
-    }
     val banded = corpus.select(
-      col("vec_id"), explode(array(bandCols: _*)).as("band"))
+      col("vec_id"),
+      explode(array(bandKeyCols(col("embedding"), dim,
+                                bands, rowsPerBand): _*)).as("band"))
       // both join sides read this — keep the plane projections single-pass
       .transform(Barriers.materialize(_))
     val cand = banded.select(col("band"), col("vec_id").as("vec_a"))
@@ -127,6 +124,20 @@ object VectorOps {
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
   }
+
+  /** Band key j = `"<j>:<sign-bit bucket over planes [j·r, (j+1)·r)>"` —
+    * THE parity-critical band layout, shared by [[nearDupCosine]],
+    * [[topkCosineLshBanded]] and restated SQL-side by the DuckDB oracle
+    * generators (OracleExt.bandExprsSql): change it in one place or parity
+    * breaks.
+    */
+  private[graft] def bandKeyCols(vec: Column, dim: Int,
+                                 bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { j =>
+      val bucket = bucketFromPlanes(
+        vec, dim, (0 until rowsPerBand).map(_ + j * rowsPerBand))
+      concat(lit(s"$j:"), bucket.cast("string"))
+    }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim
     * index): md5-derived value in [-1, 1). Computed on the driver once —
@@ -206,14 +217,11 @@ object VectorOps {
     */
   def topkCosineLshBanded(corpus: DataFrame, dim: Int, k: Int,
                           bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    import graft.functions.ArrayMath.dot_product
-    val bandCols = (0 until bands).map { j =>
-      val bucket = bucketFromPlanes(
-        col("embedding"), dim, (0 until rowsPerBand).map(_ + j * rowsPerBand))
-      concat(lit(s"$j:"), bucket.cast("string"))
-    }
+    import graft.functions.ArrayMath.{dot_product, l2_norm}
     val banded = corpus.select(
-      col("vec_id"), explode(array(bandCols: _*)).as("band"))
+      col("vec_id"),
+      explode(array(bandKeyCols(col("embedding"), dim,
+                                bands, rowsPerBand): _*)).as("band"))
       // both join sides read this — keep the plane projections single-pass
       .transform(Barriers.materialize(_))
     val cand = banded.select(col("band"), col("vec_id").as("query_id"))
@@ -222,17 +230,19 @@ object VectorOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
+    // norms once per vector, not once per candidate pair (same doubles:
+    // l2_norm = sqrt(self-dot), so the rounded sim is bit-identical)
     val q = corpus.select(col("vec_id").as("query_id"),
                           col("embedding").as("qv"))
+      .withColumn("qn", l2_norm(col("qv")))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
                           col("embedding").as("cv"))
+      .withColumn("cn", l2_norm(col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
       .withColumn("sim", round(
-        dot_product(col("qv"), col("cv")) /
-          (sqrt(dot_product(col("qv"), col("qv"))) *
-           sqrt(dot_product(col("cv"), col("cv")))), 6))
+        dot_product(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")

@@ -59,11 +59,31 @@ object ProviderFactory {
   /** Apply every provider's connector settings to the session — the
     * engine-side analog of `storage.NewFactory` building all clients
     * upfront and failing fast on a bad config.
+    *
+    * The Hadoop configuration is ONE global map, so two providers that
+    * emit the same key with different values (two GCS providers with
+    * different requester-pays billing projects, two MinIO endpoints)
+    * would silently last-writer-win — the later provider's billing
+    * project or endpoint would serve BOTH. Fail fast instead: the
+    * conflict is a config error this deployment cannot express, not a
+    * preference.
     */
-  def configure(spark: SparkSession, providers: Seq[ProviderConf]): Unit =
+  def configure(spark: SparkSession, providers: Seq[ProviderConf]): Unit = {
+    val merged = scala.collection.mutable.Map.empty[String, (String, String)]
     providers.foreach { p =>
       hadoopConf(p).foreach { case (k, v) =>
-        spark.sparkContext.hadoopConfiguration.set(k, v)
+        merged.get(k) match {
+          case Some((otherId, otherV)) if otherV != v =>
+            throw new IllegalArgumentException(
+              s"conflicting Hadoop conf '$k': provider '${p.id}' wants " +
+              s"'$v' but provider '$otherId' already set '$otherV' — one " +
+              "session-wide value serves all providers of a scheme")
+          case _ => merged(k) = (p.id, v)
+        }
       }
     }
+    merged.foreach { case (k, (_, v)) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+  }
 }

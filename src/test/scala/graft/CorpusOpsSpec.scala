@@ -29,6 +29,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("components converge when diameter equals maxIter, throw beyond it") {
+    val n = 6
+    val nodes = (1L to n.toLong).toDF("doc_id")
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    // the chain needs exactly 5 label-decreasing rounds; the confirming
+    // round must not count against maxIter (correct labels + throw = bug)
+    val got = CorpusOps.connectedComponents(nodes, edges, maxIter = 5)
+      .as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 1L))
+    intercept[IllegalStateException] {
+      CorpusOps.connectedComponents(nodes, edges, maxIter = 3)
+    }
+  }
+
   test("connected components tolerate empty edges and an empty corpus") {
     val nodes = Seq(7L, 9L).toDF("doc_id")
     val noEdges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

@@ -87,6 +87,19 @@ class RetryAndMigrationSpec extends AnyFunSuite {
     assert(cfg.providers.head.userProject == "bill-me")
   }
 
+  test("configure rejects providers whose connector settings conflict") {
+    // one global Hadoop conf: two GCS billing projects (or two MinIO
+    // endpoints) cannot coexist — silent last-writer-wins would misbill
+    val a = ProviderConf("gA", "gcs", "gs://a", userProject = "proj-a")
+    val b = ProviderConf("gB", "gcs", "gs://b", userProject = "proj-b")
+    val e = intercept[IllegalArgumentException] {
+      ProviderFactory.configure(spark, Seq(a, b))
+    }
+    assert(e.getMessage.contains("conflicting"))
+    // identical settings are not a conflict
+    ProviderFactory.configure(spark, Seq(a, a.copy(id = "gA2")))
+  }
+
   test("ledger v1->v2 migration derives mapping_id and is idempotent") {
     val legacy = Seq((1L, "bkt", "o.txt", 4L, t1, "e", "text/plain", t1, "success"))
       .toDF("id", "bucket_name", "object_name", "size", "last_modified",
