@@ -84,6 +84,19 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(a == w && w.size == 50)
   }
 
+  test("auto-probe IVF resolves nProbe from the centroid count") {
+    // n=500 at centroidEvery=50 -> 10 centroids; f=0.4 -> nProbe=4, so the
+    // auto variant must equal the fixed-nProbe=4 result exactly
+    val auto = VectorOps.topkCosineIvfAuto(emb, k = 5, probeFraction = 0.4)
+      .collect().map(_.toSeq).toSet
+    val fixed = VectorOps.topkCosineIvf(emb, k = 5, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(auto == fixed && auto.nonEmpty)
+    intercept[IllegalArgumentException] {
+      VectorOps.topkCosineIvfAuto(emb, k = 5, probeFraction = 0.0)
+    }
+  }
+
   test("IVF topk achieves reasonable recall vs brute force") {
     val exact = VectorOps.topkCosine(emb, emb, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
