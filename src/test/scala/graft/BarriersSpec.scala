@@ -25,6 +25,33 @@ class BarriersSpec extends AnyFunSuite {
     } finally spark.conf.unset(Barriers.StrategyKey)
   }
 
+  test("checkpoint strategy writes durable files and returns the frame") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set(Barriers.StrategyKey, "checkpoint")
+    try {
+      val out = Barriers.materialize(Seq(1, 2, 3).toDF("x"), eager = true)
+        .collect().map(_.getInt(0)).sorted
+      assert(out.sameElements(Array(1, 2, 3)))
+      // durable cluster-grade truncation = bytes actually on checkpoint
+      // storage, not executor-local blocks
+      assert(java.nio.file.Files.walk(dir).count() > 1)
+    } finally spark.conf.unset(Barriers.StrategyKey)
+  }
+
+  test("release drops persisted blocks so iterative loops don't pin copies") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    spark.conf.set(Barriers.StrategyKey, "persist")
+    try {
+      val m = Barriers.materialize(Seq(1, 2).toDF("x"), eager = true)
+      assert(m.storageLevel != StorageLevel.NONE)
+      Barriers.release(m)
+      assert(m.storageLevel == StorageLevel.NONE)
+    } finally spark.conf.unset(Barriers.StrategyKey)
+  }
+
   test("unknown strategy fails fast") {
     import spark.implicits._
     spark.conf.set(Barriers.StrategyKey, "nope")
