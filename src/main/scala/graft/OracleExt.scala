@@ -692,6 +692,21 @@ object OracleExt {
     """ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
               event_type, value, props FROM events)"""
 
+  /** Oracle for the SALTED join: plain join + aggregate. Salting is pure
+    * execution mechanics — the salt column joins against an exploded copy
+    * of itself and is dropped — so the salted plan must produce exactly
+    * the rows of the unsalted join, which is precisely what this parity
+    * check proves.
+    */
+  val eventsSkewJoin: String = s"""
+    WITH $EvCte,
+    dim AS (SELECT DISTINCT user_id, user_id % 7 AS cohort FROM ev)
+    SELECT cohort,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+    FROM ev JOIN dim USING (user_id)
+    GROUP BY cohort ORDER BY cohort"""
+
   val eventsWindowAgg: String = s"""
     WITH $EvCte
     SELECT date_trunc('hour', ts) AS window_start, event_type,

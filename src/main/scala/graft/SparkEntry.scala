@@ -262,6 +262,13 @@ object SparkEntry {
       graft.streaming.StreamingOps.dedupWithinWatermarkStream(s, d)
         .orderBy("content_hash")),
 
+    "docs_stream_near_minhash" -> ((s, d) =>
+      // incremental near-dup: banded-minhash candidate pairs emitted as
+      // docs land; union over the stream = the batch candidate set, so it
+      // shares dedup_near_minhash's oracle
+      graft.streaming.StreamingOps.minhashCandidatesStream(s, d)
+        .orderBy("doc_a", "doc_b")),
+
     // [EXT] multimodal binary columns -----------------------------------
     "multimodal_media_stats" -> ((s, d) =>
       Multimodal.mediaFromDocuments(T.documents(s, d))
@@ -550,6 +557,22 @@ object SparkEntry {
 
     "events_json_agg" -> ((s, d) =>
       EventOps.jsonPropsAgg(T.events(s, d)).orderBy("event_type")),
+
+    "events_skew_join" -> ((s, d) => {
+      // SkewOps.saltedJoin under parity: the salted plan must emit exactly
+      // the unsalted join's rows (the oracle is the plain join) — salting
+      // is execution mechanics, never semantics. buckets=8 spreads a hot
+      // user_id over 8 shuffle partitions at the cost of 8x the tiny dim.
+      val ev = T.events(s, d)
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("cohort", col("user_id") % 7)
+      graft.operators.SkewOps.saltedJoin(ev, dim, "user_id", buckets = 8)
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(25,4)")).cast("double")
+               .as("sum_value"))
+        .orderBy("cohort")
+    }),
 
     "events_sessionize" -> ((s, d) =>
       EventOps.sessionStats(T.events(s, d), gapMinutes = 30)
@@ -953,6 +976,7 @@ object SparkEntry {
     "events_window_agg" -> OracleExt.eventsWindowAgg,
     "events_sliding_window" -> OracleExt.eventsSlidingWindow,
     "events_json_agg" -> OracleExt.eventsJsonAgg,
+    "events_skew_join" -> OracleExt.eventsSkewJoin,
     "events_sessionize" -> OracleExt.eventsSessionize,
     "events_funnel" -> OracleExt.eventsFunnel,
     "events_asof_join" -> OracleExt.eventsAsofJoin,
@@ -980,6 +1004,7 @@ object SparkEntry {
       """SELECT DISTINCT md5(text) AS content_hash,
                 CAST(length(text) AS BIGINT) AS n_chars_text
          FROM documents ORDER BY content_hash""",
+    "docs_stream_near_minhash" -> OracleExt.dedupNearMinhash,
 
     "multimodal_media_stats" ->
       """SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

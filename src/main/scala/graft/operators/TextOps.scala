@@ -217,6 +217,41 @@ object TextOps {
       (1 until k).map(i => min(slice(i)).as(s"sig$i")): _*)
   }
 
+  /** Per-row (projection-only) restatement of the banded minhash keys:
+    * returns the array of `bands` band hashes for one document's text,
+    * bit-identical to what [[withMinhashSignature]]+[[minhashCandidates]]
+    * derive via explode+groupBy — same md5 family, same slices, same
+    * band concat. Needed where signatures must come from a STATELESS
+    * projection (the streaming near-dup path: an aggregation before
+    * `flatMapGroupsWithState` would be a second stateful operator).
+    *
+    * Cost note: the higher-order `transform`/`array_min` formulation
+    * evaluates interpreted and walks the shingle array once per
+    * signature — the measured ~20× penalty vs the batch explode+partial-agg
+    * path. Right for per-document streaming ingest (arrays are the size of
+    * ONE document); wrong for batch corpus scans, which keep the
+    * aggregate formulation.
+    *
+    * Returns NULL for shingle-less docs (under 3 tokens) — callers must
+    * filter, mirroring how such docs drop out of the batch explode.
+    */
+  def minhashBandKeys(text: Column, k: Int = 8, bands: Int = 4): Column = {
+    val r = k / bands
+    val sh = shingles(tokens(text), 3)
+    def sig(i: Int): Column = {
+      val h = i / MinhashSlicesPerMd5
+      array_min(transform(sh, s =>
+        substring(md5(if (h == 0) s else concat(lit(s"$h:"), s)),
+          (i % MinhashSlicesPerMd5) * MinhashSliceHexChars + 1,
+          MinhashSliceHexChars)))
+    }
+    val bandArr = array((0 until bands).map { j =>
+      md5(concat_ws("|",
+        lit(j.toString) +: (0 until r).map(i => sig(j * r + i)): _*))
+    }: _*)
+    when(size(sh) > 0, bandArr)
+  }
+
   /** LSH banding: b bands of r=k/b signature rows each; docs sharing any
     * band hash are near-duplicate candidates. Candidate generation is a
     * self-equi-join on the band hash — shuffle on band, never O(n²).

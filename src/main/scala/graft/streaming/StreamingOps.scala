@@ -128,6 +128,60 @@ object StreamingOps {
     runToTable(spark, st, OutputMode.Append())
   }
 
+  case class BandRow(doc_id: Long, band: String)
+  case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Streaming near-duplicate candidate detection: the banded-minhash
+    * pairs of `TextOps.minhashCandidates`, emitted incrementally as
+    * documents land instead of re-scanning the accumulated corpus.
+    *
+    * Band keys come from the projection-only
+    * [[graft.operators.TextOps.minhashBandKeys]] (bit-identical to the
+    * batch signatures); the single stateful operator is a
+    * `flatMapGroupsWithState` keyed by band hash whose state is the doc
+    * ids seen in that band — each arriving doc emits exactly its pairs
+    * against earlier arrivals, so the union over the stream equals the
+    * batch candidate set (the shared DuckDB oracle asserts it).
+    *
+    * Scale shape: state is one id list per OCCUPIED band (bounded by
+    * corpus distinct-band volume, RocksDB-backed when large); a doc
+    * appearing in a band shuffles one (band, id) row. A boilerplate-heavy
+    * band accumulating m ids emits O(m) new pairs per arrival — the
+    * streaming analog of the batch df-cap concern; cap state size per
+    * band in production ingest (drops only pairs within already-huge
+    * near-dup groups).
+    */
+  def minhashCandidatesStream(spark: SparkSession, dir: String,
+                              k: Int = 8, bands: Int = 4): DataFrame = {
+    import spark.implicits._
+    val banded = docsStream(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.operators.TextOps.minhashBandKeys(
+          col("text"), k, bands)).as("band"))
+      .as[BandRow]
+    val pairs = banded
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, rows: Iterator[BandRow], state: GroupState[Array[Long]]) => {
+          val seen = if (state.exists) state.get else Array.empty[Long]
+          val fresh = rows.map(_.doc_id).toArray.distinct.sorted
+          val out = Iterator.tabulate(fresh.length) { i =>
+            val d = fresh(i)
+            // pairs vs prior arrivals, plus in-batch pairs vs smaller fresh
+            // ids: every cross-arrival pair is emitted exactly once
+            (seen.iterator ++ fresh.iterator.take(i))
+              .map(o => CandPair(math.min(d, o), math.max(d, o)))
+          }.flatten
+          state.update(seen ++ fresh)
+          out
+        })
+    // a pair sharing several bands emits once per band; the batch operator
+    // ends in .distinct() — same dedup here, on the drained static result
+    runToTable(spark, pairs.toDF(), OutputMode.Append())
+      .distinct()
+  }
+
   case class Ev(user_id: Long, ts_us: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long,
                           max_session_events: Long)

@@ -58,6 +58,15 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming near-dup candidates equal the batch banded-minhash set") {
+    val streamed = StreamingOps.minhashCandidatesStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.TextOps
+      .minhashCandidates(Tables.documents(spark, dir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful streaming sessionize equals batch sessionize") {
     val streamed = StreamingOps.sessionizeStateful(spark, dir, 30)
       .collect().map(_.toSeq).toSet
