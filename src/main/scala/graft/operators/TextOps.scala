@@ -218,38 +218,46 @@ object TextOps {
   }
 
   /** Per-row (projection-only) restatement of the banded minhash keys:
-    * returns the array of `bands` band hashes for one document's text,
+    * adds a `bands` array column of band hashes per document,
     * bit-identical to what [[withMinhashSignature]]+[[minhashCandidates]]
     * derive via explode+groupBy — same md5 family, same slices, same
     * band concat. Needed where signatures must come from a STATELESS
     * projection (the streaming near-dup path: an aggregation before
     * `flatMapGroupsWithState` would be a second stateful operator).
     *
-    * Cost note: the higher-order `transform`/`array_min` formulation
-    * evaluates interpreted and walks the shingle array once per
-    * signature — the measured ~20× penalty vs the batch explode+partial-agg
-    * path. Right for per-document streaming ingest (arrays are the size of
-    * ONE document); wrong for batch corpus scans, which keep the
-    * aggregate formulation.
+    * The md5 arrays are staged as their own projection step
+    * (`withColumn`), so the `MinhashSlicesPerMd5` slice-sharing cut
+    * survives: ceil(k/4) md5 walks per document, not k — `CollapseProject`
+    * keeps expensive many-referenced aliases un-inlined. The remaining
+    * higher-order `transform`/`array_min` evaluation is interpreted —
+    * right for per-document streaming ingest (arrays are the size of ONE
+    * document); wrong for batch corpus scans, which keep the
+    * explode+partial-agg formulation.
     *
-    * Returns NULL for shingle-less docs (under 3 tokens) — callers must
-    * filter, mirroring how such docs drop out of the batch explode.
+    * `bands` is NULL for shingle-less docs (under 3 tokens) — callers
+    * must filter, mirroring how such docs drop out of the batch explode.
     */
-  def minhashBandKeys(text: Column, k: Int = 8, bands: Int = 4): Column = {
+  def withMinhashBandKeys(docs: DataFrame, k: Int = 8,
+                          bands: Int = 4): DataFrame = {
     val r = k / bands
-    val sh = shingles(tokens(text), 3)
-    def sig(i: Int): Column = {
-      val h = i / MinhashSlicesPerMd5
-      array_min(transform(sh, s =>
-        substring(md5(if (h == 0) s else concat(lit(s"$h:"), s)),
+    val nMd5 = (k + MinhashSlicesPerMd5 - 1) / MinhashSlicesPerMd5
+    val withH = (0 until nMd5).foldLeft(
+      docs.withColumn("_sh", shingles(tokens(col("text")), 3))) { (df, h) =>
+      df.withColumn(s"_h$h", transform(col("_sh"), s =>
+        md5(if (h == 0) s else concat(lit(s"$h:"), s))))
+    }
+    def sig(i: Int): Column =
+      array_min(transform(col(s"_h${i / MinhashSlicesPerMd5}"), x =>
+        substring(x,
           (i % MinhashSlicesPerMd5) * MinhashSliceHexChars + 1,
           MinhashSliceHexChars)))
-    }
     val bandArr = array((0 until bands).map { j =>
       md5(concat_ws("|",
         lit(j.toString) +: (0 until r).map(i => sig(j * r + i)): _*))
     }: _*)
-    when(size(sh) > 0, bandArr)
+    withH
+      .withColumn("bands", when(size(col("_sh")) > 0, bandArr))
+      .drop((0 until nMd5).map(h => s"_h$h") :+ "_sh": _*)
   }
 
   /** LSH banding: b bands of r=k/b signature rows each; docs sharing any

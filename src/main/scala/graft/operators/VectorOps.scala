@@ -288,11 +288,18 @@ object VectorOps {
     * second tiny pass (query→centroid) for much better list balance on
     * clustered data.
     */
+  /** The deterministic centroid subset — ONE definition shared by
+    * [[topkCosineIvf]] and [[topkCosineIvfAuto]]'s list count, so the
+    * probed lists and the count that sizes nProbe can never drift apart.
+    */
+  private def ivfCentroids(corpus: DataFrame, centroidEvery: Int): DataFrame =
+    corpus.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+
   def topkCosineIvf(corpus: DataFrame, k: Int, nProbe: Int = 4,
                     centroidEvery: Int = 50): DataFrame = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
-    val cent = corpus.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val cent = ivfCentroids(corpus, centroidEvery)
       .withColumn("centn", l2_norm(col("centv")))
 
     def assign(df: DataFrame, idCol: String, vCol: String, keep: Int) = {
@@ -344,7 +351,7 @@ object VectorOps {
                         centroidEvery: Int = 50): DataFrame = {
     require(probeFraction > 0 && probeFraction <= 1,
       s"probeFraction must be in (0,1], got $probeFraction")
-    val nCent = corpus.filter(col("vec_id") % centroidEvery === 0).count()
+    val nCent = ivfCentroids(corpus, centroidEvery).count()
     val nProbe = math.max(1, math.ceil(probeFraction * nCent).toInt)
     topkCosineIvf(corpus, k, nProbe, centroidEvery)
   }

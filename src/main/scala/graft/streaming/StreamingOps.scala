@@ -147,17 +147,19 @@ object StreamingOps {
     * corpus distinct-band volume, RocksDB-backed when large); a doc
     * appearing in a band shuffles one (band, id) row. A boilerplate-heavy
     * band accumulating m ids emits O(m) new pairs per arrival — the
-    * streaming analog of the batch df-cap concern; cap state size per
-    * band in production ingest (drops only pairs within already-huge
-    * near-dup groups).
+    * streaming analog of the batch df-cap concern; `maxPerBand` caps the
+    * retained state (drops only pairs WITHIN an already-oversized
+    * near-dup group — its first `maxPerBand` members still pair, which is
+    * all downstream clustering needs). The default is uncapped so the
+    * declared query stays exactly the batch oracle's candidate set.
     */
   def minhashCandidatesStream(spark: SparkSession, dir: String,
-                              k: Int = 8, bands: Int = 4): DataFrame = {
+                              k: Int = 8, bands: Int = 4,
+                              maxPerBand: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
-    val banded = docsStream(spark, dir)
-      .select(col("doc_id"),
-        explode(graft.operators.TextOps.minhashBandKeys(
-          col("text"), k, bands)).as("band"))
+    val banded = graft.operators.TextOps
+      .withMinhashBandKeys(docsStream(spark, dir), k, bands)
+      .select(col("doc_id"), explode(col("bands")).as("band"))
       .as[BandRow]
     val pairs = banded
       .groupByKey(_.band)
@@ -172,9 +174,9 @@ object StreamingOps {
             // ids: every cross-arrival pair is emitted exactly once
             (seen.iterator ++ fresh.iterator.take(i))
               .map(o => CandPair(math.min(d, o), math.max(d, o)))
-          }.flatten
-          state.update(seen ++ fresh)
-          out
+          }.flatten.toVector
+          state.update((seen ++ fresh).take(maxPerBand))
+          out.iterator
         })
     // a pair sharing several bands emits once per band; the batch operator
     // ends in .distinct() — same dedup here, on the drained static result

@@ -34,9 +34,12 @@ class BarriersSpec extends AnyFunSuite {
       val out = Barriers.materialize(Seq(1, 2, 3).toDF("x"), eager = true)
         .collect().map(_.getInt(0)).sorted
       assert(out.sameElements(Array(1, 2, 3)))
-      // durable cluster-grade truncation = bytes actually on checkpoint
-      // storage, not executor-local blocks
-      assert(java.nio.file.Files.walk(dir).count() > 1)
+      // durable cluster-grade truncation = an rdd-* checkpoint directory
+      // actually on checkpoint storage (setCheckpointDir itself mkdirs a
+      // UUID subdir, so a bare non-empty check would pass vacuously)
+      val walk = java.nio.file.Files.walk(dir)
+      try assert(walk.anyMatch(p => p.getFileName.toString.startsWith("rdd-")))
+      finally walk.close()
     } finally spark.conf.unset(Barriers.StrategyKey)
   }
 

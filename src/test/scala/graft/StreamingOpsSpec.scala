@@ -67,6 +67,18 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("capped band state yields a subset of the batch candidate pairs") {
+    // maxPerBand bounds hot-band state; dropped pairs are only within
+    // oversized groups, so the result must stay a subset — never invent
+    val batch = graft.operators.TextOps
+      .minhashCandidates(Tables.documents(spark, dir))
+      .collect().map(_.toSeq).toSet
+    val capped = StreamingOps
+      .minhashCandidatesStream(spark, dir, maxPerBand = 1)
+      .collect().map(_.toSeq).toSet
+    assert(capped.subsetOf(batch) && capped.nonEmpty)
+  }
+
   test("stateful streaming sessionize equals batch sessionize") {
     val streamed = StreamingOps.sessionizeStateful(spark, dir, 30)
       .collect().map(_.toSeq).toSet
