@@ -424,6 +424,26 @@ object OracleExt {
     HAVING count(*) >= 3
     ORDER BY doc_id, bench_doc_id""")
 
+  /** Cap-free contamination — the streaming variant's oracle
+    * (StreamingOps.contaminationStream): no corpus df-cap, because the
+    * stream cannot compute full-corpus document frequencies; fan-out is
+    * bounded by the benchmark side instead.
+    */
+  val docsStreamDecontaminate: String = docQ("""
+    , corp AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)
+      WHERE doc_id % 97 <> 0),
+    benchm AS (
+      SELECT DISTINCT doc_id AS bench_doc_id, s
+      FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)
+      WHERE doc_id % 97 = 0)
+    SELECT c.doc_id, b.bench_doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM corp c JOIN benchm b ON c.s = b.s
+    GROUP BY c.doc_id, b.bench_doc_id
+    HAVING count(*) >= 3
+    ORDER BY doc_id, bench_doc_id""")
+
   /** Mirrors TextOps.ngramJaccardPairs including the document-frequency
     * cap: shingles in more than `maxDf` docs are dropped from both the
     * candidate join and the set sizes.

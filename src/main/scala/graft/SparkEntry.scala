@@ -269,6 +269,12 @@ object SparkEntry {
       graft.streaming.StreamingOps.minhashCandidatesStream(s, d)
         .orderBy("doc_a", "doc_b")),
 
+    "docs_stream_decontaminate" -> ((s, d) =>
+      // eval leakage surfaced as docs land: stream-static broadcast join
+      // against the benchmark shingle set (cap-free — own oracle)
+      graft.streaming.StreamingOps.contaminationStream(s, d, minShared = 3)
+        .orderBy("doc_id", "bench_doc_id")),
+
     // [EXT] multimodal binary columns -----------------------------------
     "multimodal_media_stats" -> ((s, d) =>
       Multimodal.mediaFromDocuments(T.documents(s, d))
@@ -1005,6 +1011,7 @@ object SparkEntry {
                 CAST(length(text) AS BIGINT) AS n_chars_text
          FROM documents ORDER BY content_hash""",
     "docs_stream_near_minhash" -> OracleExt.dedupNearMinhash,
+    "docs_stream_decontaminate" -> OracleExt.docsStreamDecontaminate,
 
     "multimodal_media_stats" ->
       """SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

@@ -128,6 +128,41 @@ object StreamingOps {
     runToTable(spark, st, OutputMode.Append())
   }
 
+  /** Streaming decontamination: eval-leakage checked as documents LAND —
+    * each arriving training doc's distinct shingles join the static
+    * benchmark shingle set (broadcast, stream-static join is stateless)
+    * and pairs sharing ≥ minShared shingles surface immediately, instead
+    * of a scheduled batch re-scan of the accumulated corpus.
+    *
+    * Differences from the batch `TextOps.contamination`, both forced by
+    * streaming semantics and reflected in this query's own oracle:
+    * per-row `array_distinct` replaces the corpus-wide (doc, shingle)
+    * DISTINCT (same result — a shingle repeats only within a doc), and
+    * there is NO corpus df-cap (the cap needs full-corpus document
+    * frequencies, a second stateful pass). Cap-free is safe here because
+    * fan-out is bounded by the BENCHMARK side — each corpus shingle row
+    * joins at most the benchmark docs containing it — not by a corpus
+    * self-join; state is one count per contaminated (doc, bench) pair.
+    */
+  def contaminationStream(spark: SparkSession, dir: String,
+                          minShared: Int): DataFrame = {
+    import graft.operators.TextOps.{shingles, tokens}
+    val benchSh = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_doc_id"),
+              explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .distinct()
+    val corpusSh = docsStream(spark, dir)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+    val agg = corpusSh.join(broadcast(benchSh), Seq("sh"))
+      .groupBy("doc_id", "bench_doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    runToTable(spark, agg, OutputMode.Complete())
+  }
+
   case class BandRow(doc_id: Long, band: String)
   case class CandPair(doc_a: Long, doc_b: Long)
 

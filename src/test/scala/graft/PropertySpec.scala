@@ -43,6 +43,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("salted join equals plain join on random frames, inner and left") {
+    import graft.operators.SkewOps
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 6) {
+      // null keys and duplicate small-side keys are the shapes the fixed
+      // fixture (and the oracle query) never exercises
+      val large = Seq.fill(200)((
+        if (rnd.nextInt(10) == 0) Option.empty[Long]
+        else Some(rnd.nextInt(8).toLong), rnd.nextInt(100)))
+        .toDF("k", "v")
+      val small = ((0 to 4).map(i => (Option(i.toLong), s"n$i")) :+
+        (Option(2L), "dup")).toDF("k", "name")
+      for (jt <- Seq("inner", "left")) {
+        val plain = large.join(small, Seq("k"), jt)
+          .select("k", "v", "name").collect().map(_.toSeq).toSet
+        val salted = SkewOps.saltedJoin(large, small, "k", buckets = 4, jt)
+          .select("k", "v", "name").collect().map(_.toSeq).toSet
+        assert(salted == plain, s"trial $trial $jt")
+      }
+    }
+  }
+
   test("upsert equals latest-wins on random newer-than-current batches") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(7)

@@ -67,6 +67,19 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming decontamination equals the cap-free batch operator") {
+    val streamed = StreamingOps.contaminationStream(spark, dir, minShared = 3)
+      .collect().map(_.toSeq).toSet
+    val docs = Tables.documents(spark, dir)
+    import org.apache.spark.sql.functions.col
+    val batch = graft.operators.TextOps.contamination(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        minShared = 3, maxDf = Int.MaxValue) // cap-free, like the stream
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("capped band state yields a subset of the batch candidate pairs") {
     // maxPerBand bounds hot-band state; dropped pairs are only within
     // oversized groups, so the result must stay a subset — never invent
