@@ -407,42 +407,40 @@ object OracleExt {
     * match the SparkEntry call. The df cap counts over the corpus side
     * only, mirroring TextOps.contamination.
     */
-  val decontaminate: String = docQ("""
+  /** One builder for both decontamination oracles — the % 97 split,
+    * shingle width and minShared threshold live in exactly one place;
+    * `dfCap` adds the corpus df-cap CTEs (batch) or omits them
+    * (streaming, which cannot compute full-corpus frequencies).
+    */
+  private def contaminationSql(dfCap: Option[Int]): String = {
+    val capCtes = dfCap.map(c => s"""
+    rare_c AS (SELECT s FROM corp GROUP BY s HAVING count(*) <= $c),
+    corp_r AS (SELECT c.doc_id, c.s FROM corp c JOIN rare_c USING (s)),""")
+      .getOrElse("")
+    val corpRel = if (dfCap.isDefined) "corp_r" else "corp"
+    docQ(s"""
     , corp AS (
       SELECT DISTINCT doc_id, s
       FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)
-      WHERE doc_id % 97 <> 0),
-    rare_c AS (SELECT s FROM corp GROUP BY s HAVING count(*) <= 128),
-    corp_r AS (SELECT c.doc_id, c.s FROM corp c JOIN rare_c USING (s)),
+      WHERE doc_id % 97 <> 0),$capCtes
     benchm AS (
       SELECT DISTINCT doc_id AS bench_doc_id, s
       FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)
       WHERE doc_id % 97 = 0)
     SELECT c.doc_id, b.bench_doc_id, CAST(count(*) AS BIGINT) AS n_shared
-    FROM corp_r c JOIN benchm b ON c.s = b.s
+    FROM $corpRel c JOIN benchm b ON c.s = b.s
     GROUP BY c.doc_id, b.bench_doc_id
     HAVING count(*) >= 3
     ORDER BY doc_id, bench_doc_id""")
+  }
+
+  val decontaminate: String = contaminationSql(Some(128))
 
   /** Cap-free contamination — the streaming variant's oracle
     * (StreamingOps.contaminationStream): no corpus df-cap, because the
-    * stream cannot compute full-corpus document frequencies; fan-out is
-    * bounded by the benchmark side instead.
+    * stream cannot compute full-corpus document frequencies.
     */
-  val docsStreamDecontaminate: String = docQ("""
-    , corp AS (
-      SELECT DISTINCT doc_id, s
-      FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)
-      WHERE doc_id % 97 <> 0),
-    benchm AS (
-      SELECT DISTINCT doc_id AS bench_doc_id, s
-      FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)
-      WHERE doc_id % 97 = 0)
-    SELECT c.doc_id, b.bench_doc_id, CAST(count(*) AS BIGINT) AS n_shared
-    FROM corp c JOIN benchm b ON c.s = b.s
-    GROUP BY c.doc_id, b.bench_doc_id
-    HAVING count(*) >= 3
-    ORDER BY doc_id, bench_doc_id""")
+  val docsStreamDecontaminate: String = contaminationSql(None)
 
   /** Mirrors TextOps.ngramJaccardPairs including the document-frequency
     * cap: shingles in more than `maxDf` docs are dropped from both the

@@ -56,10 +56,14 @@ class PropertySpec extends AnyFunSuite {
       val small = ((0 to 4).map(i => (Option(i.toLong), s"n$i")) :+
         (Option(2L), "dup")).toDF("k", "name")
       for (jt <- Seq("inner", "left")) {
-        val plain = large.join(small, Seq("k"), jt)
-          .select("k", "v", "name").collect().map(_.toSeq).toSet
-        val salted = SkewOps.saltedJoin(large, small, "k", buckets = 4, jt)
-          .select("k", "v", "name").collect().map(_.toSeq).toSet
+        // multiset compare (sorted seqs, not sets): duplicate rows are
+        // near-certain here, and a dropped-or-doubled duplicate is exactly
+        // the failure a buckets off-by-one would produce
+        def rows(df: org.apache.spark.sql.DataFrame) = df
+          .select("k", "v", "name").collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+        val plain = rows(large.join(small, Seq("k"), jt))
+        val salted = rows(SkewOps.saltedJoin(large, small, "k", buckets = 4, jt))
         assert(salted == plain, s"trial $trial $jt")
       }
     }

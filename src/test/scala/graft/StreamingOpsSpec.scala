@@ -80,6 +80,18 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("bench-side df cap yields a subset of the uncapped contamination") {
+    val uncapped = StreamingOps.contaminationStream(spark, dir, minShared = 3)
+      .collect().map(_.toSeq).toSet
+    val capped = StreamingOps
+      .contaminationStream(spark, dir, minShared = 3, benchMaxDf = 1)
+      .collect().map(_.toSeq).toSet
+    // dropping benchmark-boilerplate shingles can only remove or shrink
+    // pairs (n_shared may drop below threshold), never invent them
+    val uncappedKeys = uncapped.map(r => (r(0), r(1)))
+    assert(capped.forall(r => uncappedKeys.contains((r(0), r(1)))))
+  }
+
   test("capped band state yields a subset of the batch candidate pairs") {
     // maxPerBand bounds hot-band state; dropped pairs are only within
     // oversized groups, so the result must stay a subset — never invent
