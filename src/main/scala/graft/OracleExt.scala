@@ -592,8 +592,10 @@ object OracleExt {
   }
 
   /** K-means oracle (mirrors VectorOps.kmeansClusterStats): same seeds,
-    * same fixed-point centroid means (exact integer sums → order
-    * independent), same tie rule, one refine pass.
+    * same fixed-point SUM centroids (exact integers, never divided —
+    * cosine is scale-invariant), same tie rule, floor-not-round on the
+    * avg_sim quotient (decimal-half quotients round differently across
+    * engines; floor of the same double never does).
     */
   def kmeansClusterStats(dim: Int, centroidEvery: Int): String = {
     def assignSql(centRel: String, outRel: String) = s"""
@@ -614,7 +616,7 @@ object OracleExt {
       .map(i => s"sum(CAST(round(v[${i + 1}] * 1e6) AS BIGINT)) AS s$i")
       .mkString(",\n               ")
     val meanCols = (0 until dim)
-      .map(i => s"round(CAST(s$i AS DOUBLE) / n / 1e6, 6)")
+      .map(i => s"CAST(s$i AS DOUBLE)")
       .mkString("[", ", ", "]")
     s"""
       WITH $EmbCte,
@@ -628,8 +630,8 @@ object OracleExt {
       cent1 AS (SELECT cluster_id, $meanCols AS cv FROM sums),
       ${assignSql("cent1", "a2")}
       SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-             round(CAST(sum(CAST(round(csim * 1e6) AS BIGINT)) AS DOUBLE)
-               / count(*) / 1e6, 6) AS avg_sim
+             floor(CAST(sum(CAST(round(csim * 1e6) AS BIGINT)) AS DOUBLE)
+               / count(*)) / 1e6 AS avg_sim
       FROM a2 GROUP BY cluster_id ORDER BY cluster_id"""
   }
 

@@ -363,51 +363,64 @@ object VectorOps {
     * of a training-data pipeline, and the natural k-means upgrade of the
     * IVF index's seed lists.
     *
-    * Cross-engine determinism is designed in, not hoped for: centroid
-    * means use FIXED-POINT sums — `sum(round(v_i·10⁶) :: long)` — which
-    * are exact integers and therefore independent of Spark's partial-agg
-    * accumulation order (a double sum is not), then divide out and round
-    * to 6 dp; the reported mean cosine applies the same trick. Component
-    * quantization at 10⁻⁶ is documented behavior, far below embedding
-    * noise. Assignment ties break by centroid id.
+    * Cross-engine determinism is designed in, not hoped for, and the
+    * design avoids ROUNDING A QUOTIENT anywhere: `round(q, 6)` on an
+    * exact decimal quotient lands on 7th-digit halves, where Spark
+    * (BigDecimal HALF_UP on the shortest string) and DuckDB (std::round
+    * on the binary double) disagree. Instead:
+    *  - the refined centroid is the FIXED-POINT SUM vector
+    *    `sum(round(v_i·10⁶) :: long)` — exact integers, independent of
+    *    partial-agg accumulation order, and never divided by n at all:
+    *    cosine is scale-invariant, so the sum direction IS the mean
+    *    direction (quantization at 10⁻⁶ per component is documented
+    *    behavior, far below embedding noise);
+    *  - `avg_sim` floors the integer-micro quotient (`floor` of the same
+    *    double is the same everywhere) rather than rounding it.
+    * Assignment ties break by centroid id.
     *
     * Scale shape: two broadcast-assignment passes (centroids ≈ n/50, the
-    * IVF broadcast argument) + one groupBy whose width is dim×clusters —
-    * partial-aggregated, no shuffle of the vectors themselves beyond the
-    * k-keyed stats.
+    * IVF broadcast argument) whose arg-max is a map-side partial
+    * `max(struct)` — the n×k scored rows never reach an exchange — plus
+    * one dim×k fixed-point stats groupBy.
     */
   def kmeansClusterStats(corpus: DataFrame, dim: Int,
                          centroidEvery: Int = 50): DataFrame = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
     val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val cent0 = v.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cluster_id"), col("v").as("cv"))
+    // the IVF seed rule, via the one shared definition (never drifts)
+    val cent0 = ivfCentroids(corpus, centroidEvery)
+      .select(col("centroid_id").as("cluster_id"),
+              asDouble(col("centv")).as("cv"))
 
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("csim").desc, col("cluster_id"))
+    // arg-max centroid per vector WITHOUT a window: max over
+    // struct(csim, -cluster_id, …) partial-aggregates map-side, so the
+    // n×k crossJoin rows never shuffle (ties: highest csim, then lowest
+    // cluster_id — the same order the oracle's ROW_NUMBER uses)
+    def assign(cent: DataFrame): DataFrame =
       v.crossJoin(broadcast(cent))
         .withColumn("csim",
           dot_product(col("v"), col("cv")) /
             (l2_norm(col("v")) * l2_norm(col("cv"))))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
-        .select("vec_id", "v", "cluster_id", "csim")
-    }
+        .groupBy("vec_id")
+        .agg(max(struct(col("csim"), (-col("cluster_id")).as("negc"),
+                        col("cluster_id"), col("v"))).as("m"))
+        .select(col("vec_id"), col("m.v").as("v"),
+                col("m.cluster_id").as("cluster_id"), col("m.csim").as("csim"))
 
     val a1 = assign(cent0)
     val sums = a1.groupBy("cluster_id").agg(
       count(lit(1)).as("n"),
       (0 until dim).map(i =>
         sum(round(col("v")(i) * 1e6).cast("long")).as(s"s$i")): _*)
+    // sum direction = mean direction for cosine; integer-valued doubles,
+    // exact and engine-identical
     val cent1 = sums.select(col("cluster_id"),
-      array((0 until dim).map(i =>
-        round(col(s"s$i").cast("double") / col("n") / 1e6, 6)): _*).as("cv"))
+      array((0 until dim).map(i => col(s"s$i").cast("double")): _*).as("cv"))
     assign(cent1)
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),
-           round(sum(round(col("csim") * 1e6).cast("long")).cast("double")
-             / count(lit(1)) / 1e6, 6).as("avg_sim"))
+           (floor(sum(round(col("csim") * 1e6).cast("long")).cast("double")
+             / count(lit(1))) / 1e6).as("avg_sim"))
       .select(col("cluster_id"), col("n_members"), col("avg_sim"))
   }
 

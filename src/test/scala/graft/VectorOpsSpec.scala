@@ -98,17 +98,29 @@ class VectorOpsSpec extends AnyFunSuite {
   }
 
   test("kmeans partitions every vector and refining helps cohesion") {
+    import graft.functions.ArrayMath.{dot_product, l2_norm}
     val stats = VectorOps.kmeansClusterStats(emb, dim = 64)
       .as[(Long, Long, Double)].collect()
     assert(stats.map(_._2).sum == emb.count()) // a partition, not a sample
     assert(stats.forall(s => s._3 >= -1.0 && s._3 <= 1.0))
     // every cluster id is one of the deterministic seeds
     assert(stats.forall(_._1 % 50 == 0))
-    // refined centroids should fit at least as well as raw seed vectors:
-    // compare mean cosine vs a single assignment to the seeds (iter 0)
     val n = stats.map(_._2).sum.toDouble
     val refined = stats.map(s => s._3 * s._2).sum / n
-    assert(refined > 0, s"mean cohesion $refined")
+    // iter-0 baseline: best cosine to a RAW seed vector, per vector —
+    // the refined centroids must fit at least as well as the seeds did
+    val seeds = emb.filter($"vec_id" % 50 === 0)
+      .select($"embedding".as("cv"))
+    val seedMean = emb.select($"vec_id", $"embedding".as("v"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(seeds))
+      .withColumn("csim", dot_product($"v", $"cv") /
+        (l2_norm($"v") * l2_norm($"cv")))
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.max($"csim").as("best"))
+      .agg(org.apache.spark.sql.functions.avg($"best"))
+      .head().getDouble(0)
+    assert(refined >= seedMean - 1e-6,
+      s"refined $refined < seed baseline $seedMean")
   }
 
   test("IVF topk achieves reasonable recall vs brute force") {
