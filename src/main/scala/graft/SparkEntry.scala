@@ -92,6 +92,12 @@ object SparkEntry {
         .select("name", "change")
         .orderBy("name")),
 
+    "catalog_compaction_plan" -> ((s, d) =>
+      // small-file maintenance: contiguous-by-name ~4 MiB bins per prefix,
+      // prefix-local running-sum window (no global sort)
+      SyncOps.compactionPlan(src(s, d).drop("metadata"), 4L << 20)
+        .orderBy("prefix", "bin_id")),
+
     "object_get" -> ((s, d) => {
       val c = src(s, d)
       c.join(broadcast(c.agg(min(col("name")).as("min_name"))),
@@ -786,6 +792,23 @@ object SparkEntry {
                      WHEN s.etag <> t.etag THEN 'modified'
                      ELSE 'unchanged' END) <> 'unchanged'
          ORDER BY name"""),
+
+    "catalog_compaction_plan" -> syncQ(
+      // DuckDB widens the window sum to HUGEINT — bin id and byte totals
+      // must CAST back to BIGINT or the hash compare sees int128
+      """SELECT prefix,
+                CAST(start_offset // 4194304 AS BIGINT) AS bin_id,
+                CAST(count(*) AS BIGINT) AS n_objects,
+                CAST(sum(size) AS BIGINT) AS total_bytes,
+                min(name) AS first_name, max(name) AS last_name
+         FROM (SELECT substring(name, 1, 5) AS prefix, name, size,
+                      coalesce(sum(size) OVER (
+                        PARTITION BY substring(name, 1, 5) ORDER BY name
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS start_offset
+               FROM source_catalog)
+         GROUP BY prefix, start_offset // 4194304
+         ORDER BY prefix, bin_id"""),
 
     "object_get" -> syncQ(
       """SELECT name, bucket, size, content_type, last_modified, etag

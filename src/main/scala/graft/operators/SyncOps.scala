@@ -268,4 +268,33 @@ object SyncOps {
   /** `SELECT COALESCE(MAX(version), 0)` (reference `database.go:69-75`). */
   def schemaVersionMax(migrations: DataFrame): DataFrame =
     migrations.agg(coalesce(max(col("version")), lit(0)).as("version"))
+
+  /** Small-file compaction plan over a catalog listing: assign objects to
+    * contiguous-by-name bins of ~`targetBytes` within each name prefix —
+    * the maintenance job an object store at 100 TB needs when a sync has
+    * written millions of small objects (each bin becomes one compacted
+    * output object / one copy task).
+    *
+    * Shape: the running-sum window partitions by `prefix`, so there is no
+    * global sort — the byte-packing analog of `CorpusOps.packSequences`'
+    * shard-local windows, applied to the sync domain. `div` (not `/`)
+    * keeps the bin id in integer arithmetic — long `/` promotes through
+    * double and rounds at large offsets.
+    */
+  def compactionPlan(catalog: DataFrame, targetBytes: Long,
+                     prefixLen: Int = 5): DataFrame = {
+    val prior = Window.partitionBy("prefix").orderBy("name")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    catalog
+      .select(substring(col("name"), 1, prefixLen).as("prefix"),
+              col("name"), col("size"))
+      .withColumn("start_offset",
+        coalesce(sum(col("size")).over(prior), lit(0L)))
+      .withColumn("bin_id", expr(s"start_offset div $targetBytes"))
+      .groupBy("prefix", "bin_id")
+      .agg(count(lit(1)).as("n_objects"),
+           sum(col("size")).cast("long").as("total_bytes"),
+           min(col("name")).as("first_name"),
+           max(col("name")).as("last_name"))
+  }
 }

@@ -15,6 +15,31 @@ class SyncOpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Spec.spark
   import spark.implicits._
 
+  test("compaction plan partitions every byte into contiguous bins") {
+    val cat = (1 to 40)
+      .map(i => (f"p${i % 2}%s_obj$i%03d", 600L + i)) // two prefixes
+      .toDF("name", "size")
+    val plan = SyncOps.compactionPlan(cat, targetBytes = 2000, prefixLen = 3)
+      .collect()
+    // every object and every byte lands in exactly one bin
+    assert(plan.map(_.getAs[Long]("n_objects")).sum == 40)
+    assert(plan.map(_.getAs[Long]("total_bytes")).sum ==
+      cat.agg(org.apache.spark.sql.functions.sum("size")).head().getLong(0))
+    // bins within a prefix are contiguous in name order: ranges don't
+    // overlap and bin ids rise with the first name
+    plan.groupBy(_.getAs[String]("prefix")).values.foreach { bins =>
+      val sorted = bins.sortBy(_.getAs[Long]("bin_id"))
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(pair(0).getAs[String]("last_name") <
+               pair(1).getAs[String]("first_name"))
+      }
+      // a full bin holds at least targetBytes minus one object's slack
+      sorted.dropRight(1).foreach { b =>
+        assert(b.getAs[Long]("total_bytes") >= 2000 - 640)
+      }
+    }
+  }
+
   private val M = "gcs:a->s3:b"
   private def ts(s: String) = Timestamp.valueOf(s)
   private val t1 = ts("2025-01-01 00:00:00")
