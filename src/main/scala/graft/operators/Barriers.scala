@@ -37,13 +37,27 @@ object Barriers {
 
   /** Drop the blocks behind a frame previously returned by [[materialize]].
     * Iterative loops MUST call this on the prior round's frame once the new
-    * round is eagerly materialized: under `persist` (and localCheckpoint)
-    * the old blocks are otherwise pinned by the CacheManager for the
-    * session's lifetime — one full copy of the frame per round. Only call
-    * on a dead frame: for localCheckpoint the blocks ARE the data and
+    * round is eagerly materialized: the old blocks are otherwise pinned for
+    * the session's lifetime — one full copy of the frame per round. Only
+    * call on a dead frame: for localCheckpoint the blocks ARE the data and
     * recompute is impossible afterwards.
+    *
+    * The two strategies pin blocks differently, so release must look at
+    * the frame, not the conf: a `persist` frame is registered with the
+    * CacheManager (`df.unpersist` drops it), but a checkpointed frame is a
+    * `LogicalRDD` whose backing RDD holds the blocks directly — for those
+    * the RDD itself is unpersisted (`df.unpersist` would be a silent
+    * no-op and the loop would pin one copy per round until GC). Under the
+    * durable `checkpoint` strategy the RDD holds no executor blocks (data
+    * lives in checkpoint files); the unpersist is a harmless no-op and
+    * file cleanup stays with the checkpoint dir's lifecycle.
     */
-  def release(df: DataFrame): Unit = df.unpersist(false)
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => df.unpersist(false)
+    }
 
   /** Materialize `df` under the session-configured strategy. `eager` forces
     * computation now (iterative loops want this — the round's work must

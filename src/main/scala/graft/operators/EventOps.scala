@@ -39,14 +39,23 @@ object EventOps {
       .select(col("w.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
-  /** JSON property extraction + rollup (events.props is a JSON string). */
-  def jsonPropsAgg(events: DataFrame): DataFrame =
+  /** JSON property extraction + rollup (events.props is a JSON string).
+    * One `from_json(schema)` parse per row instead of per-path
+    * `get_json_object` extraction — the schema-known fast path (JacksonParser
+    * once, not a tree walk per property); adding a property reads another
+    * struct field, not another parse.
+    */
+  def jsonPropsAgg(events: DataFrame): DataFrame = {
+    val propsSchema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.LongType)))
     events
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
            sum(col("k")).as("sum_k"),
            max(col("k")).as("max_k"))
+  }
 
   /** Gaps-and-islands sessionization: a session breaks after `gapMinutes`
     * of inactivity per user. One shuffle on user_id; both windows reuse the

@@ -67,6 +67,15 @@ object ProviderFactory {
     * project or endpoint would serve BOTH. Fail fast instead: the
     * conflict is a config error this deployment cannot express, not a
     * preference.
+    *
+    * The same bleed hides in key SETS, not just values: a plain GCS
+    * provider next to a requester-pays one emits no `fs.gs.requester.*`
+    * keys at all, so the old same-key check never fired and the RP
+    * billing project silently applied to the plain provider's buckets
+    * too (ditto a MinIO endpoint leaking onto a plain `s3` provider —
+    * both serve `s3a`). Providers sharing a scheme must therefore emit
+    * IDENTICAL key sets; anything else needs per-bucket connector conf
+    * the providers don't model, so it fails fast as well.
     */
   def configure(spark: SparkSession, providers: Seq[ProviderConf]): Unit = {
     val merged = scala.collection.mutable.Map.empty[String, (String, String)]
@@ -81,6 +90,20 @@ object ProviderFactory {
           case _ => merged(k) = (p.id, v)
         }
       }
+    }
+    providers.groupBy(p => scheme(p.providerType)).foreach {
+      case (sch, ps) if ps.size > 1 =>
+        val keySets = ps.map(p => p -> hadoopConf(p).keySet)
+        val (_, refKeys) = keySets.head
+        keySets.find(_._2 != refKeys).foreach { case (p, keys) =>
+          val drift = (refKeys union keys) diff (refKeys intersect keys)
+          throw new IllegalArgumentException(
+            s"providers '${keySets.head._1.id}' and '${p.id}' both serve " +
+            s"scheme '$sch' but set different Hadoop conf keys " +
+            s"(${drift.toSeq.sorted.mkString(", ")}) — the session-wide " +
+            "value would silently apply to the provider that did not set it")
+        }
+      case _ => ()
     }
     merged.foreach { case (k, (_, v)) =>
       spark.sparkContext.hadoopConfiguration.set(k, v)

@@ -112,6 +112,15 @@ object StreamingOps {
     * which physical row survives a key's race is unobservable and the
     * result equals batch `SELECT DISTINCT md5(text), length(text)` — the
     * DuckDB oracle for the declared query.
+    *
+    * DISTINCT-parity assumption: event_time is doc_id micros, so the
+    * 1-hour delay means a content hash's FIRST occurrence must arrive
+    * within 3.6e9 doc_id units of the running batch maximum — a first
+    * occurrence further below the watermark would be dropped as late and
+    * its key lost entirely. Holds trivially here (ids are dense and a
+    * single batch drains the corpus); on a real stream, set the delay to
+    * the actual duplicate-arrival window of the TRUE event time instead
+    * of deriving one from an id.
     */
   def dedupWithinWatermarkStream(spark: SparkSession, dir: String): DataFrame = {
     // offset past the epoch: Spark's event-time watermark initializes to 0,
@@ -190,7 +199,7 @@ object StreamingOps {
     * documents land instead of re-scanning the accumulated corpus.
     *
     * Band keys come from the projection-only
-    * [[graft.operators.TextOps.minhashBandKeys]] (bit-identical to the
+    * [[graft.operators.TextOps.withMinhashBandKeys]] (bit-identical to the
     * batch signatures); the single stateful operator is a
     * `flatMapGroupsWithState` keyed by band hash whose state is the doc
     * ids seen in that band — each arriving doc emits exactly its pairs

@@ -55,6 +55,20 @@ class BarriersSpec extends AnyFunSuite {
     } finally spark.conf.unset(Barriers.StrategyKey)
   }
 
+  test("release frees localCheckpoint blocks, not just CacheManager entries") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // under the default localCheckpoint strategy the frame is a LogicalRDD,
+    // which the CacheManager never saw — df.unpersist would be a silent
+    // no-op and iterative loops would pin one copy per round (ADVICE r5)
+    val m = Barriers.materialize(Seq(1, 2, 3).toDF("x"), eager = true)
+    val rdd = m.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+    assert(rdd.getStorageLevel != StorageLevel.NONE)
+    Barriers.release(m)
+    assert(rdd.getStorageLevel == StorageLevel.NONE)
+  }
+
   test("unknown strategy fails fast") {
     import spark.implicits._
     spark.conf.set(Barriers.StrategyKey, "nope")

@@ -100,6 +100,27 @@ class RetryAndMigrationSpec extends AnyFunSuite {
     ProviderFactory.configure(spark, Seq(a, a.copy(id = "gA2")))
   }
 
+  test("configure rejects same-scheme providers with differing key sets") {
+    // requester-pays keys are session-wide: a plain GCS provider next to an
+    // RP one emits NO fs.gs.requester.* keys, so the value-conflict check
+    // never fires and the billing project would silently apply to the
+    // plain provider's buckets too
+    val plain = ProviderConf("gP", "gcs", "gs://p")
+    val rp = ProviderConf("gR", "gcs", "gs://r", userProject = "bill-me")
+    val e = intercept[IllegalArgumentException] {
+      ProviderFactory.configure(spark, Seq(plain, rp))
+    }
+    assert(e.getMessage.contains("requester"))
+    // same bleed across types sharing a scheme: a MinIO endpoint would
+    // capture a plain s3 provider's traffic
+    val s3 = ProviderConf("s", "s3", "s3a://x")
+    val minio = ProviderConf("m", "minio", "http://localhost:9000")
+    val e2 = intercept[IllegalArgumentException] {
+      ProviderFactory.configure(spark, Seq(s3, minio))
+    }
+    assert(e2.getMessage.contains("s3a"))
+  }
+
   test("ledger v1->v2 migration derives mapping_id and is idempotent") {
     val legacy = Seq((1L, "bkt", "o.txt", 4L, t1, "e", "text/plain", t1, "success"))
       .toDF("id", "bucket_name", "object_name", "size", "last_modified",
