@@ -76,8 +76,12 @@ object Main {
 
     if (continuous) {
       val q = ContinuousSync.start(spark, cfg, intervalSec * 1000L)
-      q.awaitTermination()
-      0
+      // SIGTERM/SIGINT → graceful cancel-cycle stop (main.go:71-72,108-113):
+      // the hook stops the ticker, awaitTermination returns, and the
+      // interrupted objects re-sync next run via their ledger status
+      val hook = ContinuousSync.installStopHook(q)
+      try { q.awaitTermination(); 0 }
+      finally ContinuousSync.removeStopHook(hook)
     } else {
       val engine = new SyncEngine(spark, cfg)
       val reports = engine.syncAll()

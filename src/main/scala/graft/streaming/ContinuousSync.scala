@@ -50,4 +50,24 @@ object ContinuousSync {
       case e: org.apache.spark.SparkException
         if e.getMessage != null && e.getMessage.contains("CANCELLED") => ()
     }
+
+  /** Route SIGTERM/SIGINT through [[stop]] — the reference wires signal →
+    * context-cancel → graceful ticker stop (main.go:71-72,108-113); the
+    * JVM analog is a shutdown hook. Without it a `kill -TERM` dies through
+    * Spark's default teardown instead of the cancel-cycle path. Returns
+    * the hook so the normal-exit path can deregister it.
+    */
+  def installStopHook(query: StreamingQuery): Thread = {
+    val hook = new Thread(() => stop(query), "graft-continuous-sync-stop")
+    Runtime.getRuntime.addShutdownHook(hook)
+    hook
+  }
+
+  /** Deregister a hook from [[installStopHook]] on the normal-exit path
+    * (IllegalStateException = shutdown already in progress, i.e. the hook
+    * is running — nothing to remove).
+    */
+  def removeStopHook(hook: Thread): Unit =
+    try Runtime.getRuntime.removeShutdownHook(hook)
+    catch { case _: IllegalStateException => () }
 }

@@ -39,4 +39,42 @@ class ContinuousSyncSpec extends AnyFunSuite {
       assert(Files.exists(root.resolve("dst/b.txt")))
     } finally graft.streaming.ContinuousSync.stop(q)  // ≙ SIGTERM, main.go:108-113
   }
+
+  test("stop hook mirrors SIGTERM: graceful stop, re-sync next run via ledger") {
+    val root = Files.createTempDirectory("graft-sigterm")
+    write(root.resolve("src/a.txt"), "alpha")
+    val cfg = SyncConfig(
+      providers = Seq(ProviderConf("local", "file", s"file://$root")),
+      mappings = Seq(MappingConf("local", "src", "local", "dst")),
+      ledgerPath = s"$root/ledger")
+
+    val q = graft.streaming.ContinuousSync.start(spark, cfg, intervalMs = 300)
+    val hook = graft.streaming.ContinuousSync.installStopHook(q)
+    try {
+      // wait for the first cycle, land a new object, then fire the "signal"
+      // while cycles are ticking — hook.run() IS the code path a TERM runs
+      val deadline = System.currentTimeMillis() + 30000
+      while (!Files.exists(root.resolve("dst/a.txt")) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(Files.exists(root.resolve("dst/a.txt")))
+      write(root.resolve("src/b.txt"), "beta")
+      hook.run()
+      assert(!q.isActive)            // graceful cancel-cycle stop landed
+      assert(q.exception.isEmpty)    // ...and surfaced no error (clean exit)
+
+      // b.txt may or may not have made the interrupted cycle; the NEXT run
+      // decides from the ledger (sync_new / sync_retry) and converges —
+      // the reference's restart-after-SIGTERM contract
+      val reports = new SyncEngine(spark, cfg).syncAll()
+      assert(reports.nonEmpty && reports.forall(_.failed == 0))
+      assert(new String(Files.readAllBytes(root.resolve("dst/b.txt"))) == "beta")
+      val statuses = SyncEngine.readLedger(spark, cfg.ledgerPath)
+        .select("object_name", "sync_status")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(statuses("a.txt") == "success" && statuses("b.txt") == "success")
+    } finally {
+      graft.streaming.ContinuousSync.removeStopHook(hook)
+      graft.streaming.ContinuousSync.stop(q)
+    }
+  }
 }
