@@ -593,11 +593,12 @@ object OracleExt {
 
   /** K-means oracle (mirrors VectorOps.kmeansClusterStats): same seeds,
     * same fixed-point SUM centroids (exact integers, never divided —
-    * cosine is scale-invariant), same tie rule, floor-not-round on the
-    * avg_sim quotient (decimal-half quotients round differently across
-    * engines; floor of the same double never does).
+    * cosine is scale-invariant), same tie rule, and every quantization is
+    * `floor(x·1e6 + 0.5)`, never `round` (half-way cases round differently
+    * across engines; floor of the same IEEE double never does).
     */
-  def kmeansClusterStats(dim: Int, centroidEvery: Int): String = {
+  def kmeansClusterStats(dim: Int, centroidEvery: Int,
+                         iters: Int = 1): String = {
     def assignSql(centRel: String, outRel: String) = s"""
       $outRel AS (
         SELECT vec_id, v, cluster_id, csim FROM (
@@ -613,26 +614,33 @@ object OracleExt {
           FROM emb e CROSS JOIN $centRel c)
         WHERE r = 1)"""
     val sumCols = (0 until dim)
-      .map(i => s"sum(CAST(round(v[${i + 1}] * 1e6) AS BIGINT)) AS s$i")
+      .map(i => s"sum(CAST(floor(v[${i + 1}] * 1e6 + 0.5) AS BIGINT)) AS s$i")
       .mkString(",\n               ")
     val meanCols = (0 until dim)
       .map(i => s"CAST(s$i AS DOUBLE)")
       .mkString("[", ", ", "]")
+    // one unrolled refine pass per iteration: SQL can't loop, and the
+    // Spark side's fixpoint early-exit provably equals the unrolled form
+    // (identical assignment ⇒ identical exact-integer sums ⇒ identical
+    // centroids ⇒ every later pass identical)
+    val passes = (1 to iters).map { i =>
+      s"""${assignSql(s"cent${i - 1}", s"a$i")},
+      sums$i AS (
+        SELECT cluster_id, count(*) AS n,
+               $sumCols
+        FROM a$i GROUP BY cluster_id),
+      cent$i AS (SELECT cluster_id, $meanCols AS cv FROM sums$i),"""
+    }.mkString("\n")
     s"""
       WITH $EmbCte,
       cent0 AS (SELECT vec_id AS cluster_id, v AS cv FROM emb
                 WHERE vec_id % $centroidEvery = 0),
-      ${assignSql("cent0", "a1")},
-      sums AS (
-        SELECT cluster_id, count(*) AS n,
-               $sumCols
-        FROM a1 GROUP BY cluster_id),
-      cent1 AS (SELECT cluster_id, $meanCols AS cv FROM sums),
-      ${assignSql("cent1", "a2")}
+      $passes
+      ${assignSql(s"cent$iters", s"a${iters + 1}")}
       SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-             floor(CAST(sum(CAST(round(csim * 1e6) AS BIGINT)) AS DOUBLE)
+             floor(CAST(sum(CAST(floor(csim * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
                / count(*)) / 1e6 AS avg_sim
-      FROM a2 GROUP BY cluster_id ORDER BY cluster_id"""
+      FROM a${iters + 1} GROUP BY cluster_id ORDER BY cluster_id"""
   }
 
   /** IVF ANN top-k oracle (mirrors VectorOps.topkCosineIvf): deterministic

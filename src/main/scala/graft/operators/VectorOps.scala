@@ -356,26 +356,38 @@ object VectorOps {
     topkCosineIvf(corpus, k, nProbe, centroidEvery)
   }
 
-  /** Deterministic k-means over the embedding corpus (Lloyd, one refine
-    * pass): seeds = the every-`centroidEvery`-th subset (the IVF seed
-    * rule), one cosine assignment, centroid recompute, reassignment, and
-    * per-cluster stats — the topic-bucketing / curriculum-grouping step
-    * of a training-data pipeline, and the natural k-means upgrade of the
+  /** Deterministic k-means over the embedding corpus (Lloyd, `maxIter`
+    * refine passes with assignment-fixpoint early exit): seeds = the
+    * every-`centroidEvery`-th subset (the IVF seed rule), cosine
+    * assignment, centroid recompute, reassignment, and per-cluster
+    * stats — the topic-bucketing / curriculum-grouping step of a
+    * training-data pipeline, and the natural k-means upgrade of the
     * IVF index's seed lists.
     *
+    * Convergence: a pass whose assignment equals the previous pass's is a
+    * TRUE fixpoint — identical assignment ⇒ identical exact-integer sums
+    * ⇒ identical centroids ⇒ every later pass identical — so early exit
+    * returns exactly what `maxIter` unrolled passes would (which is what
+    * the unrolled SQL oracle computes). The changed-assignment count is
+    * one scalar agg per round (the connectedComponents termination
+    * pattern), skipped on the last pass where no further work could be
+    * saved; prior rounds' barrier blocks are released as in
+    * [[graft.operators.CorpusOps.connectedComponents]].
+    *
     * Cross-engine determinism is designed in, not hoped for, and the
-    * design avoids ROUNDING A QUOTIENT anywhere: `round(q, 6)` on an
-    * exact decimal quotient lands on 7th-digit halves, where Spark
-    * (BigDecimal HALF_UP on the shortest string) and DuckDB (std::round
-    * on the binary double) disagree. Instead:
+    * design avoids ENGINE-SPECIFIC ROUNDING anywhere: `round(x)` lands
+    * on decimal halves, where Spark (BigDecimal HALF_UP on the shortest
+    * string) and DuckDB (std::round on the binary double) can disagree —
+    * for quotients AND for raw products. Instead every quantization is
+    * `floor(x·10⁶ + 0.5)`: floor of the identical IEEE double is the
+    * same everywhere, so parity holds by construction, not empirically.
     *  - the refined centroid is the FIXED-POINT SUM vector
-    *    `sum(round(v_i·10⁶) :: long)` — exact integers, independent of
-    *    partial-agg accumulation order, and never divided by n at all:
+    *    `sum(floor(v_i·10⁶ + 0.5) :: long)` — exact integers, independent
+    *    of partial-agg accumulation order, and never divided by n at all:
     *    cosine is scale-invariant, so the sum direction IS the mean
     *    direction (quantization at 10⁻⁶ per component is documented
     *    behavior, far below embedding noise);
-    *  - `avg_sim` floors the integer-micro quotient (`floor` of the same
-    *    double is the same everywhere) rather than rounding it.
+    *  - `avg_sim` floors the integer-micro quotient the same way.
     * Assignment ties break by centroid id.
     *
     * Scale shape: two broadcast-assignment passes (centroids ≈ n/50, the
@@ -384,8 +396,24 @@ object VectorOps {
     * one dim×k fixed-point stats groupBy.
     */
   def kmeansClusterStats(corpus: DataFrame, dim: Int,
-                         centroidEvery: Int = 50): DataFrame = {
+                         centroidEvery: Int = 50, maxIter: Int = 1): DataFrame =
+    kmeansAssign(corpus, dim, centroidEvery, maxIter)._1
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+           (floor(sum(floor(col("csim") * 1e6 + 0.5).cast("long")).cast("double")
+             / count(lit(1))) / 1e6).as("avg_sim"))
+      .select(col("cluster_id"), col("n_members"), col("avg_sim"))
+
+  /** The Lloyd loop behind [[kmeansClusterStats]]: returns the final
+    * (vec_id, v, cluster_id, csim) assignment plus the number of refine
+    * passes actually run (< maxIter means the assignment hit its fixpoint
+    * early — exposed so tests can assert convergence, not just output).
+    */
+  private[graft] def kmeansAssign(
+      corpus: DataFrame, dim: Int,
+      centroidEvery: Int, maxIter: Int): (DataFrame, Int) = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     // the IVF seed rule, via the one shared definition (never drifts)
     val cent0 = ivfCentroids(corpus, centroidEvery)
@@ -407,21 +435,40 @@ object VectorOps {
         .select(col("vec_id"), col("m.v").as("v"),
                 col("m.cluster_id").as("cluster_id"), col("m.csim").as("csim"))
 
-    val a1 = assign(cent0)
-    val sums = a1.groupBy("cluster_id").agg(
-      count(lit(1)).as("n"),
-      (0 until dim).map(i =>
-        sum(round(col("v")(i) * 1e6).cast("long")).as(s"s$i")): _*)
-    // sum direction = mean direction for cosine; integer-valued doubles,
-    // exact and engine-identical
-    val cent1 = sums.select(col("cluster_id"),
-      array((0 until dim).map(i => col(s"s$i").cast("double")): _*).as("cv"))
-    assign(cent1)
-      .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_members"),
-           (floor(sum(round(col("csim") * 1e6).cast("long")).cast("double")
-             / count(lit(1))) / 1e6).as("avg_sim"))
-      .select(col("cluster_id"), col("n_members"), col("avg_sim"))
+    def refine(assigned: DataFrame): DataFrame = {
+      val sums = assigned.groupBy("cluster_id").agg(
+        count(lit(1)).as("n"),
+        (0 until dim).map(i =>
+          sum(floor(col("v")(i) * 1e6 + 0.5).cast("long")).as(s"s$i")): _*)
+      // sum direction = mean direction for cosine; integer-valued doubles,
+      // exact and engine-identical
+      val cent = sums.select(col("cluster_id"),
+        array((0 until dim).map(i => col(s"s$i").cast("double")): _*).as("cv"))
+      assign(cent)
+    }
+
+    // barrier per round: the loop would otherwise grow one crossJoin+agg
+    // of plan per pass AND recompute every prior pass each action
+    var assigned = Barriers.materialize(assign(cent0), eager = true)
+    var itersRun = 0
+    var converged = false
+    while (itersRun < maxIter && !converged) {
+      val next = Barriers.materialize(refine(assigned), eager = true)
+      // fixpoint test only when another pass could be skipped; one n-row
+      // equi-join + count between two materialized frames
+      if (itersRun + 1 < maxIter) {
+        val changed = next.select(col("vec_id"), col("cluster_id").as("c2"))
+          .join(assigned.select(col("vec_id"), col("cluster_id").as("c1")),
+                Seq("vec_id"))
+          .filter(col("c1") =!= col("c2"))
+          .count()
+        if (changed == 0) converged = true
+      }
+      Barriers.release(assigned)
+      assigned = next
+      itersRun += 1
+    }
+    (assigned, itersRun)
   }
 
   /** Symmetric int8 scalar quantization of an embedding column: per-vector

@@ -123,6 +123,29 @@ class VectorOpsSpec extends AnyFunSuite {
       s"refined $refined < seed baseline $seedMean")
   }
 
+  test("kmeans converges to an assignment fixpoint within maxIter") {
+    // deterministic seeds on the synthetic corpus: the loop must hit a
+    // round with zero reassignments before a generous maxIter, and the
+    // early exit must equal the fully-unrolled run (fixpoint argument)
+    val (assignedA, itersA) =
+      VectorOps.kmeansAssign(emb, dim = 64, centroidEvery = 50, maxIter = 25)
+    assert(itersA < 25, s"no fixpoint after $itersA refine passes")
+    val a = assignedA.select("vec_id", "cluster_id")
+      .as[(Long, Long)].collect().toSet
+    // running fewer capped passes than convergence needed differs; running
+    // more than convergence needed is identical
+    val (assignedB, itersB) =
+      VectorOps.kmeansAssign(emb, dim = 64, centroidEvery = 50,
+                             maxIter = itersA + 5)
+    assert(itersB == itersA)
+    val b = assignedB.select("vec_id", "cluster_id")
+      .as[(Long, Long)].collect().toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      VectorOps.kmeansAssign(emb, dim = 64, centroidEvery = 50, maxIter = 0)
+    }
+  }
+
   test("IVF topk achieves reasonable recall vs brute force") {
     val exact = VectorOps.topkCosine(emb, emb, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
