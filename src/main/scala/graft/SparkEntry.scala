@@ -98,6 +98,13 @@ object SparkEntry {
       SyncOps.compactionPlan(src(s, d).drop("metadata"), 4L << 20)
         .orderBy("prefix", "bin_id")),
 
+    "catalog_compaction_apply" -> ((s, d) =>
+      // the post-compaction catalog: one object per bin with exact merged
+      // sizes — the declared view of the CopyExecutor.compactObjects
+      // rewrite (the byte-level round-trip runs in SyncEngineSpec)
+      SyncOps.compactedCatalog(src(s, d).drop("metadata"), 4L << 20)
+        .orderBy("name")),
+
     "object_get" -> ((s, d) => {
       val c = src(s, d)
       c.join(broadcast(c.agg(min(col("name")).as("min_name"))),
@@ -548,9 +555,10 @@ object SparkEntry {
         .orderBy("query_id", "rank")),
 
     "embedding_kmeans" -> ((s, d) =>
-      // deterministic Lloyd pass over the corpus: topic bucketing /
-      // curriculum grouping; fixed-point means keep both engines exact
-      VectorOps.kmeansClusterStats(T.embeddings(s, d), dim = 64)
+      // deterministic multi-pass Lloyd over the corpus: topic bucketing /
+      // curriculum grouping; fixed-point sums keep both engines exact and
+      // the assignment-fixpoint early exit equals the unrolled oracle
+      VectorOps.kmeansClusterStats(T.embeddings(s, d), dim = 64, maxIter = 2)
         .orderBy("cluster_id")),
 
     "similarity_topk_lsh_banded" -> ((s, d) =>
@@ -810,6 +818,25 @@ object SparkEntry {
          GROUP BY prefix, start_offset // 4194304
          ORDER BY prefix, bin_id"""),
 
+    "catalog_compaction_apply" -> syncQ(
+      // same binning CTE as the plan, projected to the compacted object
+      // names (the name rule is SyncOps.compactedName on the Spark side)
+      """SELECT 'compacted/' || prefix || '/part-' ||
+                  lpad(CAST(CAST(start_offset // 4194304 AS BIGINT) AS VARCHAR),
+                       5, '0') AS name,
+                CAST(sum(size) AS BIGINT) AS size,
+                CAST(count(*) AS BIGINT) AS n_merged,
+                min(member_name) AS first_name, max(member_name) AS last_name
+         FROM (SELECT substring(name, 1, 5) AS prefix, name AS member_name,
+                      size,
+                      coalesce(sum(size) OVER (
+                        PARTITION BY substring(name, 1, 5) ORDER BY name
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS start_offset
+               FROM source_catalog)
+         GROUP BY prefix, start_offset // 4194304
+         ORDER BY name"""),
+
     "object_get" -> syncQ(
       """SELECT name, bucket, size, content_type, last_modified, etag
          FROM source_catalog
@@ -1003,7 +1030,7 @@ object SparkEntry {
     "similarity_topk_lsh_banded" -> OracleExt.similarityTopkLshBanded(
       dim = 64, k = 5, bands = 4, rowsPerBand = 4),
     "embedding_kmeans" -> OracleExt.kmeansClusterStats(
-      dim = 64, centroidEvery = 50),
+      dim = 64, centroidEvery = 50, iters = 2),
     "similarity_topk_ivf" -> OracleExt.similarityTopkIvf(
       k = 5, nProbe = 4, centroidEvery = 50),
     "multimodal_decode_stub" -> OracleExt.multimodalDecodeStub,

@@ -75,6 +75,63 @@ object CopyExecutor {
     }
   }
 
+  case class CompactionBin(target_name: String, members: Seq[String])
+  case class CompactReceipt(object_name: String, n_objects: Long, size: Long,
+                            sync_status: String, error: String)
+
+  /** Execute a compaction plan: stream-concatenate each bin's member
+    * objects (in `members` order — [[graft.operators.SyncOps.compactionBins]]
+    * emits them name-sorted) into ONE target object, the maintenance
+    * rewrite a 100-TB catalog full of small sync outputs needs weekly.
+    *
+    * Each bin is one task row; bytes stream through the same 1 MiB buffer
+    * as [[copyObjects]], never buffering an object — so a bin costs
+    * O(targetBytes) transfer and O(1) memory regardless of member count.
+    * Per-bin error isolation: a failed member read yields a
+    * `failed_compact` receipt (the partially-written target is
+    * overwritten by the retry — target keys are deterministic and
+    * `create(overwrite=true)` keeps the rewrite idempotent) and the run
+    * continues. Callers upsert receipts into the ledger and only delete
+    * member objects whose bin succeeded.
+    */
+  def compactObjects(spark: SparkSession, bins: DataFrame,
+                     srcBucket: String, dstBucket: String): Dataset[CompactReceipt] = {
+    import spark.implicits._
+    bins.select(col("target_name"), col("members")).as[CompactionBin]
+      .mapPartitions { it =>
+        val conf = new Configuration()
+        val srcFs = FileSystem.get(URI.create(srcBucket), conf)
+        val dstFs = FileSystem.get(URI.create(dstBucket), conf)
+        val buf = new Array[Byte](1 << 20)
+        it.map { bin =>
+          val dst = new Path(dstBucket + "/" + bin.target_name)
+          try {
+            dstFs.mkdirs(dst.getParent)
+            val out = dstFs.create(dst, true)
+            var total = 0L
+            try {
+              bin.members.foreach { m =>
+                val in = srcFs.open(new Path(srcBucket + "/" + m))
+                try {
+                  var n = in.read(buf)
+                  while (n >= 0) {
+                    if (n > 0) { out.write(buf, 0, n); total += n }
+                    n = in.read(buf)
+                  }
+                } finally in.close()
+              }
+            } finally out.close()
+            CompactReceipt(bin.target_name, bin.members.length.toLong, total,
+                           "success", "")
+          } catch {
+            case e: Exception =>
+              CompactReceipt(bin.target_name, bin.members.length.toLong, 0L,
+                             "failed_compact", String.valueOf(e.getMessage))
+          }
+        }
+      }
+  }
+
   case class DeleteTask(name: String)
   case class DeleteReceipt(object_name: String, removed: Boolean, error: String)
 

@@ -282,7 +282,20 @@ object SyncOps {
     * double and rounds at large offsets.
     */
   def compactionPlan(catalog: DataFrame, targetBytes: Long,
-                     prefixLen: Int = 5): DataFrame = {
+                     prefixLen: Int = 5): DataFrame =
+    compactionAssign(catalog, targetBytes, prefixLen)
+      .groupBy("prefix", "bin_id")
+      .agg(count(lit(1)).as("n_objects"),
+           sum(col("size")).cast("long").as("total_bytes"),
+           min(col("name")).as("first_name"),
+           max(col("name")).as("last_name"))
+
+  /** Per-object bin assignment behind [[compactionPlan]]: one row per
+    * member object with its (prefix, bin_id) — the frame the executor
+    * groups into copy tasks and the plan aggregates into bins.
+    */
+  private[graft] def compactionAssign(catalog: DataFrame, targetBytes: Long,
+                                      prefixLen: Int): DataFrame = {
     val prior = Window.partitionBy("prefix").orderBy("name")
       .rowsBetween(Window.unboundedPreceding, -1)
     catalog
@@ -291,10 +304,46 @@ object SyncOps {
       .withColumn("start_offset",
         coalesce(sum(col("size")).over(prior), lit(0L)))
       .withColumn("bin_id", expr(s"start_offset div $targetBytes"))
+  }
+
+  /** Deterministic name of a bin's compacted output object — shared by
+    * [[compactionBins]] (what the executor writes), [[compactedCatalog]]
+    * (what the catalog will list afterwards) and the DuckDB oracle
+    * restatement: change it in one place or the three drift apart.
+    */
+  private def compactedName: Column =
+    concat(lit("compacted/"), col("prefix"), lit("/part-"),
+           lpad(col("bin_id").cast("string"), 5, "0"))
+
+  /** Executable compaction bins: one row per bin with the member names in
+    * concatenation order — the task frame for
+    * [[CopyExecutor.compactObjects]]. `members` is bounded by
+    * targetBytes/min-object-size per row (a few thousand names for MiB
+    * bins), so the collected array is small even on a 100 M-object
+    * catalog; the heavy data (the bytes) never leaves the executors.
+    */
+  def compactionBins(catalog: DataFrame, targetBytes: Long,
+                     prefixLen: Int = 5): DataFrame =
+    compactionAssign(catalog, targetBytes, prefixLen)
       .groupBy("prefix", "bin_id")
-      .agg(count(lit(1)).as("n_objects"),
-           sum(col("size")).cast("long").as("total_bytes"),
+      .agg(sort_array(collect_list(col("name"))).as("members"),
+           sum(col("size")).cast("long").as("total_bytes"))
+      .select(compactedName.as("target_name"), col("members"),
+              col("total_bytes"))
+
+  /** The post-compaction catalog shape: what a listing returns once every
+    * bin is rewritten as one object — the declared, oracle-checked view of
+    * the maintenance action (sizes are exact because concatenation
+    * preserves byte counts).
+    */
+  def compactedCatalog(catalog: DataFrame, targetBytes: Long,
+                       prefixLen: Int = 5): DataFrame =
+    compactionAssign(catalog, targetBytes, prefixLen)
+      .groupBy("prefix", "bin_id")
+      .agg(count(lit(1)).as("n_merged"),
+           sum(col("size")).cast("long").as("size"),
            min(col("name")).as("first_name"),
            max(col("name")).as("last_name"))
-  }
+      .select(compactedName.as("name"), col("size"), col("n_merged"),
+              col("first_name"), col("last_name"))
 }

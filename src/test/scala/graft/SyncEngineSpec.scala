@@ -137,6 +137,70 @@ class SyncEngineSpec extends AnyFunSuite {
     assert(after.collect().map(_.getAs[String]("object_name")).toSet == Set("live.txt"))
   }
 
+  test("compaction round-trip: bins rewritten, ledger upserted, members deleted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.{CopyExecutor, SyncOps}
+    val root = Files.createTempDirectory("graft-compact")
+    // two 5-char prefix groups; 4-byte objects against an 8-byte target →
+    // deterministic 2-per-bin packing within each prefix
+    val contents = Map(
+      "grp_a/1.bin" -> "AAAA", "grp_a/2.bin" -> "BBBB", "grp_a/3.bin" -> "CCCC",
+      "grp_b/1.bin" -> "XXXX", "grp_b/2.bin" -> "YYYY")
+    contents.foreach { case (n, c) => write(root.resolve(s"dst/$n"), c) }
+    val bucket = s"file://$root/dst"
+    val catalog = ObjectStoreCatalog.scanCatalog(spark, bucket)
+
+    val bins = SyncOps.compactionBins(catalog, targetBytes = 8).localCheckpoint(true)
+    val receipts = CopyExecutor.compactObjects(spark, bins, bucket, bucket)
+      .toDF().localCheckpoint(true)
+    assert(receipts.filter($"sync_status" =!= "success").count() == 0)
+
+    // byte-level check: each target is the name-ordered concatenation of
+    // its members, and sizes match the declared compactedCatalog exactly
+    val binRows = bins.as[(String, Seq[String], Long)].collect()
+    assert(binRows.nonEmpty && binRows.exists(_._2.size > 1))
+    binRows.foreach { case (target, members, total) =>
+      val got = new String(Files.readAllBytes(root.resolve(s"dst/$target")))
+      assert(got == members.map(contents).mkString, s"bin $target")
+      assert(got.length.toLong == total)
+    }
+    val declaredSizes = SyncOps.compactedCatalog(catalog, targetBytes = 8)
+      .select("name", "size").as[(String, Long)].collect().toMap
+    val receiptSizes = receipts.select("object_name", "size")
+      .as[(String, Long)].collect().toMap
+    assert(declaredSizes == receiptSizes)
+
+    // ledger maintenance: members out (only for succeeded bins), compacted
+    // objects in — the upsert path a weekly maintenance job runs
+    val t = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val ledger = catalog.select(lit(0L).as("id"), lit("m").as("mapping_id"),
+      col("name").as("object_name"), col("size"), col("last_modified"),
+      col("etag"), col("content_type"), lit(t).as("last_synced"),
+      lit("success").as("sync_status"))
+    val okBins = receipts.filter($"sync_status" === "success")
+    val doomed = bins.join(okBins,
+        bins("target_name") === okBins("object_name"), "left_semi")
+      .select(explode($"members").as("name"))
+    val updates = okBins.select(lit(0L).as("id"), lit("m").as("mapping_id"),
+      $"object_name", $"size", lit(t).as("last_modified"),
+      md5($"object_name").as("etag"),
+      lit("application/octet-stream").as("content_type"),
+      lit(t).as("last_synced"), $"sync_status")
+    val after = SyncOps.ledgerUpsert(SyncOps.ledgerDelete(ledger, doomed), updates)
+    val names = after.select("object_name").as[String].collect().toSet
+    assert(names == binRows.map(_._1).toSet)
+
+    // physical member cleanup via the tolerate-404 delete path
+    val del = CopyExecutor.deleteObjects(
+      spark, doomed, bucket).collect()
+    assert(del.forall(_.removed))
+    contents.keys.foreach(n => assert(!Files.exists(root.resolve(s"dst/$n"))))
+    binRows.foreach { case (tname, _, _) =>
+      assert(Files.exists(root.resolve(s"dst/$tname")))
+    }
+  }
+
   test("failed copy isolates the object and records failed status") {
     val root = Files.createTempDirectory("graft-fail")
     write(root.resolve("src/ok.txt"), "fine")
