@@ -412,21 +412,28 @@ object OracleExt {
     * `dfCap` adds the corpus df-cap CTEs (batch) or omits them
     * (streaming, which cannot compute full-corpus frequencies).
     */
-  private def contaminationSql(dfCap: Option[Int]): String = {
+  private def contaminationSql(dfCap: Option[Int],
+                               benchCap: Option[Int] = None): String = {
     val capCtes = dfCap.map(c => s"""
     rare_c AS (SELECT s FROM corp GROUP BY s HAVING count(*) <= $c),
     corp_r AS (SELECT c.doc_id, c.s FROM corp c JOIN rare_c USING (s)),""")
       .getOrElse("")
     val corpRel = if (dfCap.isDefined) "corp_r" else "corp"
+    val benchCapCtes = benchCap.map(c => s""",
+    rare_b AS (SELECT s FROM benchm_all GROUP BY s HAVING count(*) <= $c),
+    benchm AS (
+      SELECT b.bench_doc_id, b.s FROM benchm_all b JOIN rare_b USING (s))""")
+      .getOrElse("")
+    val benchRel = if (benchCap.isDefined) "benchm_all" else "benchm"
     docQ(s"""
     , corp AS (
       SELECT DISTINCT doc_id, s
       FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)
       WHERE doc_id % 97 <> 0),$capCtes
-    benchm AS (
+    $benchRel AS (
       SELECT DISTINCT doc_id AS bench_doc_id, s
       FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)
-      WHERE doc_id % 97 = 0)
+      WHERE doc_id % 97 = 0)$benchCapCtes
     SELECT c.doc_id, b.bench_doc_id, CAST(count(*) AS BIGINT) AS n_shared
     FROM $corpRel c JOIN benchm b ON c.s = b.s
     GROUP BY c.doc_id, b.bench_doc_id
@@ -441,6 +448,15 @@ object OracleExt {
     * stream cannot compute full-corpus document frequencies.
     */
   val docsStreamDecontaminate: String = contaminationSql(None)
+
+  /** Bench-side df-capped contamination — the bounded-state streaming
+    * variant's oracle (StreamingOps.contaminationStream with `benchMaxDf`):
+    * shingles present in more than `benchCap` BENCHMARK docs are dropped
+    * up front (the benchmark is static, so this df IS computable in a
+    * stream, unlike the corpus df the batch cap uses).
+    */
+  def docsStreamDecontaminateCapped(benchCap: Int): String =
+    contaminationSql(None, benchCap = Some(benchCap))
 
   /** Mirrors TextOps.ngramJaccardPairs including the document-frequency
     * cap: shingles in more than `maxDf` docs are dropped from both the

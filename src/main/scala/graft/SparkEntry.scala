@@ -288,6 +288,22 @@ object SparkEntry {
       graft.streaming.StreamingOps.contaminationStream(s, d, minShared = 3)
         .orderBy("doc_id", "bench_doc_id")),
 
+    "docs_stream_decontaminate_capped" -> ((s, d) =>
+      // bounded-state variant: benchmark-boilerplate shingles (present in
+      // > benchMaxDf bench docs) dropped up front, capping the per-shingle
+      // state fan-out — verified against its own bench-capped oracle
+      graft.streaming.StreamingOps.contaminationStream(s, d, minShared = 3,
+          benchMaxDf = 2)
+        .orderBy("doc_id", "bench_doc_id")),
+
+    "docs_stream_near_minhash_capped" -> ((s, d) =>
+      // bounded-state near-dup: split-file source (one file per trigger)
+      // so the maxPerBand state cap engages across real micro-batches; cap
+      // sits above the densest band, so the batch oracle still verifies it
+      graft.streaming.StreamingOps.minhashCandidatesStreamCapped(s, d,
+          maxPerBand = 64)
+        .orderBy("doc_a", "doc_b")),
+
     // [EXT] multimodal binary columns -----------------------------------
     "multimodal_media_stats" -> ((s, d) =>
       Multimodal.mediaFromDocuments(T.documents(s, d))
@@ -1070,6 +1086,9 @@ object SparkEntry {
          FROM documents ORDER BY content_hash""",
     "docs_stream_near_minhash" -> OracleExt.dedupNearMinhash,
     "docs_stream_decontaminate" -> OracleExt.docsStreamDecontaminate,
+    "docs_stream_decontaminate_capped" ->
+      OracleExt.docsStreamDecontaminateCapped(2),
+    "docs_stream_near_minhash_capped" -> OracleExt.dedupNearMinhash,
 
     "multimodal_media_stats" ->
       """SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

@@ -36,6 +36,26 @@ object StreamingOps {
     spark.readStream.schema(schema).parquet(stage.toString)
   }
 
+  /** Like [[stagedStream]] but splits the table into `nFiles` parquet files
+    * and admits one file per trigger, so the query genuinely runs across
+    * several micro-batches — the arrival pattern a landing directory
+    * produces — instead of draining in one. Stateful operators exercised
+    * through this source carry state BETWEEN batches, which a single-batch
+    * drain never tests.
+    */
+  private def stagedStreamSplit(spark: SparkSession, dir: String,
+                                table: String, nFiles: Int): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    val stage = s"/tmp/graft-io/$table-stream-split$nFiles/" +
+      Integer.toHexString(dir.hashCode)
+    val batch = spark.read.parquet(path)
+    batch.repartition(nFiles).write.mode("overwrite").parquet(stage)
+    spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(stage)
+  }
+
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val raw = stagedStream(spark, dir, "events")
     // ts arrives as LONG nanos under the legacy parquet flag; floor-div
@@ -218,10 +238,51 @@ object StreamingOps {
     */
   def minhashCandidatesStream(spark: SparkSession, dir: String,
                               k: Int = 8, bands: Int = 4,
-                              maxPerBand: Int = Int.MaxValue): DataFrame = {
+                              maxPerBand: Int = Int.MaxValue): DataFrame =
+    runToTable(spark,
+      minhashCandidatePairs(spark, docsStream(spark, dir), k, bands,
+        maxPerBand),
+      OutputMode.Append())
+      // a pair sharing several bands emits once per band; the batch
+      // operator ends in .distinct() — same dedup on the drained result
+      .distinct()
+
+  /** The capped declared variant: same operator, but fed through the
+    * split-file source (one file per trigger) so documents genuinely
+    * arrive across micro-batches and the `maxPerBand` state cap engages
+    * between them — in a single-batch drain every in-batch pair is
+    * emitted before the cap can truncate state, so the cap would be
+    * declared but never exercised. `maxPerBand` is chosen above the
+    * corpus's densest band (≤16 members at sf0.1), so no pair is lost and
+    * the batch candidate-set oracle still verifies the run bit-for-bit;
+    * StreamingOpsSpec covers the binding case and asserts the loss is
+    * exactly the dropped members' later pairs.
+    */
+  def minhashCandidatesStreamCapped(spark: SparkSession, dir: String,
+                                    k: Int = 8, bands: Int = 4,
+                                    maxPerBand: Int = 64,
+                                    nFiles: Int = 4): DataFrame =
+    runToTable(spark,
+      minhashCandidatePairs(spark,
+        stagedStreamSplit(spark, dir, "documents", nFiles), k, bands,
+        maxPerBand),
+      OutputMode.Append())
+      .distinct()
+
+  /** Core of the streaming near-dup detector: band keys → one
+    * `flatMapGroupsWithState` keyed by band whose state is the doc ids
+    * seen so far (first `maxPerBand` retained). Takes the document stream
+    * as a parameter so the declared queries (file source) and the
+    * cap-binding spec (MemoryStream with controlled batch boundaries)
+    * drive the identical operator. Returns the un-started streaming frame;
+    * callers run it and `.distinct()` the drained result.
+    */
+  def minhashCandidatePairs(spark: SparkSession, docs: DataFrame,
+                            k: Int, bands: Int,
+                            maxPerBand: Int): DataFrame = {
     import spark.implicits._
     val banded = graft.operators.TextOps
-      .withMinhashBandKeys(docsStream(spark, dir), k, bands)
+      .withMinhashBandKeys(docs, k, bands)
       .select(col("doc_id"), explode(col("bands")).as("band"))
       .as[BandRow]
     val pairs = banded
@@ -241,10 +302,7 @@ object StreamingOps {
           state.update((seen ++ fresh).take(maxPerBand))
           out.iterator
         })
-    // a pair sharing several bands emits once per band; the batch operator
-    // ends in .distinct() — same dedup here, on the drained static result
-    runToTable(spark, pairs.toDF(), OutputMode.Append())
-      .distinct()
+    pairs.toDF()
   }
 
   case class Ev(user_id: Long, ts_us: Long)

@@ -104,6 +104,76 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(capped.subsetOf(batch) && capped.nonEmpty)
   }
 
+  test("declared capped variant over split files equals the batch set") {
+    // the declared query's exact shape: multi-file source, one file per
+    // trigger, cap above the densest band — cross-batch state must stitch
+    // the candidate set back together bit-for-bit
+    val batch = graft.operators.TextOps
+      .minhashCandidates(Tables.documents(spark, dir))
+      .collect().map(_.toSeq).toSet
+    val streamed = StreamingOps
+      .minhashCandidatesStreamCapped(spark, dir, maxPerBand = 64, nFiles = 4)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("binding maxPerBand loses exactly the dropped members' later pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // identical text → identical signature → the same 4 bands, so all six
+    // docs land in one band group; cap=2 retains [1,2] after batch one
+    val text = "alpha beta gamma delta epsilon zeta"
+    val mem = MemoryStream[(Long, String)]
+    val pairs = StreamingOps.minhashCandidatePairs(
+      spark, mem.toDF().toDF("doc_id", "text"),
+      k = 8, bands = 4, maxPerBand = 2)
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("cap_bind").start()
+    try {
+      mem.addData((1L, text), (2L, text), (3L, text))
+      q.processAllAvailable()
+      mem.addData((4L, text), (5L, text), (6L, text))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cap_bind").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.dropTempView("cap_bind")
+    val all = (1L to 6L).combinations(2).map(s => (s(0), s(1))).toSet
+    // doc 3 was evicted by the cap before batch two arrived: its pairs
+    // with later docs — and ONLY those — are lost; in-batch pairs and the
+    // retained members' cross-batch pairs all survive
+    val lost = Set((3L, 4L), (3L, 5L), (3L, 6L))
+    assert(got == all -- lost)
+  }
+
+  test("streaming decontamination with a binding bench cap matches its oracle shape") {
+    // bench-capped stream = uncapped stream minus the contribution of
+    // shingles shared by > cap benchmark docs; recompute that expectation
+    // from the batch side and require exact equality (not just subset)
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps.{shingles, tokens}
+    val docs = Tables.documents(spark, dir)
+    val benchAll = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_doc_id"),
+              explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .distinct()
+    val cap = 1
+    val keep = benchAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("sh")
+    val expected = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+      .join(benchAll.join(keep, Seq("sh")), Seq("sh"))
+      .groupBy("doc_id", "bench_doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .collect().map(_.toSeq).toSet
+    val streamed = StreamingOps
+      .contaminationStream(spark, dir, minShared = 3, benchMaxDf = cap)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == expected && streamed.nonEmpty)
+  }
+
   test("stateful streaming sessionize equals batch sessionize") {
     val streamed = StreamingOps.sessionizeStateful(spark, dir, 30)
       .collect().map(_.toSeq).toSet
