@@ -257,6 +257,57 @@ object OracleExt {
              AS n_sampled
     FROM r GROUP BY lang ORDER BY lang"""
 
+  /** Mirrors TextOps.repetitionSignals: per-doc 2-gram repetition stats
+    * with the duplicate fraction as an integer ppm floor-division (never a
+    * rounded double) and the keep verdict at the shared threshold constant.
+    */
+  val repetitionSignals: String = docQ(s"""
+    , g AS (
+      SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i+1]
+                     for i in range(1, len(toks))]) AS g2
+      FROM docs_tok),
+    pg AS (SELECT doc_id, g2, count(*) AS c FROM g GROUP BY doc_id, g2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_2grams,
+           CAST(count(*) AS BIGINT) AS n_distinct_2grams,
+           CAST(max(c) AS BIGINT) AS top_2gram_count,
+           CAST((sum(c) - count(*)) * 1000000 // sum(c) AS BIGINT) AS dup_ppm,
+           ((sum(c) - count(*)) * 1000000 // sum(c))
+             < ${TextOps.DefaultDupPpmThreshold} AS keep
+    FROM pg GROUP BY doc_id ORDER BY doc_id""")
+
+  /** Mirrors CorpusOps.sampleTemperature (α = 1/2): integer fixed-point
+    * sqrt weights, exact-sum shares/budgets via integer floor-division,
+    * salted-md5 ppm draws — no double crosses the engine boundary except
+    * the correctly-rounded sqrt itself.
+    */
+  def sampleTemperature(budget: Long): String = s"""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5)
+               AS BIGINT) AS w_fp
+      FROM documents GROUP BY source),
+    tot AS (SELECT sum(w_fp) AS w_total FROM per),
+    rates AS (
+      SELECT source, n_docs,
+             CAST(w_fp * 1000000 // w_total AS BIGINT) AS share_ppm,
+             CAST($budget * w_fp // w_total AS BIGINT) AS target_docs,
+             CAST(least(1000000,
+               ($budget * w_fp // w_total) * 1000000 // n_docs)
+               AS BIGINT) AS rate_ppm
+      FROM per, tot),
+    samp AS (
+      SELECT d.source,
+             CAST(sum(CASE WHEN
+               ${hexParse8("substr(md5('temp:' || d.doc_id), 1, 8)")}
+                 % 1000000 < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled
+      FROM documents d JOIN rates r USING (source) GROUP BY d.source)
+    SELECT r.source, r.n_docs, r.share_ppm, r.target_docs, r.rate_ppm,
+           s.n_sampled
+    FROM rates r JOIN samp s USING (source) ORDER BY source"""
+
   /** k=25 on lang — constants must match the SparkEntry call. Same salted
     * md5 rank order as CorpusOps.hashUniform("pick", doc_id).
     */

@@ -449,6 +449,11 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) =>
       TextOps.fingerprint(T.documents(s, d)).orderBy("doc_id")),
 
+    "repetition_signals" -> ((s, d) =>
+      // Gopher-style repetition gate: per-doc duplicate-2-gram fraction
+      // (integer ppm), top 2-gram count, keep/drop verdict
+      TextOps.repetitionSignals(T.documents(s, d)).orderBy("doc_id")),
+
     "vocab_top_tokens" -> ((s, d) =>
       TextOps.vocabulary(T.documents(s, d), topN = 50)),
 
@@ -499,6 +504,13 @@ object SparkEntry {
     "sample_per_group" -> ((s, d) =>
       graft.operators.CorpusOps.samplePerGroup(T.documents(s, d), "lang", k = 25)
         .orderBy("lang", "rk")),
+
+    "sample_temperature" -> ((s, d) =>
+      // training-mix construction: per-source budgets ∝ sqrt(n) with
+      // integer fixed-point shares and md5-uniform draws
+      graft.operators.CorpusOps.sampleTemperature(T.documents(s, d),
+          budgetDocs = 100L)
+        .orderBy("source")),
 
     "corpus_pack_sequences" -> ((s, d) =>
       graft.operators.CorpusOps.packSequences(
@@ -1020,6 +1032,7 @@ object SparkEntry {
     "lang_id_confusion" -> OracleExt.langIdConfusion,
     "token_count_bpe" -> OracleExt.tokenCountBpe,
     "doc_fingerprint" -> OracleExt.fingerprint,
+    "repetition_signals" -> OracleExt.repetitionSignals,
     "vocab_top_tokens" -> OracleExt.vocabTopTokens,
     "doc_chunking" -> OracleExt.docChunking,
     "embedding_quantize" -> OracleExt.embeddingQuantize,
@@ -1034,6 +1047,7 @@ object SparkEntry {
     "sample_stratified" -> OracleExt.sampleStratified,
     "corpus_shard" -> OracleExt.corpusShard(nShards = 8),
     "sample_per_group" -> OracleExt.samplePerGroup,
+    "sample_temperature" -> OracleExt.sampleTemperature(100L),
     "corpus_pack_sequences" -> OracleExt.corpusPackSequences,
     "pii_scrub" -> OracleExt.piiScrub,
     "tfidf_top_terms" -> OracleExt.tfidfTopTerms,

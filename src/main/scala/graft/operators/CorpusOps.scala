@@ -133,6 +133,44 @@ object CorpusOps {
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"))
   }
 
+  /** Temperature-weighted source sampling — the training-mix step that
+    * up-weights small sources and down-weights dominant ones: source i
+    * gets sampling mass ∝ n_i^α with α = 1/2 (the "temperature"; α = 1 is
+    * proportional, α → 0 uniform). α is fixed at 1/2 because `sqrt` is
+    * correctly rounded under IEEE-754 in BOTH engines while `pow(x, 0.7)`
+    * is only within 1 ulp in Java — the same cross-engine determinism rule
+    * the kmeans fixed-point design follows. All derived quantities are
+    * integer: weights are `floor(sqrt(n)·10⁶ + 0.5)` longs, shares and
+    * per-source budgets integer floor-divisions of exact sums, and the
+    * sample decision compares a salted-md5 ppm draw against an integer
+    * rate — no double ever crosses an engine boundary.
+    *
+    * Scale shape: two source-keyed partial aggs over the corpus (counts,
+    * then sampled counts) + broadcast of the per-source rate table
+    * (|sources| rows); the Σ weight scalar rides the same broadcast
+    * crossJoin as tfidf's n_sources. No window, no global sort.
+    */
+  def sampleTemperature(docs: DataFrame, budgetDocs: Long): DataFrame = {
+    val per = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_fp",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5).cast("long"))
+    val tot = per.agg(sum(col("w_fp")).as("w_total"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("w_fp * 1000000 div w_total"))
+      .withColumn("target_docs", expr(s"${budgetDocs}L * w_fp div w_total"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("target_docs * 1000000 div n_docs")))
+    val sampled = docs
+      .withColumn("u_ppm", hashUniform("temp", col("doc_id")) % 1000000L)
+      .join(broadcast(rates.select("source", "rate_ppm")), Seq("source"))
+      .groupBy("source")
+      .agg(sum(when(col("u_ppm") < col("rate_ppm"), 1L).otherwise(0L))
+        .as("n_sampled"))
+    rates.join(sampled, Seq("source"))
+      .select("source", "n_docs", "share_ppm", "target_docs", "rate_ppm",
+              "n_sampled")
+  }
+
   /** Exact-count per-group sample: the k documents with the smallest
     * salted-md5 rank within each group — "take k docs per language", the
     * balanced-subset complement of rate-based [[sampleStratified]]. The

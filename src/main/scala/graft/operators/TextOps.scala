@@ -115,6 +115,33 @@ object TextOps {
         (sum(col("token_cnt").cast("long")).cast("double") /
           count(lit(1)).cast("double")).as("avg_tokens"))
 
+  /** Repetition signals per document — the Gopher-style quality gate that
+    * drops degenerate/boilerplate text before training (Rae et al. 2021,
+    * §A1.1 repetition filters): how much of a doc is the same 2-gram said
+    * again. Emits exact integer signals so both engines agree bit-for-bit:
+    * duplicate-2-gram fraction as parts-per-million via integer floor-div
+    * (never a rounded double — the cross-engine HALF_UP trap), plus the
+    * top 2-gram's count, and the keep/drop verdict at `dupPpmThreshold`.
+    *
+    * Scale shape: explode → two-level partial-agg'd groupBy ((doc, gram)
+    * then doc) — the tfidf shape, no joins, no windows; a doc with fewer
+    * than two tokens has no 2-grams and drops out (nothing to judge).
+    */
+  val DefaultDupPpmThreshold: Long = 200000L
+
+  def repetitionSignals(docs: DataFrame,
+                        dupPpmThreshold: Long = DefaultDupPpmThreshold): DataFrame =
+    docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("g2"))
+      .groupBy(col("doc_id"), col("g2")).agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_2grams"),
+           count(lit(1)).as("n_distinct_2grams"),
+           max(col("c")).as("top_2gram_count"))
+      .withColumn("dup_ppm",
+        expr("(n_2grams - n_distinct_2grams) * 1000000 div n_2grams"))
+      .withColumn("keep", col("dup_ppm") < dupPpmThreshold)
+
   /** Content fingerprint: md5 of the full normalized text plus the minimum
     * shingle hash (a 1-sample winnowing sketch — stable under small edits).
     */

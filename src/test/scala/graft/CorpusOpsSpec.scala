@@ -65,6 +65,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(none == 0L && all == 50L)
   }
 
+  test("temperature sampling flattens the mix and respects the budget") {
+    // sources of size 400 / 100 / 4: α=1/2 weights 20/10/2 — the small
+    // source gets 4x its proportional share, the big one loses half
+    val docs = ((1L to 400L).map(i => (i, "big")) ++
+                (401L to 500L).map(i => (i, "mid")) ++
+                (501L to 504L).map(i => (i, "tiny")))
+      .map { case (i, src) => (i, s"text $i", "en", src, 8L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.sampleTemperature(docs, budgetDocs = 64L).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val (nB, shB, tgB, _, smB) = out("big")
+    val (nM, shM, tgM, _, smM) = out("mid")
+    val (nT, shT, tgT, rtT, smT) = out("tiny")
+    assert(nB == 400L && nM == 100L && nT == 4L)
+    // exact integer math: weights 20e6/10e6/2e6, total 32e6
+    assert(shB == 625000L && shM == 312500L && shT == 62500L)
+    assert(tgB == 40L && tgM == 20L && tgT == 4L)
+    assert(tgB + tgM + tgT <= 64L)
+    // tiny's target equals its size → rate clamps to 1e6 → all sampled
+    assert(rtT == 1000000L && smT == 4L)
+    assert(smB <= nB && smM <= nM)
+    // deterministic md5 draws: a second run is identical
+    val again = CorpusOps.sampleTemperature(docs, budgetDocs = 64L).collect()
+      .map(r => (r.getString(0), r.getLong(5))).toMap
+    assert(again == out.map { case (k, v) => k -> v._5 })
+  }
+
   test("shard assignment is total and deterministic") {
     val docs = (1L to 100L).map(i => (i, "en", "s", 7L, s"t$i"))
       .toDF("doc_id", "lang", "source", "n_chars", "text")

@@ -77,6 +77,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.values.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("repetition signals match a brute-force recount") {
+    val rep = Seq(
+      (1L, "spam spam spam spam spam and more spam", "en", "s", 38L),
+      (2L, "a perfectly varied sentence with no repeats at all", "en", "s", 50L),
+      (3L, "one token", "en", "s", 9L),
+      (4L, "solo", "en", "s", 4L) // <2 tokens → no 2-grams → absent
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.repetitionSignals(rep).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    val expected = Seq(
+      (1L, "spam spam spam spam spam and more spam"),
+      (2L, "a perfectly varied sentence with no repeats at all"),
+      (3L, "one token")
+    ).map { case (id, text) =>
+      val g2 = text.toLowerCase.split("\\s+").toSeq.sliding(2).map(_.mkString(" ")).toSeq
+      val n = g2.size.toLong
+      val d = g2.distinct.size.toLong
+      val top = g2.groupBy(identity).values.map(_.size).max.toLong
+      val ppm = (n - d) * 1000000L / n
+      id -> ((n, d, top, ppm, ppm < TextOps.DefaultDupPpmThreshold))
+    }.toMap
+    assert(got == expected) // doc 4 absent from both: nothing to judge
+    // the degenerate doc is the one the gate drops
+    assert(!got(1L)._5 && got(2L)._5)
+  }
+
   test("fingerprint is stable for identical content") {
     val fp = TextOps.fingerprint(docs)
       .select("doc_id", "content_hash").as[(Long, String)].collect().toMap
