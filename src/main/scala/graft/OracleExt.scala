@@ -182,6 +182,24 @@ object OracleExt {
       , $minhashPairCtes
       SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")
 
+  /** Mirrors TextOps.minhashScoredPairs: the candidate pairs joined back
+    * to their signatures, scored by exact integer slice agreement.
+    */
+  val dedupNearMinhashScored: String = {
+    val m = (0 until 8)
+      .map(i => s"(CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    docQ(s"""
+      , $minhashPairCtes,
+      scored AS (
+        SELECT p.doc_a, p.doc_b, ($m) AS m
+        FROM pairs p JOIN sigs a ON p.doc_a = a.doc_id
+                     JOIN sigs b ON p.doc_b = b.doc_id)
+      SELECT doc_a, doc_b, CAST(m AS BIGINT) AS n_matching_sigs,
+             CAST(m * 1000000 // 8 AS BIGINT) AS est_jaccard_ppm
+      FROM scored ORDER BY doc_a, doc_b""")
+  }
+
   /** True connected components over the candidate pairs via a recursive
     * closure (every label reachable from a node, then min) — an
     * INDEPENDENT formulation of what the Spark side computes iteratively

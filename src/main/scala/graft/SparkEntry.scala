@@ -474,6 +474,12 @@ object SparkEntry {
     "dedup_near_minhash" -> ((s, d) =>
       TextOps.minhashCandidates(T.documents(s, d)).orderBy("doc_a", "doc_b")),
 
+    "dedup_near_minhash_scored" -> ((s, d) =>
+      // rank-before-cluster: candidate pairs scored by signature
+      // agreement (the free unbiased Jaccard estimate)
+      TextOps.minhashScoredPairs(T.documents(s, d))
+        .orderBy("doc_a", "doc_b")),
+
     "dedup_simhash" -> ((s, d) =>
       TextOps.simhashClusters(T.documents(s, d)).orderBy("simhash")),
 
@@ -1098,6 +1104,7 @@ object SparkEntry {
       """SELECT DISTINCT md5(text) AS content_hash,
                 CAST(length(text) AS BIGINT) AS n_chars_text
          FROM documents ORDER BY content_hash""",
+    "dedup_near_minhash_scored" -> OracleExt.dedupNearMinhashScored,
     "docs_stream_near_minhash" -> OracleExt.dedupNearMinhash,
     "docs_stream_decontaminate" -> OracleExt.docsStreamDecontaminate,
     "docs_stream_decontaminate_capped" ->

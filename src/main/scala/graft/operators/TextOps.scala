@@ -311,6 +311,49 @@ object TextOps {
       .distinct()
   }
 
+  /** Candidate pairs scored by estimated Jaccard — the rank-before-cluster
+    * step of a near-dup pipeline: banding recalls candidates, but
+    * clustering/removal policy wants them ORDERED by similarity, and the
+    * signature agreement fraction (matching minhashes / k) is the unbiased
+    * Jaccard estimate the signatures already paid for. Emitted as exact
+    * integers (match count, ppm via integer floor-div) so both engines
+    * agree bit-for-bit; any banded pair matches a whole band, so
+    * `n_matching_sigs >= k/bands` by construction.
+    *
+    * Scale shape: the signature frame is materialized ONCE (barrier) and
+    * feeds the band self-join and both sides of the score lookup; the
+    * re-joins key on doc ids over the candidate set — pairs-sized, not
+    * corpus-sized.
+    */
+  def minhashScoredPairs(docs: DataFrame, k: Int = 8,
+                         bands: Int = 4): DataFrame = {
+    val r = k / bands
+    val sigs = Barriers.materialize(withMinhashSignature(docs, k))
+    val bandCols = (0 until bands).map { j =>
+      md5(concat_ws("|",
+        lit(j.toString) +: (0 until r).map(i => col(s"sig${j * r + i}")): _*))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    val pairs = banded.select(col("band"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val a = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until k).map(i => col(s"sig$i").as(s"a$i")): _*)
+    val b = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until k).map(i => col(s"sig$i").as(s"b$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("n_matching_sigs", matches)
+      .withColumn("est_jaccard_ppm",
+        expr(s"n_matching_sigs * 1000000 div $k"))
+      .select("doc_a", "doc_b", "n_matching_sigs", "est_jaccard_ppm")
+  }
+
   /** SimHash (16-bit, md5-derived bits, ±1 votes per token). Returns
     * (doc_id, simhash). Near-dup clusters = equal simhash values.
     *

@@ -57,6 +57,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("scored minhash pairs: exact dup scores k/k, banded pairs >= k/bands") {
+    val scored = TextOps.minhashScoredPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // same pair set as the unscored candidates
+    val cand = TextOps.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scored.keySet == cand)
+    // docs 1 and 5 are bit-identical → all 8 signatures agree, ppm = 1e6
+    assert(scored((1L, 5L)) == ((8L, 1000000L)))
+    // a banded pair shares at least one whole band of k/bands signatures
+    assert(scored.values.forall { case (m, ppm) =>
+      m >= 2L && ppm == m * 1000000L / 8L })
+  }
+
   test("simhash of identical docs is identical, near-dups within distance") {
     val h = graft.operators.TextOps.withSimhash(docs)
       .as[(Long, Int)].collect().toMap
