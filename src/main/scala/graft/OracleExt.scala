@@ -527,6 +527,29 @@ object OracleExt {
   def docsStreamDecontaminateCapped(benchCap: Int): String =
     contaminationSql(None, benchCap = Some(benchCap))
 
+  /** Mirrors TextOps.contaminationFraction: share of each corpus doc's
+    * distinct shingles present anywhere in the benchmark, integer ppm.
+    */
+  val decontaminateFraction: String = docQ(s"""
+    , corp AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)
+      WHERE doc_id % 97 <> 0),
+    benchs AS (
+      SELECT DISTINCT s
+      FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)
+      WHERE doc_id % 97 = 0)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS BIGINT) AS contaminated_ppm,
+           (sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+             // count(*)) >= ${TextOps.DefaultContaminationPpm} AS is_dirty
+    FROM corp c LEFT JOIN benchs b ON c.s = b.s
+    GROUP BY doc_id ORDER BY doc_id""")
+
   /** Mirrors TextOps.ngramJaccardPairs including the document-frequency
     * cap: shingles in more than `maxDf` docs are dropped from both the
     * candidate join and the set sizes.
@@ -626,6 +649,44 @@ object OracleExt {
         JOIN emb va ON va.vec_id = c.vec_a
         JOIN emb vb ON vb.vec_id = c.vec_b)
       WHERE sim >= $threshold ORDER BY vec_a, vec_b"""
+  }
+
+  /** Recursive-closure clusters over the banded-cosine near-dup pairs —
+    * the same independent fixpoint formulation as [[dedupClusters]], over
+    * the embedding edge set instead of the minhash one (semantic dedup:
+    * paraphrases cluster even when no shingle survives).
+    */
+  def dedupClustersCosine(threshold: Double, dim: Int,
+                          bands: Int, rowsPerBand: Int): String = {
+    val bandExprs = bandExprsSql(dim, bands, rowsPerBand)
+    s"""
+      WITH RECURSIVE $EmbCte,
+      banded AS (
+        SELECT vec_id, unnest([$bandExprs]) AS band FROM emb),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT vec_a, vec_b FROM (
+          SELECT c.vec_a, c.vec_b,
+                 round(list_dot_product(va.v, vb.v)
+                   / (sqrt(list_dot_product(va.v, va.v))
+                      * sqrt(list_dot_product(vb.v, vb.v))), 6) AS sim
+          FROM cand c
+          JOIN emb va ON va.vec_id = c.vec_a
+          JOIN emb vb ON vb.vec_id = c.vec_b)
+        WHERE sim >= $threshold),
+      edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst FROM pairs),
+      walk(node, lab) AS (
+        SELECT vec_id, vec_id FROM emb
+        UNION
+        SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst)
+      SELECT node AS vec_id, min(lab) AS cluster_id,
+             min(lab) = node AS is_canonical
+      FROM walk GROUP BY node ORDER BY vec_id"""
   }
 
   /** LSH-bucketed ANN top-k oracle (mirrors VectorOps.topkCosineLsh). */

@@ -542,6 +542,16 @@ object SparkEntry {
       graft.operators.CorpusOps.tfidfTopTerms(T.documents(s, d), topN = 5)
         .orderBy("source", "rank")),
 
+    "decontaminate_fraction" -> ((s, d) => {
+      // release drop-policy signal: share of each training doc's shingles
+      // present anywhere in the benchmark, exact integer ppm
+      val docs = T.documents(s, d)
+      TextOps.contaminationFraction(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0))
+        .orderBy("doc_id")
+    }),
+
     "decontaminate" -> ((s, d) => {
       // held-out "benchmark" = every 97th doc; find training docs sharing
       // ≥3 shingles with any benchmark doc (eval-leakage check)
@@ -557,6 +567,19 @@ object SparkEntry {
       // banded-LSH blocked (4 bands × 4 sign bits) — never an all-pairs join
       VectorOps.nearDupCosine(T.embeddings(s, d), 0.4, dim = 64)
         .orderBy("vec_a", "vec_b")),
+
+    "dedup_clusters_cosine" -> ((s, d) => {
+      // semantic dedup: paraphrases cluster even when no shingle survives
+      // — same min-label propagation, over the embedding edge set
+      val emb = T.embeddings(s, d)
+      val pairs = VectorOps.nearDupCosine(emb, 0.4, dim = 64)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      graft.operators.CorpusOps
+        .connectedComponents(emb.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"),
+                (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("vec_id")
+    }),
 
     // [EXT] similarity search -------------------------------------------
     "similarity_topk" -> ((s, d) => {
@@ -1048,7 +1071,10 @@ object SparkEntry {
     "dedup_simhash" -> OracleExt.dedupSimhash,
     "dedup_ngram_jaccard" -> OracleExt.dedupNgramJaccard(0.5),
     "decontaminate" -> OracleExt.decontaminate,
+    "decontaminate_fraction" -> OracleExt.decontaminateFraction,
     "dedup_clusters" -> OracleExt.dedupClusters,
+    "dedup_clusters_cosine" ->
+      OracleExt.dedupClustersCosine(0.4, dim = 64, bands = 4, rowsPerBand = 4),
     "dedup_cluster_stats" -> OracleExt.dedupClusterStats,
     "sample_stratified" -> OracleExt.sampleStratified,
     "corpus_shard" -> OracleExt.corpusShard(nShards = 8),

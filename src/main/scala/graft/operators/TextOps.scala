@@ -311,6 +311,39 @@ object TextOps {
       .distinct()
   }
 
+  val DefaultContaminationPpm: Long = 100000L
+
+  /** Per-document contamination FRACTION — the drop-policy signal behind
+    * [[contamination]]'s pair listing: what share of a training doc's
+    * distinct shingles appear anywhere in the held-out benchmark. The pair
+    * query answers "which (doc, bench) pairs overlap ≥ k"; release policy
+    * usually wants "is ≥ X% of THIS doc benchmark text" — one number per
+    * doc, threshold in exact integer ppm.
+    *
+    * Scale shape: the benchmark's distinct shingle SET broadcasts (no
+    * bench_doc_id fan-out at all — strictly smaller state than the pair
+    * query); the corpus streams through one broadcast left join + one
+    * partial-agg'd groupBy. Docs too short to shingle have nothing to
+    * judge and drop out, same as the pair operator.
+    */
+  def contaminationFraction(corpus: DataFrame, benchmark: DataFrame,
+                            dirtyPpmThreshold: Long = DefaultContaminationPpm
+                           ): DataFrame = {
+    val corpusSh = corpus.select(col("doc_id"),
+      explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+    val benchSh = benchmark
+      .select(explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    corpusSh.join(broadcast(benchSh), Seq("sh"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contaminated_ppm",
+        expr("n_contaminated * 1000000 div n_shingles"))
+      .withColumn("is_dirty", col("contaminated_ppm") >= dirtyPpmThreshold)
+  }
+
   /** Candidate pairs scored by estimated Jaccard — the rank-before-cluster
     * step of a near-dup pipeline: banding recalls candidates, but
     * clustering/removal policy wants them ORDERED by similarity, and the

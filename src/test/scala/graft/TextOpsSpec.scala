@@ -138,4 +138,21 @@ class TextOpsSpec extends AnyFunSuite {
       .select("doc_id", "bench_doc_id").as[(Long, Long)].collect()
     assert(hits.toSeq == Seq((1L, 100L)))
   }
+
+  test("contamination fraction counts shared shingles exactly per doc") {
+    val bench = Seq((100L, "the secret benchmark answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // 10 tokens → 8 shingles; "the secret benchmark answer is forty"
+      // contributes 4 shingles present in the benchmark
+      (1L, "prefix words the secret benchmark answer is forty then more"),
+      (2L, "completely unrelated content about weather patterns today"))
+      .toDF("doc_id", "text")
+    val got = TextOps.contaminationFraction(corpus, bench).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got(1L) == ((8L, 4L, 4L * 1000000L / 8L, true)))
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0L && !got(2L)._4)
+  }
 }

@@ -46,6 +46,24 @@ class VectorOpsSpec extends AnyFunSuite {
     assert((0 until 3).forall(i => pairs.contains((i.toLong, i + 100000L))))
   }
 
+  test("cosine clusters group planted duplicates under one canonical id") {
+    // semantic-dedup composition: cosine pairs → min-label propagation;
+    // two exact copies of vec 0 must land in vec 0's cluster
+    val dup = emb.unionByName(
+      emb.filter($"vec_id" === 0)
+        .withColumn("vec_id", lit(100000L))
+        .unionByName(emb.filter($"vec_id" === 0)
+          .withColumn("vec_id", lit(100001L))))
+    val pairs = VectorOps.nearDupCosine(dup, 0.99, dim = 64)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    val clusters = graft.operators.CorpusOps
+      .connectedComponents(dup.select($"vec_id".as("doc_id")), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(100000L) == 0L && clusters(100001L) == 0L)
+    assert(clusters(0L) == 0L)
+    assert(clusters.size == dup.count())
+  }
+
   test("LSH topk achieves reasonable recall vs brute force") {
     val exact = VectorOps.topkCosine(emb, emb, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
