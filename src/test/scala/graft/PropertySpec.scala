@@ -43,6 +43,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("repetition signals equal a brute-force model on random token docs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val docs = (1L to 30L).map { id =>
+      val n = 2 + rnd.nextInt(18) // ≥2 tokens → at least one 2-gram
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        "en", "s", 0L)
+    }
+    val got = graft.operators.TextOps.repetitionSignals(
+        docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    val want = docs.map { case (id, text, _, _, _) =>
+      val g2 = text.split(" ").toSeq.sliding(2).map(_.mkString(" ")).toSeq
+      val n = g2.size.toLong; val d = g2.distinct.size.toLong
+      val ppm = (n - d) * 1000000L / n
+      id -> ((n, d, g2.groupBy(identity).values.map(_.size).max.toLong,
+              ppm, ppm < graft.operators.TextOps.DefaultDupPpmThreshold))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("temperature sampling conserves budget and orders shares by size") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 6) {
+      val sizes = (0 until 2 + rnd.nextInt(6)).map(i =>
+        s"s$i" -> (1 + rnd.nextInt(200)))
+      var id = 0L
+      val docs = sizes.flatMap { case (src, n) =>
+        (1 to n).map { _ => id += 1; (id, s"t$id", "en", src, 1L) }
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val budget = 1L + rnd.nextInt(100)
+      val out = CorpusOps.sampleTemperature(docs, budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                   r.getLong(4), r.getLong(5)))
+      assert(out.map(_._4).sum <= budget)                 // Σ targets ≤ budget
+      assert(out.forall(r => r._6 <= r._2))               // sampled ≤ size
+      assert(out.forall(r => r._5 <= 1000000L))           // rate is a ppm
+      val bySize = out.sortBy(_._2)
+      assert(bySize.map(_._3).sameElements(bySize.map(_._3).sorted),
+        s"shares must be monotone in source size: $bySize")
+    }
+  }
+
   test("salted join equals plain join on random frames, inner and left") {
     import graft.operators.SkewOps
     val rnd = new scala.util.Random(11)
