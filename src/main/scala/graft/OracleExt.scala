@@ -744,7 +744,26 @@ object OracleExt {
     * across engines; floor of the same IEEE double never does).
     */
   def kmeansClusterStats(dim: Int, centroidEvery: Int,
-                         iters: Int = 1): String = {
+                         iters: Int = 1): String =
+    kmeansSql(dim, centroidEvery, iters, finalRel => s"""
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+             floor(CAST(sum(CAST(floor(csim * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*)) / 1e6 AS avg_sim
+      FROM $finalRel GROUP BY cluster_id ORDER BY cluster_id""")
+
+  /** Per-vector assignment view of the same Lloyd unrolling — the actual
+    * topic-bucketing output (vec → cluster), similarity fixed-pointed with
+    * the engine-portable floor(x·1e6 + 0.5).
+    */
+  def kmeansAssignments(dim: Int, centroidEvery: Int,
+                        iters: Int = 1): String =
+    kmeansSql(dim, centroidEvery, iters, finalRel => s"""
+      SELECT vec_id, cluster_id,
+             CAST(floor(csim * 1e6 + 0.5) AS BIGINT) AS sim_fp
+      FROM $finalRel ORDER BY vec_id""")
+
+  private def kmeansSql(dim: Int, centroidEvery: Int, iters: Int,
+                        finalSelect: String => String): String = {
     def assignSql(centRel: String, outRel: String) = s"""
       $outRel AS (
         SELECT vec_id, v, cluster_id, csim FROM (
@@ -783,10 +802,7 @@ object OracleExt {
                 WHERE vec_id % $centroidEvery = 0),
       $passes
       ${assignSql(s"cent$iters", s"a${iters + 1}")}
-      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-             floor(CAST(sum(CAST(floor(csim * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-               / count(*)) / 1e6 AS avg_sim
-      FROM a${iters + 1} GROUP BY cluster_id ORDER BY cluster_id"""
+      ${finalSelect(s"a${iters + 1}")}"""
   }
 
   /** IVF ANN top-k oracle (mirrors VectorOps.topkCosineIvf): deterministic

@@ -611,6 +611,15 @@ object SparkEntry {
       VectorOps.topkCosineLsh(T.embeddings(s, d), dim = 64, k = 5)
         .orderBy("query_id", "rank")),
 
+    "embedding_kmeans_assign" -> ((s, d) =>
+      // the topic-bucketing output itself: vec → cluster + fixed-point sim
+      graft.operators.VectorOps
+        .kmeansAssign(T.embeddings(s, d), dim = 64, centroidEvery = 50,
+          maxIter = 2)._1
+        .select(col("vec_id"), col("cluster_id"),
+                floor(col("csim") * 1e6 + 0.5).cast("long").as("sim_fp"))
+        .orderBy("vec_id")),
+
     "embedding_kmeans" -> ((s, d) =>
       // deterministic multi-pass Lloyd over the corpus: topic bucketing /
       // curriculum grouping; fixed-point sums keep both engines exact and
@@ -1092,6 +1101,8 @@ object SparkEntry {
     "similarity_topk_lsh_banded" -> OracleExt.similarityTopkLshBanded(
       dim = 64, k = 5, bands = 4, rowsPerBand = 4),
     "embedding_kmeans" -> OracleExt.kmeansClusterStats(
+      dim = 64, centroidEvery = 50, iters = 2),
+    "embedding_kmeans_assign" -> OracleExt.kmeansAssignments(
       dim = 64, centroidEvery = 50, iters = 2),
     "similarity_topk_ivf" -> OracleExt.similarityTopkIvf(
       k = 5, nProbe = 4, centroidEvery = 50),
