@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusOps, TextOps, VectorOps}
+
+/** The synthetic testdata has no nulls, so the oracle gate never exercises
+  * them — but a library user's corpus will. Pin the contract: null/empty
+  * text and null embeddings flow through every operator without throwing,
+  * and rows with nothing to judge drop out instead of poisoning results.
+  * (The native expressions are nullSafeEval/nullSafeCodeGen; these tests
+  * assert that the OPERATORS composed on top inherit that behavior.)
+  */
+class NullSafetySpec extends AnyFunSuite {
+  lazy val spark = Spec.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, null.asInstanceOf[String], "en", "s", 0L),
+    (2L, "", "en", "s", 0L),
+    (3L, "a b c d e f g h", "en", "s", 15L),
+    (4L, "a b c d e f g h", "en", "s", 15L) // dup of 3
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("text analysis tolerates null and empty text") {
+    // per-doc projections must not throw; null text yields null stats
+    val q = TextOps.qualityScore(docs).collect()
+    assert(q.length == 4)
+    val rep = TextOps.repetitionSignals(docs).collect()
+    // only docs with >= one 2-gram are judged
+    assert(rep.map(_.getLong(0)).toSet == Set(3L, 4L))
+    val lid = TextOps.langId(docs).collect()
+    assert(lid.length == 4)
+  }
+
+  test("dedup operators tolerate null and empty text") {
+    val exact = TextOps.dedupExact(docs).collect()
+    // md5(null) is null: the null-text doc forms its own (null-key) group,
+    // it is never merged into a real content group
+    assert(exact.length == 3)
+    val pairs = TextOps.minhashCandidates(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L))) // null/empty docs have no signature
+    val scored = TextOps.minhashScoredPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(scored == pairs)
+    val clusters = CorpusOps.dedupClusters(docs).collect()
+    assert(clusters.length == 4) // every doc labeled, singletons included
+  }
+
+  test("contamination tolerates null and empty text on both sides") {
+    val bench = Seq((100L, "a b c d e f g h"),
+                    (101L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val hits = TextOps.contamination(docs, bench, minShared = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(3L, 4L))
+    val frac = TextOps.contaminationFraction(docs, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(frac.keySet == Set(3L, 4L) && frac(3L) == 1000000L)
+  }
+
+  test("vector operators tolerate null embeddings") {
+    val base = (0L until 6L).map { i =>
+      (i, s"l$i", Array.fill(8)(((i * 13 + 7) % 11).toFloat / 11f + 0.1f))
+    }.toDF("vec_id", "label", "embedding")
+    val withNull = base.unionByName(
+      Seq((99L, "ln", null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "label", "embedding"))
+    // null embedding: null bands never equi-join, null sims filter out
+    val pairs = VectorOps.nearDupCosine(withNull, 0.99, dim = 8).collect()
+    assert(pairs.forall(r => r.getLong(0) != 99L && r.getLong(1) != 99L))
+    val topk = VectorOps.topkCosine(
+        withNull.filter($"vec_id" < 2), withNull, 3)
+      .collect()
+    assert(topk.nonEmpty &&
+      topk.forall(r => !r.isNullAt(2))) // no null sim survives ranking
+  }
+}
