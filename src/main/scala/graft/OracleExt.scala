@@ -182,6 +182,44 @@ object OracleExt {
       , $minhashPairCtes
       SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")
 
+  /** Mirrors TextOps.incrementalDedupSurvivors over the doc_id % 7 split
+    * (history = % 7 <> 0, batch = % 7 = 0): first-in-batch unseen hashes,
+    * then band anti-joins against history and smaller-id batch docs.
+    */
+  val dedupIncremental: String = docQ(s"""
+    , sigs AS (
+        SELECT doc_id, $minhashSigs
+        FROM docs_sh),
+    bands_all AS (
+        SELECT doc_id, unnest([$minhashBands]) AS band FROM sigs),
+    batch AS (
+        SELECT doc_id, md5(text) AS content_hash FROM documents
+        WHERE doc_id % 7 = 0),
+    hist_h AS (
+        SELECT DISTINCT md5(text) AS content_hash FROM documents
+        WHERE doc_id % 7 <> 0),
+    first_new AS (
+        SELECT doc_id, content_hash FROM (
+          SELECT doc_id, content_hash,
+                 ROW_NUMBER() OVER (PARTITION BY content_hash
+                                    ORDER BY doc_id) AS rk
+          FROM batch)
+        WHERE rk = 1
+          AND content_hash NOT IN (SELECT content_hash FROM hist_h)),
+    hist_bands AS (
+        SELECT DISTINCT band FROM bands_all WHERE doc_id % 7 <> 0),
+    batch_bands AS (
+        SELECT doc_id, band FROM bands_all WHERE doc_id % 7 = 0),
+    hist_collide AS (
+        SELECT DISTINCT doc_id FROM batch_bands JOIN hist_bands USING (band)),
+    shadowed AS (
+        SELECT DISTINCT a.doc_id FROM batch_bands a
+        JOIN batch_bands b ON a.band = b.band AND b.doc_id < a.doc_id)
+    SELECT doc_id, content_hash FROM first_new
+    WHERE doc_id NOT IN (SELECT doc_id FROM hist_collide)
+      AND doc_id NOT IN (SELECT doc_id FROM shadowed)
+    ORDER BY doc_id""")
+
   /** Mirrors TextOps.minhashScoredPairs: the candidate pairs joined back
     * to their signatures, scored by exact integer slice agreement.
     */

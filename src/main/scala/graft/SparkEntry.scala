@@ -474,6 +474,17 @@ object SparkEntry {
     "dedup_near_minhash" -> ((s, d) =>
       TextOps.minhashCandidates(T.documents(s, d)).orderBy("doc_a", "doc_b")),
 
+    "dedup_incremental" -> ((s, d) => {
+      // production ingest shape: a new batch (every 7th doc) dedups
+      // against accumulated history via hash + band anti-joins — no
+      // whole-corpus re-pairing
+      val docs = T.documents(s, d)
+      TextOps.incrementalDedupSurvivors(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0))
+        .orderBy("doc_id")
+    }),
+
     "dedup_near_minhash_scored" -> ((s, d) =>
       // rank-before-cluster: candidate pairs scored by signature
       // agreement (the free unbiased Jaccard estimate)
@@ -1141,6 +1152,7 @@ object SparkEntry {
       """SELECT DISTINCT md5(text) AS content_hash,
                 CAST(length(text) AS BIGINT) AS n_chars_text
          FROM documents ORDER BY content_hash""",
+    "dedup_incremental" -> OracleExt.dedupIncremental,
     "dedup_near_minhash_scored" -> OracleExt.dedupNearMinhashScored,
     "docs_stream_near_minhash" -> OracleExt.dedupNearMinhash,
     "docs_stream_decontaminate" -> OracleExt.docsStreamDecontaminate,

@@ -387,6 +387,48 @@ object TextOps {
       .select("doc_a", "doc_b", "n_matching_sigs", "est_jaccard_ppm")
   }
 
+  /** Incremental ingest dedup — the production shape none of the
+    * whole-corpus ops cover: a NEW batch arrives and must dedup against
+    * the accumulated HISTORY without re-scanning it pairwise. A batch doc
+    * survives iff (a) its content hash is unseen in history and it is the
+    * first occurrence within the batch, (b) none of its minhash bands
+    * collide with any history band, and (c) none collide with a
+    * smaller-id batch doc (conservative keep-first — a dropped doc still
+    * shadows its near-dups, so the policy needs no iteration and stays
+    * SQL-expressible for the oracle).
+    *
+    * Scale shape: every step is a hash- or band-keyed anti-join — one
+    * shuffle each on (hash) and (band); history contributes only its
+    * DISTINCT hash/band sets, which is exactly the fingerprint index a
+    * real ingest pipeline maintains between runs. Never O(n²), never a
+    * history re-pairing.
+    */
+  def incrementalDedupSurvivors(history: DataFrame, batch: DataFrame,
+                                k: Int = 8, bands: Int = 4): DataFrame = {
+    val histHashes = history.select(md5(col("text")).as("content_hash"))
+      .distinct()
+    val firstInBatch = batch
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("content_hash").orderBy("doc_id")))
+      .filter(col("rk") === 1)
+      .join(histHashes, Seq("content_hash"), "left_anti")
+      .select("doc_id", "content_hash")
+    val histBands = withMinhashBandKeys(history, k, bands)
+      .select(explode(col("bands")).as("band")).distinct()
+    val batchBands = withMinhashBandKeys(batch, k, bands)
+      .select(col("doc_id"), explode(col("bands")).as("band"))
+    val shadowed = batchBands.as("a")
+      .join(batchBands.as("b"),
+        col("a.band") === col("b.band") && col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("doc_id")).distinct()
+    firstInBatch
+      .join(batchBands.join(histBands, Seq("band"))
+        .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .join(shadowed, Seq("doc_id"), "left_anti")
+      .select("doc_id", "content_hash")
+  }
+
   /** SimHash (16-bit, md5-derived bits, ±1 votes per token). Returns
     * (doc_id, simhash). Near-dup clusters = equal simhash values.
     *

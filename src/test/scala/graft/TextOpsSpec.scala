@@ -57,6 +57,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("incremental dedup keeps only history-unseen, unshadowed batch docs") {
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "der schnelle braune fuchs und der faule hund"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact in history
+      (11L, "the quick brown fox jumps over the lazy cat"), // near-dup of history
+      (12L, "completely fresh content about weather patterns in spring"),
+      (13L, "completely fresh content about weather patterns in spring"), // in-batch dup of 12
+      (14L, "unrelated musings on distributed query execution engines"))
+      .toDF("doc_id", "text")
+    val got = TextOps.incrementalDedupSurvivors(history, batch)
+      .select("doc_id").as[Long].collect().toSet
+    // 10 exact-dropped; 11 band-collides with history doc 1; 13 is the
+    // same hash as 12 (not first-in-batch); 12 and 14 survive
+    assert(got == Set(12L, 14L))
+  }
+
   test("scored minhash pairs: exact dup scores k/k, banded pairs >= k/bands") {
     val scored = TextOps.minhashScoredPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
