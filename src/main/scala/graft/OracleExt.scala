@@ -1003,6 +1003,37 @@ object OracleExt {
     FROM expanded GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** steps view→click→purchase — constants must match the SparkEntry call. */
+  /** Mirrors EventOps.topPercentByValue(pct): exact-rank outlier cutoff
+    * K = ceil(n*pct/100) — no floating-point threshold anywhere.
+    */
+  def eventsTopPercent(pct: Int): String = s"""
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type),
+    r AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rk
+      FROM events)
+    SELECT r.event_type, r.event_id, r.value, CAST(r.rk AS BIGINT) AS rk
+    FROM r JOIN c USING (event_type)
+    WHERE r.rk <= (c.n * $pct + 99) // 100
+    ORDER BY event_type, rk"""
+
+  /** Mirrors CorpusOps.mixReport: per (lang, source) counts + integer-ppm
+    * corpus shares.
+    */
+  val corpusMixReport: String = docQ(s"""
+    , per AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+      FROM docs_tok GROUP BY lang, source),
+    tot AS (SELECT sum(n_docs) AS t_docs, sum(n_tokens) AS t_tokens FROM per)
+    SELECT lang, source, n_docs, n_tokens,
+           CAST(n_docs * 1000000 // t_docs AS BIGINT) AS doc_share_ppm,
+           CAST(n_tokens * 1000000 // t_tokens AS BIGINT) AS token_share_ppm
+    FROM per, tot ORDER BY lang, source""")
+
   val eventsFunnel: String = s"""
     WITH $EvCte,
     m AS (

@@ -685,6 +685,18 @@ object SparkEntry {
       EventOps.funnel(T.events(s, d), Seq("view", "click", "purchase"))
         .orderBy("user_id")),
 
+    "events_top_percent" -> ((s, d) =>
+      // outlier extraction with an exact integer rank cutoff, never a
+      // floating-point threshold (the cross-engine rounding trap)
+      EventOps.topPercentByValue(T.events(s, d), pct = 1)
+        .orderBy("event_type", "rk")),
+
+    "corpus_mix_report" -> ((s, d) =>
+      // the dataset-card composition table: per (lang, source) counts and
+      // integer-ppm corpus shares
+      graft.operators.CorpusOps.mixReport(T.documents(s, d))
+        .orderBy("lang", "source")),
+
     "q3_topk" -> ((s, d) => {
       val c = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = T.orders(s, d)
@@ -1127,6 +1139,8 @@ object SparkEntry {
     "events_skew_join" -> OracleExt.eventsSkewJoin,
     "events_sessionize" -> OracleExt.eventsSessionize,
     "events_funnel" -> OracleExt.eventsFunnel,
+    "events_top_percent" -> OracleExt.eventsTopPercent(1),
+    "corpus_mix_report" -> OracleExt.corpusMixReport,
     "events_asof_join" -> OracleExt.eventsAsofJoin,
     "events_asof_join_native" -> OracleExt.eventsAsofJoin,
 

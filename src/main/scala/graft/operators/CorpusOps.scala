@@ -133,6 +133,27 @@ object CorpusOps {
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"))
   }
 
+  /** Dataset-card mix report: per (lang, source) document and exact token
+    * counts plus each cell's share of the corpus in integer ppm — the
+    * composition table every data release publishes. One partial-agg'd
+    * groupBy over the corpus; the two corpus totals ride a broadcast
+    * crossJoin (single row), and shares are integer floor-divisions of
+    * exact long sums, so the report is bit-identical across engines.
+    */
+  def mixReport(docs: DataFrame): DataFrame = {
+    val per = docs
+      .withColumn("n_toks", size(TextOps.tokens(col("text"))).cast("long"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_docs")).as("t_docs"),
+                      sum(col("n_tokens")).as("t_tokens"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("doc_share_ppm", expr("n_docs * 1000000 div t_docs"))
+      .withColumn("token_share_ppm", expr("n_tokens * 1000000 div t_tokens"))
+      .select("lang", "source", "n_docs", "n_tokens",
+              "doc_share_ppm", "token_share_ppm")
+  }
+
   /** Temperature-weighted source sampling — the training-mix step that
     * up-weights small sources and down-weights dominant ones: source i
     * gets sampling mass ∝ n_i^α with α = 1/2 (the "temperature"; α = 1 is

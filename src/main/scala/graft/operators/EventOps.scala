@@ -177,4 +177,29 @@ object EventOps {
     }.reduce(_ && _)
     staged.filter(reached).withColumn("completed", ordered)
   }
+
+  /** Top `pct`% of events per type by value — outlier extraction with NO
+    * floating-point threshold: the cutoff is the exact integer rank
+    * K = ⌈n·pct/100⌉ (a `round(percentile, 6) > value` filter would sit on
+    * the cross-engine HALF_UP rounding trap; rank arithmetic cannot).
+    * Values are compared, never computed on, so raw parquet doubles stay
+    * bit-identical across engines; `event_id` breaks ties.
+    *
+    * Scale shape: one partial-agg'd count per type (broadcast back — a few
+    * rows) + one window partitioned by type, so parallelism = type count;
+    * for few huge types, pre-filter with an approximate per-partition
+    * top-K before the exact window.
+    */
+  def topPercentByValue(events: DataFrame, pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    val counts = events.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("k", expr(s"(n * $pct + 99) div 100"))
+    events
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq("event_type"))
+      .filter(col("rk") <= col("k"))
+      .select(col("event_type"), col("event_id"), col("value"), col("rk"))
+  }
 }

@@ -65,6 +65,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(none == 0L && all == 50L)
   }
 
+  test("mix report shares are exact ppm floor-divisions that sum to ~1e6") {
+    val docs = Seq(
+      (1L, "one two three", "en", "s1", 13L),
+      (2L, "four five", "en", "s1", 9L),
+      (3L, "six", "en", "s2", 3L),
+      (4L, "sieben acht neun zehn", "de", "s1", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = CorpusOps.mixReport(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows(("en", "s1")) == ((2L, 5L, 500000L, 500000L)))
+    assert(rows(("en", "s2")) == ((1L, 1L, 250000L, 100000L)))
+    assert(rows(("de", "s1")) == ((1L, 4L, 250000L, 400000L)))
+    val docShareSum = rows.values.map(_._3).sum
+    assert(docShareSum <= 1000000L && docShareSum > 1000000L - rows.size)
+  }
+
   test("temperature sampling flattens the mix and respects the budget") {
     // sources of size 400 / 100 / 4: α=1/2 weights 20/10/2 — the small
     // source gets 4x its proportional share, the big one loses half

@@ -7,6 +7,20 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.EventOps
 
 class EventOpsSpec extends AnyFunSuite {
+
+  test("top-percent keeps exactly ceil(n*pct/100) per type, ties by id") {
+    val s = Spec.spark
+    import s.implicits._
+    // 10 "a" events (K = ceil(10/100) = 1) and 250 "b" (K = 3); two "a"
+    // rows tie at the max value — the smaller event_id must win
+    val ev = ((1L to 10L).map(i =>
+        (i, "a", if (i <= 2) 9.9 else i.toDouble / 10)) ++
+      (11L to 260L).map(i => (i, "b", i.toDouble)))
+      .toDF("event_id", "event_type", "value")
+    val got = graft.operators.EventOps.topPercentByValue(ev, pct = 1)
+      .select("event_type", "event_id").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L), ("b", 260L), ("b", 259L), ("b", 258L)))
+  }
   lazy val spark: SparkSession = Spec.spark
   import spark.implicits._
 
