@@ -108,6 +108,25 @@ object OracleExt {
     FROM (SELECT unnest(toks) AS token FROM docs_tok)
     GROUP BY token ORDER BY freq DESC, token LIMIT 50""")
 
+  /** Mirrors TextOps.vocabCoverage(topN): occurrence coverage of the
+    * deterministic top-N vocab, exact integer ppm.
+    */
+  def vocabCoverage(topN: Int): String = docQ(s"""
+    , tok AS (SELECT unnest(toks) AS token FROM docs_tok),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS freq FROM tok
+        GROUP BY token ORDER BY freq DESC, token LIMIT $topN)),
+    j AS (
+      SELECT CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END AS c
+      FROM tok t LEFT JOIN vocab v ON t.token = v.token)
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(c) AS BIGINT) AS n_covered,
+           CAST(sum(c) * 1000000 // count(*) AS BIGINT) AS covered_ppm,
+           CAST((count(*) - sum(c)) * 1000000 // count(*) AS BIGINT)
+             AS oov_ppm
+    FROM j""")
+
   /** chunkTokens=32, stride=24 — constants must match the SparkEntry call. */
   val docChunking: String = docQ("""
     , base AS (

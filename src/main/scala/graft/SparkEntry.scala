@@ -288,6 +288,13 @@ object SparkEntry {
       graft.streaming.StreamingOps.contaminationStream(s, d, minShared = 3)
         .orderBy("doc_id", "bench_doc_id")),
 
+    "docs_stream_mix_report" -> ((s, d) =>
+      // live dataset-card: composition counts maintained as docs land
+      // (complete-mode state = one row per (lang, source) cell); shares
+      // derive from the drained counts — same oracle as the batch report
+      graft.streaming.StreamingOps.mixReportStream(s, d)
+        .orderBy("lang", "source")),
+
     "docs_stream_decontaminate_capped" -> ((s, d) =>
       // bounded-state variant: benchmark-boilerplate shingles (present in
       // > benchMaxDf bench docs) dropped up front, capping the per-shingle
@@ -456,6 +463,11 @@ object SparkEntry {
 
     "vocab_top_tokens" -> ((s, d) =>
       TextOps.vocabulary(T.documents(s, d), topN = 50)),
+
+    "vocab_coverage" -> ((s, d) =>
+      // tokenizer-engineering metric: occurrence coverage / OOV rate of a
+      // top-20 vocab, exact integer ppm
+      TextOps.vocabCoverage(T.documents(s, d), topN = 20)),
 
     "doc_chunking" -> ((s, d) =>
       TextOps.chunkDocuments(T.documents(s, d), chunkTokens = 32, stride = 24)
@@ -1095,6 +1107,7 @@ object SparkEntry {
     "doc_fingerprint" -> OracleExt.fingerprint,
     "repetition_signals" -> OracleExt.repetitionSignals,
     "vocab_top_tokens" -> OracleExt.vocabTopTokens,
+    "vocab_coverage" -> OracleExt.vocabCoverage(20),
     "doc_chunking" -> OracleExt.docChunking,
     "embedding_quantize" -> OracleExt.embeddingQuantize,
     "embedding_normalize" -> OracleExt.embeddingNormalize,
@@ -1172,6 +1185,7 @@ object SparkEntry {
     "docs_stream_decontaminate" -> OracleExt.docsStreamDecontaminate,
     "docs_stream_decontaminate_capped" ->
       OracleExt.docsStreamDecontaminateCapped(2),
+    "docs_stream_mix_report" -> OracleExt.corpusMixReport,
     "docs_stream_near_minhash_capped" -> OracleExt.dedupNearMinhash,
 
     "multimodal_media_stats" ->

@@ -166,6 +166,24 @@ object TextOps {
       .orderBy(col("freq").desc, col("token"))
       .limit(topN)
 
+  /** Vocabulary coverage / OOV rate — the tokenizer-engineering metric
+    * behind [[vocabulary]]: what fraction of corpus token OCCURRENCES a
+    * top-N vocab covers, in exact integer ppm. One corpus token explode,
+    * a broadcast join against the (tiny, deterministic — freq desc, token
+    * asc ties) vocab, one global partial-agg'd fold; corpus never sorts.
+    */
+  def vocabCoverage(docs: DataFrame, topN: Int): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val vocab = vocabulary(docs, topN)
+      .select(col("token")).withColumn("inv", lit(1L))
+    toks.join(broadcast(vocab), Seq("token"), "left_outer")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(coalesce(col("inv"), lit(0L))).as("n_covered"))
+      .withColumn("covered_ppm", expr("n_covered * 1000000 div n_tokens"))
+      .withColumn("oov_ppm",
+        expr("(n_tokens - n_covered) * 1000000 div n_tokens"))
+  }
+
   /** Fixed-size token chunking with stride (the training-data shard shape:
     * overlapping windows of `chunkTokens`, step `stride`). Emits chunk
     * index, token count and a content hash per chunk — the full text stays

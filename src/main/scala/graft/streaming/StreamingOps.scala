@@ -305,6 +305,32 @@ object StreamingOps {
     pairs.toDF()
   }
 
+  /** Streaming dataset-card monitor: the (lang, source) composition table
+    * maintained AS THE CORPUS LANDS — complete-mode counts are the only
+    * state (one row per cell); the ppm shares derive from the drained
+    * counts at read time, because a second aggregation level (the corpus
+    * totals) inside one streaming query is unsupported and unnecessary —
+    * shares are a cheap projection over |cells| rows, not over the
+    * corpus. Result equals the batch [[graft.operators.CorpusOps
+    * .mixReport]], so the same oracle verifies it.
+    */
+  def mixReportStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps.tokens
+    val agg = docsStream(spark, dir)
+      .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val drained = runToTable(spark, agg, OutputMode.Complete())
+    val tot = drained.agg(sum(col("n_docs")).as("t_docs"),
+                          sum(col("n_tokens")).as("t_tokens"))
+    drained.crossJoin(broadcast(tot))
+      .withColumn("doc_share_ppm", expr("n_docs * 1000000 div t_docs"))
+      .withColumn("token_share_ppm",
+        expr("n_tokens * 1000000 div t_tokens"))
+      .select("lang", "source", "n_docs", "n_tokens",
+              "doc_share_ppm", "token_share_ppm")
+  }
+
   case class Ev(user_id: Long, ts_us: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long,
                           max_session_events: Long)

@@ -174,6 +174,15 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == expected && streamed.nonEmpty)
   }
 
+  test("streaming mix report equals the batch dataset-card table") {
+    val streamed = StreamingOps.mixReportStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.CorpusOps
+      .mixReport(Tables.documents(spark, dir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful streaming sessionize equals batch sessionize") {
     val streamed = StreamingOps.sessionizeStateful(spark, dir, 30)
       .collect().map(_.toSeq).toSet

@@ -139,6 +139,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!got(1L)._5 && got(2L)._5)
   }
 
+  test("vocab coverage counts occurrences of the top-N vocab exactly") {
+    val d = Seq(
+      (1L, "x x x y z", "en", "s", 9L),
+      (2L, "x y q", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // vocab top-2 by (freq desc, token asc): x(4), y(2); covered = 6 of 8
+    val r = TextOps.vocabCoverage(d, topN = 2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((8L, 6L, 750000L, 250000L)))
+  }
+
   test("fingerprint is stable for identical content") {
     val fp = TextOps.fingerprint(docs)
       .select("doc_id", "content_hash").as[(Long, String)].collect().toMap
