@@ -64,17 +64,37 @@ object Bench {
     val nErr = results.count(_._2.isLeft)
     val total = ok.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}"""
-    println(line)
-    // The driver's captured tail truncates at 2k chars, which silently
-    // drops most of the per-query map — also write the full line to a file
-    // (SPARK_GRAFT_BENCH_OUT, default bench_out.json) so every round's
-    // complete timing data survives and can be committed.
+    // The full per-query map (112 entries at double precision, ~3.5 KB) no
+    // longer fits the driver's 2000-char captured tail, so a full-map
+    // stdout line is UNPARSEABLE driver-side (BENCH_r06/r07 both recorded
+    // parsed=null). Write the complete line to a file
+    // (SPARK_GRAFT_BENCH_OUT, default bench_out.json) and print a line
+    // that FITS: headline = every error (never elided) plus the most
+    // expensive queries, value still the total over ALL queries.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     if (outPath.nonEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))
       catch { case t: Throwable =>
         System.err.println(s"[bench] could not write $outPath: ${t.getMessage}") }
+    val stdoutLine = if (line.length <= 1800) line else {
+      val entries = results
+        .sortBy { case (_, Right(v)) => (0, -v); case (_, Left(_)) => (-1, 0.0) }
+        .map {
+          case (k, Right(v)) => jstr(k) + ":" + (math.rint(v * 1000) / 1000)
+          case (k, Left(e))  => jstr(k) + ":" + jstr("err: " + e)
+        }
+      val budget = 1500
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = 0
+      entries.foreach { e =>
+        if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+      }
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+        kept.mkString("{", ",", "}")
+      },"queries_elided":${results.length - kept.length},"full":"$outPath","errors":$nErr,"sf":"$sfDir"}"""
+    }
+    println(stdoutLine)
     spark.stop()
     if (nErr > 0) sys.exit(2)
   }

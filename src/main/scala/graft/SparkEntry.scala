@@ -262,6 +262,10 @@ object SparkEntry {
         .orderBy("window_start", "event_type")),
 
     "events_stream_sessionize" -> ((s, d) =>
+      // split-file source (one file per trigger): a user's events span
+      // micro-batches in arbitrary time order, so the cross-batch interval
+      // state is genuinely exercised — the batch oracle asserts the merged
+      // result anyway
       graft.streaming.StreamingOps.sessionizeStateful(s, d, gapMinutes = 30)
         .orderBy("user_id")),
 

@@ -20,20 +20,52 @@ object StreamingOps {
 
   private val counter = new AtomicLong(0)
 
+  /** Returns true when `marker` already records the current (size, mtime)
+    * of `src` — i.e. the staged copy under it is up to date. Otherwise
+    * (missing, stale, or source changed) returns false; callers re-stage
+    * and then [[writeStageMarker]]. Staging is landing-dir setup, not query
+    * work: without the marker every benchmark invocation re-copied (or
+    * re-wrote) the parquet input INSIDE the timed query, which dominates
+    * the cost of the small streaming-state queries under machine
+    * contention.
+    */
+  private def stageIsFresh(src: java.nio.file.Path,
+                           marker: java.nio.file.Path): Boolean = {
+    val want = stageStamp(src)
+    java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == want
+  }
+
+  private def stageStamp(src: java.nio.file.Path): String =
+    s"${java.nio.file.Files.size(src)}:" +
+      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+
+  private def writeStageMarker(src: java.nio.file.Path,
+                               marker: java.nio.file.Path): Unit =
+    java.nio.file.Files.write(marker, stageStamp(src).getBytes("UTF-8"))
+
   /** The streaming file source wants a directory; stage the single parquet
-    * file into one (the real deployment reads a landing dir).
+    * file into one (the real deployment reads a landing dir). Staged at
+    * most once per source state: a marker records the source's
+    * (size, mtime) and matching markers skip the copy, across queries AND
+    * across JVMs.
     */
   private def stagedStream(spark: SparkSession, dir: String,
-                           table: String): DataFrame = {
-    val path = s"$dir/$table.parquet"
+                           table: String): DataFrame = synchronized {
+    val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
     val stage = java.nio.file.Paths.get(s"/tmp/graft-io/$table-stream",
       Integer.toHexString(dir.hashCode))
     java.nio.file.Files.createDirectories(stage)
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      stage.resolve(s"$table.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(stage.toString)
+    val marker = stage.resolve(".staged")
+    if (!stageIsFresh(src, marker)) {
+      java.nio.file.Files.copy(src, stage.resolve(s"$table.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      writeStageMarker(src, marker)
+    }
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(stage.toString)
   }
 
   /** Like [[stagedStream]] but splits the table into `nFiles` parquet files
@@ -41,31 +73,42 @@ object StreamingOps {
     * several micro-batches — the arrival pattern a landing directory
     * produces — instead of draining in one. Stateful operators exercised
     * through this source carry state BETWEEN batches, which a single-batch
-    * drain never tests.
+    * drain never tests. Same staging discipline as [[stagedStream]]: the
+    * split rewrite runs once per source state, not once per invocation.
     */
   private def stagedStreamSplit(spark: SparkSession, dir: String,
-                                table: String, nFiles: Int): DataFrame = {
-    val path = s"$dir/$table.parquet"
+                                table: String, nFiles: Int): DataFrame =
+    synchronized {
+    val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
     val stage = s"/tmp/graft-io/$table-stream-split$nFiles/" +
       Integer.toHexString(dir.hashCode)
-    val batch = spark.read.parquet(path)
-    batch.repartition(nFiles).write.mode("overwrite").parquet(stage)
+    val marker = java.nio.file.Paths.get(stage, ".staged")
+    val batch = spark.read.parquet(src.toString)
+    if (!stageIsFresh(src, marker)) {
+      batch.repartition(nFiles).write.mode("overwrite").parquet(stage)
+      writeStageMarker(src, marker)
+    }
     spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "*.parquet")
       .parquet(stage)
   }
 
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val raw = stagedStream(spark, dir, "events")
-    // ts arrives as LONG nanos under the legacy parquet flag; floor-div
-    // (not `/` through double, not truncating `div`) keeps parity with the
-    // batch reader and DuckDB's ns→µs floor — see Tables.events
+  // ts arrives as LONG nanos under the legacy parquet flag; floor-div
+  // (not `/` through double, not truncating `div`) keeps parity with the
+  // batch reader and DuckDB's ns→µs floor — see Tables.events
+  private def normalizeEventTs(raw: DataFrame): DataFrame =
     if (raw.schema("ts").dataType.typeName == "long")
       raw.withColumn("ts", timestamp_micros(
         expr("(ts - (((ts % 1000) + 1000) % 1000)) div 1000")))
     else raw
-  }
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(stagedStream(spark, dir, "events"))
+
+  private def eventsStreamSplit(spark: SparkSession, dir: String,
+                                nFiles: Int): DataFrame =
+    normalizeEventTs(stagedStreamSplit(spark, dir, "events", nFiles))
 
   private def runToTable(spark: SparkSession, df: DataFrame,
                          mode: OutputMode): DataFrame = {
@@ -335,35 +378,110 @@ object StreamingOps {
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long,
                           max_session_events: Long)
 
+  /** Per-user session intervals carried across micro-batches: parallel
+    * arrays of disjoint sessions sorted by start, every inter-session gap
+    * strictly greater than the session gap. Boundaries plus a per-session
+    * event count are a SUFFICIENT statistic for sessionization — an
+    * arriving event only ever extends an interval's span, increments its
+    * count, bridges two adjacent intervals into one, or opens a new one —
+    * so state stays O(sessions per user) while remaining exactly
+    * order-independent (a batch's events may precede state already seen).
+    */
+  case class SessState(starts: Array[Long], ends: Array[Long],
+                       counts: Array[Long])
+
+  /** Merge a batch of event timestamps (sorted) into the session intervals:
+    * a single sweep over state intervals and new events in start order,
+    * fusing any adjacent items whose gap is <= gapUs (strict > breaks a
+    * session, matching EventOps.sessionize). Order-independent by
+    * construction: the result depends only on the multiset of timestamps
+    * absorbed so far, so arrival order across micro-batches cannot change
+    * the answer — the property the batch oracle asserts through the
+    * split-file source, whose repartition scatters a user's events across
+    * triggers in neither time nor id order.
+    */
+  private def mergeSessions(old: SessState, newTs: Array[Long],
+                            gapUs: Long): SessState = {
+    val n = old.starts.length + newTs.length
+    val starts = new Array[Long](n); val ends = new Array[Long](n)
+    val counts = new Array[Long](n)
+    var out = -1; var i = 0; var j = 0
+    def push(s: Long, e: Long, c: Long): Unit =
+      if (out >= 0 && s - ends(out) <= gapUs) {
+        if (e > ends(out)) ends(out) = e
+        counts(out) += c
+      } else {
+        out += 1; starts(out) = s; ends(out) = e; counts(out) = c
+      }
+    while (i < old.starts.length || j < newTs.length)
+      if (j >= newTs.length ||
+          (i < old.starts.length && old.starts(i) <= newTs(j))) {
+        push(old.starts(i), old.ends(i), old.counts(i)); i += 1
+      } else { push(newTs(j), newTs(j), 1L); j += 1 }
+    SessState(starts.take(out + 1), ends.take(out + 1), counts.take(out + 1))
+  }
+
+  /** Core of the stateful sessionizer: groupByKey(user) →
+    * flatMapGroupsWithState carrying [[SessState]], emitting each user's
+    * CUMULATIVE (n_sessions, n_events, max_session_events) every trigger
+    * the user has arrivals (Update discipline — the latest emission per
+    * user is the answer; n_events strictly increases per emission, so
+    * "latest" is recoverable from the drained sink as the max-n_events
+    * row). Takes the event stream as a parameter so the declared query
+    * (split-file source) and the spec (MemoryStream with controlled,
+    * deliberately out-of-order batch boundaries) drive the identical
+    * operator.
+    */
+  def sessionizeUpdates(spark: SparkSession,
+                        events: org.apache.spark.sql.Dataset[Ev],
+                        gapUs: Long): DataFrame = {
+    import spark.implicits._
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (user: Long, arrivals: Iterator[Ev], state: GroupState[SessState]) => {
+          val ts = arrivals.map(_.ts_us).toArray
+          java.util.Arrays.sort(ts)
+          val merged = mergeSessions(
+            if (state.exists) state.get
+            else SessState(Array.empty, Array.empty, Array.empty),
+            ts, gapUs)
+          state.update(merged)
+          Iterator.single(UserSessions(user, merged.counts.length.toLong,
+            merged.counts.sum, if (merged.counts.isEmpty) 0L
+            else merged.counts.max))
+        })
+    sessions.toDF()
+  }
+
   /** Custom-state sessionization via flatMapGroupsWithState — the
     * KeyValueGroupedDataset stateful path (guide §Structured Streaming).
     * Gap semantics identical to EventOps.sessionize (strict > gap, µs) so
-    * the batch oracle validates the streaming implementation.
+    * the batch oracle validates the streaming implementation. Declared
+    * through the split-file multi-trigger source: a user's events genuinely
+    * span micro-batches (in arbitrary time order), so the cross-batch
+    * interval state is exercised, not just declared — the single-batch
+    * drain that hid the earlier stateless version can't happen here.
     */
   def sessionizeStateful(spark: SparkSession, dir: String,
-                         gapMinutes: Int): DataFrame = {
+                         gapMinutes: Int, nFiles: Int = 4): DataFrame = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    val ev = eventsStream(spark, dir)
+    val ev = eventsStreamSplit(spark, dir, nFiles)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[Ev]
-    val sessions = ev
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (user: Long, events: Iterator[Ev], state: GroupState[Long]) => {
-          val ts = events.map(_.ts_us).toArray
-          java.util.Arrays.sort(ts)
-          var nSessions = 0L; var cur = 0L; var maxLen = 0L; var prev = Long.MinValue
-          ts.foreach { t =>
-            if (prev == Long.MinValue || t - prev > gapUs) {
-              nSessions += 1; cur = 0
-            }
-            cur += 1; if (cur > maxLen) maxLen = cur
-            prev = t
-          }
-          Iterator.single(UserSessions(user, nSessions, ts.length.toLong, maxLen))
-        })
-    runToTable(spark, sessions.toDF(), OutputMode.Append())
-      .select("user_id", "n_sessions", "n_events", "max_session_events")
+    val drained = runToTable(spark, sessionizeUpdates(spark, ev, gapUs),
+      OutputMode.Update())
+    // Update-mode memory sink appends each trigger's emissions; the final
+    // cumulative row per user is the one with the largest n_events (strictly
+    // increasing per emission — struct max picks it without a shuffle-heavy
+    // window)
+    drained
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"),
+        col("max_session_events"))).as("s"))
+      .select(col("user_id"), col("s.n_sessions").as("n_sessions"),
+        col("s.n_events").as("n_events"),
+        col("s.max_session_events").as("max_session_events"))
   }
 }

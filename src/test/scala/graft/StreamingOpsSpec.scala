@@ -184,10 +184,75 @@ class StreamingOpsSpec extends AnyFunSuite {
   }
 
   test("stateful streaming sessionize equals batch sessionize") {
+    // through the split-file source: users' events span several triggers
+    // in arbitrary time order, so this asserts the cross-batch interval
+    // merge, not just single-batch sorting
     val streamed = StreamingOps.sessionizeStateful(spark, dir, 30)
       .collect().map(_.toSeq).toSet
     val batch = EventOps.sessionStats(Tables.events(spark, dir), 30)
       .collect().map(_.toSeq).toSet
     assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  private def runSessionBatches(gapUs: Long,
+                                batches: Seq[Seq[(Long, Long)]]): Map[Long, (Long, Long, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val sessions = StreamingOps.sessionizeUpdates(spark,
+      mem.toDF().toDF("user_id", "ts_us").as[StreamingOps.Ev], gapUs)
+    val q = sessions.writeStream.outputMode("update").format("memory")
+      .queryName("sess_state").start()
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    // latest cumulative emission per user = the max-n_events row
+    val out = spark.table("sess_state")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1)
+      .map { case (u, rows) => u -> rows.map(_._2).maxBy(_._2) }
+    spark.catalog.dropTempView("sess_state")
+    out
+  }
+
+  test("session state merges across triggers: span, bridge, out-of-order") {
+    val m = 60L * 1000000L // 1-minute gap in µs
+    val got = runSessionBatches(m, Seq(
+      // batch 1                            batch 2
+      Seq((1L, 0L), (1L, 30L * 1000000L)),  // u1: session continues at 45s,
+      Seq((1L, 45L * 1000000L), (1L, 10 * m), // then a new session at 10m
+          (2L, 0L), (2L, 2 * m), (2L, m))   // u2 arrives whole in batch 2:
+                                            // event at 1m BRIDGES 0 and 2m
+    ))
+    // u1: {0,30s,45s} is one session (gaps ≤ 1m), 10m is another
+    assert(got(1L) == ((2L, 4L, 3L)))
+    // u2: one bridged session of 3 (gap exactly 60s does NOT break — > gap)
+    assert(got(2L) == ((1L, 3L, 3L)))
+  }
+
+  test("out-of-order arrival across triggers cannot double-count sessions") {
+    val m = 60L * 1000000L
+    // batch 2 delivers events EARLIER than batch 1's — and one of them
+    // bridges batch 1's two sessions into one
+    val got = runSessionBatches(m, Seq(
+      Seq((7L, 0L), (7L, 3 * m)),       // two sessions: gap 3m > 1m
+      Seq((7L, m), (7L, 2 * m))         // 1m and 2m arrive late: chain
+                                        // 0→1m→2m→3m has every gap = 1m
+    ))
+    assert(got(7L) == ((1L, 4L, 4L)))
+    // the stateless version emitted one row per trigger and no merge:
+    // it would report 2 sessions from batch 1 and 1 more from batch 2
+  }
+
+  test("sessionize state is order-independent: permuted batches agree") {
+    val m = 60L * 1000000L
+    val events = Seq((5L, 0L), (5L, m / 2), (5L, 5 * m), (5L, 6 * m),
+                     (5L, 20 * m), (6L, 0L), (6L, 10 * m))
+    val whole = runSessionBatches(m, Seq(events))
+    val split = runSessionBatches(m,
+      Seq(Seq(events(4), events(1)), Seq(events(6), events(0)),
+          Seq(events(3), events(5)), Seq(events(2))))
+    assert(whole == split && whole(5L)._1 == 3L)
   }
 }
