@@ -352,6 +352,91 @@ object OracleExt {
              < ${TextOps.DefaultDupPpmThreshold} AS keep
     FROM pg GROUP BY doc_id ORDER BY doc_id""")
 
+  /** Mirrors TextOps.dupSpanFraction: distinct (doc, 3-shingle) pairs,
+    * document frequency capped to the shared/selfish bit, integer-ppm
+    * duplicated-span share. Docs with no spans produce no row.
+    */
+  val dupSpanFraction: String = docQ("""
+    , pairs AS (
+      SELECT DISTINCT doc_id, s
+      FROM (SELECT doc_id, unnest(sh) AS s FROM docs_sh)),
+    shared AS (SELECT s, count(*) >= 2 AS is_shared FROM pairs GROUP BY s)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN is_shared THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(sum(CASE WHEN is_shared THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM pairs JOIN shared USING (s)
+    GROUP BY doc_id ORDER BY doc_id""")
+
+  /** Mirrors TextOps.rarityScore: integer token weights 1e6 // df over
+    * distinct (doc, token) pairs, per-doc integer mean.
+    */
+  val rarityScore: String = docQ("""
+    , pairs AS (
+      SELECT DISTINCT doc_id, token
+      FROM (SELECT doc_id, unnest(toks) AS token FROM docs_tok)),
+    w AS (SELECT token, 1000000 // count(*) AS w FROM pairs GROUP BY token)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(sum(w) // count(*) AS BIGINT) AS rarity_score
+    FROM pairs JOIN w USING (token)
+    GROUP BY doc_id ORDER BY doc_id""")
+
+  /** Mirrors CorpusOps.sampleTokenBudget: per-source running token sum in
+    * salted-md5 order (same hash, same tiebreak), prefix under the budget.
+    */
+  def sampleTokenBudget(budget: Long): String = docQ(s"""
+    , ranked AS (
+      SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,
+             sum(CAST(len(toks) AS BIGINT)) OVER (
+               PARTITION BY source
+               ORDER BY ${hexParse8("substr(md5('budget:' || doc_id), 1, 8)")},
+                        doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM docs_tok)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+           CAST(sum(n_tokens) * 1000000 // $budget AS BIGINT)
+             AS budget_fill_ppm
+    FROM ranked WHERE cum <= $budget
+    GROUP BY source ORDER BY source""")
+
+  /** Mirrors EventOps.dedupWindow: tumbling bucket = epoch-µs integer
+    * floor-division, first (user, type) event per bucket wins.
+    */
+  def eventsDedupWindow(windowMinutes: Int): String = {
+    val bucketUs = windowMinutes * 60L * 1000000L
+    s"""
+    WITH $EvCte,
+    b AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type, epoch_us(ts) // $bucketUs
+               ORDER BY ts, event_id) AS rk
+      FROM ev)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM b GROUP BY event_type ORDER BY event_type"""
+  }
+
+  /** Mirrors EventOps.keySkewReport over user_id: exact counts, integer-ppm
+    * share, deterministic top-K (count desc, key asc).
+    */
+  def eventsKeySkew(topK: Int): String = s"""
+    WITH $EvCte,
+    c AS (SELECT user_id AS key, count(*) AS n_events FROM ev GROUP BY user_id),
+    t AS (SELECT sum(n_events) AS t FROM c)
+    SELECT CAST(key AS BIGINT) AS key,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_events * 1000000 // t AS BIGINT) AS share_ppm
+    FROM c, t ORDER BY n_events DESC, key LIMIT $topK"""
+
   /** Mirrors CorpusOps.sampleTemperature (α = 1/2): integer fixed-point
     * sqrt weights, exact-sum shares/budgets via integer floor-division,
     * salted-md5 ppm draws — no double crosses the engine boundary except

@@ -465,6 +465,16 @@ object SparkEntry {
       // (integer ppm), top 2-gram count, keep/drop verdict
       TextOps.repetitionSignals(T.documents(s, d)).orderBy("doc_id")),
 
+    "dup_span_fraction" -> ((s, d) =>
+      // exact-substring-dedup signal: share of each doc's distinct 3-gram
+      // spans that occur in at least one OTHER doc (integer ppm)
+      TextOps.dupSpanFraction(T.documents(s, d)).orderBy("doc_id")),
+
+    "rarity_score" -> ((s, d) =>
+      // IDF-mean novelty gate without floats: per-doc integer mean of
+      // 1e6 div df over its distinct tokens
+      TextOps.rarityScore(T.documents(s, d)).orderBy("doc_id")),
+
     "vocab_top_tokens" -> ((s, d) =>
       TextOps.vocabulary(T.documents(s, d), topN = 50)),
 
@@ -543,6 +553,13 @@ object SparkEntry {
       // integer fixed-point shares and md5-uniform draws
       graft.operators.CorpusOps.sampleTemperature(T.documents(s, d),
           budgetDocs = 100L)
+        .orderBy("source")),
+
+    "sample_token_budget" -> ((s, d) =>
+      // reproducible corpus subsetting: per-source salted-hash-ordered
+      // prefix under a 100k-token budget; summary = kept docs/tokens/fill
+      graft.operators.CorpusOps.sampleTokenBudget(T.documents(s, d),
+          budgetTokens = 100000L)
         .orderBy("source")),
 
     "corpus_pack_sequences" -> ((s, d) =>
@@ -706,6 +723,17 @@ object SparkEntry {
       // floating-point threshold (the cross-engine rounding trap)
       EventOps.topPercentByValue(T.events(s, d), pct = 1)
         .orderBy("event_type", "rk")),
+
+    "events_dedup_window" -> ((s, d) =>
+      // at-least-once-ingest repair: first event per (user, type) in each
+      // 5-minute tumbling window wins; per-type seen/kept/dropped audit
+      EventOps.dedupWindow(T.events(s, d), windowMinutes = 5)
+        .orderBy("event_type")),
+
+    "events_key_skew" -> ((s, d) =>
+      // pre-join diagnostic: the 20 hottest user_ids with exact counts and
+      // integer-ppm share (events_skew_join is the cure, this is the X-ray)
+      EventOps.keySkewReport(T.events(s, d), "user_id", topK = 20)),
 
     "corpus_mix_report" -> ((s, d) =>
       // the dataset-card composition table: per (lang, source) counts and
@@ -1110,6 +1138,11 @@ object SparkEntry {
     "token_count_bpe" -> OracleExt.tokenCountBpe,
     "doc_fingerprint" -> OracleExt.fingerprint,
     "repetition_signals" -> OracleExt.repetitionSignals,
+    "dup_span_fraction" -> OracleExt.dupSpanFraction,
+    "rarity_score" -> OracleExt.rarityScore,
+    "sample_token_budget" -> OracleExt.sampleTokenBudget(100000L),
+    "events_dedup_window" -> OracleExt.eventsDedupWindow(5),
+    "events_key_skew" -> OracleExt.eventsKeySkew(20),
     "vocab_top_tokens" -> OracleExt.vocabTopTokens,
     "vocab_coverage" -> OracleExt.vocabCoverage(20),
     "doc_chunking" -> OracleExt.docChunking,

@@ -192,6 +192,38 @@ object CorpusOps {
               "n_sampled")
   }
 
+  /** Token-budget subsetting: keep, per source, the deterministic
+    * salted-md5-ordered prefix of documents whose cumulative token count
+    * stays within `budgetTokens` — "give me N tokens per source" — the
+    * step that cuts a 100 TB corpus down to a training budget while
+    * staying reproducible across runs and engines (the hash order IS the
+    * sample; re-running selects the same documents). Returns the
+    * per-source summary (kept docs / kept tokens / budget fill in ppm);
+    * the kept set itself is the filtered frame upstream of the summary.
+    *
+    * Scale shape: one window partitioned BY SOURCE (parallel across
+    * sources, no global sort) computing the running token sum in hash
+    * order, then a partial-agg'd groupBy. With few, huge sources the
+    * window key skews; the production variant then two-passes it: a
+    * per-source histogram of the hash space picks an approximate cutoff
+    * hash (one scan), and only the boundary bucket — corpus/nBuckets rows
+    * — pays the exact running sum.
+    */
+  def sampleTokenBudget(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(hashUniform("budget", col("doc_id")), col("doc_id"))
+    docs
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("n_tokens")).as("kept_tokens"))
+      .withColumn("budget_fill_ppm",
+        expr(s"kept_tokens * 1000000 div ${budgetTokens}L"))
+  }
+
   /** Exact-count per-group sample: the k documents with the smallest
     * salted-md5 rank within each group — "take k docs per language", the
     * balanced-subset complement of rate-based [[sampleStratified]]. The

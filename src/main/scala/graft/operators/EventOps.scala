@@ -202,4 +202,50 @@ object EventOps {
       .filter(col("rk") <= col("k"))
       .select(col("event_type"), col("event_id"), col("value"), col("rk"))
   }
+
+  /** Windowed event dedup: within each `windowMinutes` tumbling window, a
+    * (user, event_type) keeps only its FIRST event (by ts, event_id) — the
+    * at-least-once-ingest repair that collapses client retries and
+    * double-fires before analytics. Returns the per-type audit (events
+    * seen / kept / dropped); the kept set is the `rk = 1` frame upstream.
+    *
+    * The window bucket is integer floor-division of epoch-µs — engine-
+    * exact, no timestamp truncation functions (whose week/DST rules
+    * differ). One window shuffle keyed (user, type, bucket) — high
+    * cardinality, so it parallelizes and cannot skew onto one key — then a
+    * partial-agg'd groupBy(type). The streaming twin is
+    * dropDuplicatesWithinWatermark keyed by the same triple.
+    */
+  def dedupWindow(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val bucketUs = windowMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id", "event_type", "bucket")
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("bucket", expr(s"unix_micros(ts) div ${bucketUs}L"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("n_dropped", col("n_events") - col("n_kept"))
+  }
+
+  /** Join-key skew report: the `topK` hottest keys of `keyCol` with exact
+    * counts and integer-ppm share of all events — the diagnostic run
+    * BEFORE a big join to decide whether it needs salting or AQE skew
+    * handling (the events_skew_join operator is the cure; this is the
+    * X-ray). One partial-agg'd groupBy (state = one long per distinct key
+    * per partition) and a driver-side top-K of the aggregated table —
+    * |keys| rows, not |events|.
+    */
+  def keySkewReport(events: DataFrame, keyCol: String,
+                    topK: Int): DataFrame = {
+    val counts = events.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = counts.agg(sum(col("n_events")).as("t"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("n_events * 1000000 div t"))
+      .orderBy(col("n_events").desc, col("key"))
+      .limit(topK)
+      .select("key", "n_events", "share_ppm")
+  }
 }

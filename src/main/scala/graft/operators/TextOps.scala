@@ -553,4 +553,61 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Inter-document duplicated-span fraction: for each document, the share
+    * (integer ppm) of its distinct 3-gram shingles that also occur in at
+    * least one OTHER document — the per-doc signal behind exact-substring
+    * dedup policies (drop or trim documents whose text is mostly seen
+    * elsewhere). Complements [[repetitionSignals]] (INTRA-doc repetition)
+    * and the pairwise near-dup ops: this is corpus-wide and per-document,
+    * with no pair enumeration at all.
+    *
+    * Scale shape: two keyed shuffles — distinct (doc, shingle) pairs
+    * grouped by shingle for document frequencies (partial-agg'd counts, so
+    * a boilerplate shingle costs one long per partition, never a row
+    * fan-out), then the df verdict joined back and grouped by doc. A
+    * shingle's df is capped at 2 before the join ("selfish or shared" is
+    * the only bit needed), keeping the join payload one boolean regardless
+    * of how hot the shingle is. Documents shorter than 3 tokens have no
+    * spans and drop out (no 0/0 ppm row), mirroring the oracle.
+    */
+  def dupSpanFraction(docs: DataFrame): DataFrame = {
+    val sh = Barriers.materialize(docs
+      .select(col("doc_id"),
+              explode(array_distinct(shingles(tokens(col("text")), 3)))
+                .as("sh")))
+    val shared = sh.groupBy("sh")
+      .agg((count(lit(1)) >= 2).as("is_shared"))
+    sh.join(shared, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("is_shared"), 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ppm", expr("n_dup_spans * 1000000 div n_spans"))
+  }
+
+  /** Rarity-weighted document scoring: each distinct token contributes an
+    * integer weight `1e6 div df` (df = number of documents containing it),
+    * and a document's score is the integer mean of its distinct tokens'
+    * weights — high for documents made of corpus-rare vocabulary, low for
+    * boilerplate. The integer-division analog of an IDF-mean quality /
+    * novelty gate (ranking cousin of [[tfidfTopTerms]], but per-document
+    * and engine-exact: no log, no doubles, so the DuckDB oracle matches
+    * bit-for-bit).
+    *
+    * Scale shape: identical to [[dupSpanFraction]] at token granularity —
+    * distinct (doc, token) pairs, one partial-agg'd df count keyed by
+    * token, weights joined back, one groupBy doc. The df table is bounded
+    * by vocabulary size, not corpus size.
+    */
+  def rarityScore(docs: DataFrame): DataFrame = {
+    val tok = Barriers.materialize(docs
+      .select(col("doc_id"),
+              explode(array_distinct(tokens(col("text")))).as("token")))
+    val weights = tok.groupBy("token")
+      .agg(expr("1000000 div count(*)").as("w"))
+    tok.join(weights, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+           expr("sum(w) div count(*)").as("rarity_score"))
+  }
 }

@@ -187,4 +187,27 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("tfidf").as[Double].collect()
     assert(sharedScore.forall(_ == 0.0))
   }
+
+  test("token budget keeps exactly the hash-order prefix within budget") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "web" else "books", s"${"tok " * (i % 7).toInt}x"))
+      .toDF("doc_id", "source", "text")
+    val budget = 30L
+    val got = CorpusOps.sampleTokenBudget(docs, budget).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute-force the same greedy prefix per source in hash order
+    val hashed = docs
+      .withColumn("h", CorpusOps.hashUniform("budget", col("doc_id")))
+      .select("source", "doc_id", "h", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3).split("\\s+").count(_.nonEmpty).toLong))
+    val expected = hashed.groupBy(_._1).map { case (src, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2)).map(_._4)
+      val kept = ordered.scanLeft(0L)(_ + _).tail.takeWhile(_ <= budget)
+      src -> ((kept.length.toLong, kept.lastOption.getOrElse(0L),
+        kept.lastOption.getOrElse(0L) * 1000000L / budget))
+    }
+    assert(got == expected && got.values.forall(_._2 <= budget))
+  }
 }

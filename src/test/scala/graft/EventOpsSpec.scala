@@ -119,4 +119,33 @@ class EventOpsSpec extends AnyFunSuite {
       .select("user_id", "completed").as[(Long, Boolean)].collect().toMap
     assert(r == Map(1L -> true, 2L -> false))
   }
+
+  test("windowed dedup keeps first per (user, type) per tumbling bucket") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1 "click": two in the same 5-min bucket + one in the next
+      (1L, 1L, "click", ts("2025-01-01 09:00:10")),
+      (2L, 1L, "click", ts("2025-01-01 09:03:00")),  // dup (same bucket)
+      (3L, 1L, "click", ts("2025-01-01 09:06:00")),  // next bucket → kept
+      // same bucket, different user → kept
+      (4L, 2L, "click", ts("2025-01-01 09:01:00")),
+      // same user+bucket, different type → kept
+      (5L, 1L, "view", ts("2025-01-01 09:00:30")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventOps.dedupWindow(ev, windowMinutes = 5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map("click" -> ((4L, 3L, 1L)), "view" -> ((1L, 1L, 0L))))
+  }
+
+  test("key skew report ranks hottest keys with exact ppm shares") {
+    def ts(i: Int) = Timestamp.valueOf(f"2025-01-01 09:00:${i}%02d")
+    val ev = ((1 to 6).map(i => (i.toLong, 10L, "e", ts(i))) ++
+              (7 to 9).map(i => (i.toLong, 20L, "e", ts(i))) ++
+              Seq((10L, 30L, "e", ts(10))))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventOps.keySkewReport(ev, "user_id", topK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((10L, 6L, 600000L), (20L, 3L, 300000L)))
+  }
 }

@@ -185,4 +185,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(1L) == ((8L, 4L, 4L * 1000000L / 8L, true)))
     assert(got(2L)._2 == 0L && got(2L)._3 == 0L && !got(2L)._4)
   }
+
+  test("dup span fraction counts spans shared with OTHER docs only") {
+    val docs = Seq(
+      // docs 1 and 2 share the 4-token window "one two three four"
+      // → 2 shared 3-shingles each
+      (1L, "one two three four alpha beta"),   // 4 spans, 2 shared
+      (2L, "zz one two three four"),           // 3 spans, 2 shared
+      // doc 3 repeats ITS OWN span; distinct-per-doc must not count it
+      // as duplicated (nothing shared with other docs)
+      (3L, "pq rs tu pq rs tu"),
+      (4L, "xx yy"))                           // < 3 tokens → no row
+      .toDF("doc_id", "text")
+    val got = TextOps.dupSpanFraction(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((4L, 2L, 500000L)))
+    assert(got(2L) == ((3L, 2L, 2L * 1000000L / 3L)))
+    // "pq rs tu" appears twice in doc 3 but in no other doc: 3 distinct
+    // spans ("pq rs tu", "rs tu pq", "tu pq rs"), zero duplicated
+    assert(got(3L) == ((3L, 0L, 0L)))
+    assert(!got.contains(4L))
+  }
+
+  test("rarity score is the integer mean of 1e6 div df over distinct tokens") {
+    val docs = Seq(
+      (1L, "common rare1"),        // df(common)=3, df(rare1)=1
+      (2L, "common rare2 rare2"),  // distinct tokens only: common, rare2
+      (3L, "common"))
+      .toDF("doc_id", "text")
+    val got = TextOps.rarityScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val wCommon = 1000000L / 3
+    assert(got(1L) == ((2L, (wCommon + 1000000L) / 2)))
+    assert(got(2L) == ((2L, (wCommon + 1000000L) / 2)))
+    assert(got(3L) == ((1L, wCommon)))
+  }
 }
