@@ -277,6 +277,37 @@ object OracleExt {
            min(lab) = doc AS is_canonical
     FROM walk GROUP BY doc ORDER BY doc_id"""
 
+  /** Mirrors CorpusOps.dedupDropList: recursive-closure clusters + keeper
+    * = (max n_chars, min doc_id) per cluster + the per-doc verdict.
+    */
+  val dedupDropList: String = s"""
+    WITH RECURSIVE $DocCtes,
+      $minhashPairCtes,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      walk(doc, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, w.lab FROM edges e JOIN walk w ON w.doc = e.dst),
+      comp AS (SELECT doc AS doc_id, min(lab) AS cluster_id
+               FROM walk GROUP BY doc),
+      sized AS (
+        SELECT c.doc_id, c.cluster_id, d.n_chars
+        FROM comp c JOIN documents d USING (doc_id)),
+      k AS (
+        SELECT cluster_id, doc_id AS keeper_id FROM (
+          SELECT cluster_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id) AS r
+          FROM sized)
+        WHERE r = 1)
+    SELECT s.doc_id, s.cluster_id, k.keeper_id,
+           s.doc_id <> k.keeper_id AS dropped
+    FROM sized s JOIN k USING (cluster_id)
+    ORDER BY s.doc_id"""
+
   /** Confusion matrix over the langId projection (labeled × predicted). */
   val langIdConfusion: String =
     docQ(s"""
@@ -903,6 +934,27 @@ object OracleExt {
       SELECT vec_id, cluster_id,
              CAST(floor(csim * 1e6 + 0.5) AS BIGINT) AS sim_fp
       FROM $finalRel ORDER BY vec_id""")
+
+  /** Mirrors VectorOps.kmeansOutliers: same unrolled Lloyd passes, then the
+    * exact-integer-rank bottom-pct cutoff per cluster on fixed-point sim.
+    */
+  def kmeansOutliers(dim: Int, centroidEvery: Int, iters: Int,
+                     pct: Int): String =
+    kmeansSql(dim, centroidEvery, iters, finalRel => s"""
+      , sim AS (
+        SELECT vec_id, cluster_id,
+               CAST(floor(csim * 1e6 + 0.5) AS BIGINT) AS sim_fp
+        FROM $finalRel),
+      cn AS (SELECT cluster_id, count(*) AS n FROM sim GROUP BY cluster_id),
+      rk AS (
+        SELECT vec_id, cluster_id, sim_fp,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                 ORDER BY sim_fp, vec_id) AS BIGINT) AS rk
+        FROM sim)
+      SELECT rk.cluster_id, rk.vec_id, rk.sim_fp, rk.rk
+      FROM rk JOIN cn USING (cluster_id)
+      WHERE rk <= (n * $pct + 99) // 100
+      ORDER BY cluster_id, rk""")
 
   private def kmeansSql(dim: Int, centroidEvery: Int, iters: Int,
                         finalSelect: String => String): String = {

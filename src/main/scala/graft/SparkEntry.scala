@@ -540,6 +540,12 @@ object SparkEntry {
           (col("cluster_size") - 1) * col("n_clusters"))
         .orderBy("cluster_size")),
 
+    "dedup_drop_list" -> ((s, d) =>
+      // the dedup DECISION: keeper per cluster (longest doc, ties lowest
+      // id) and the concrete keep/drop verdict the writer consumes
+      graft.operators.CorpusOps.dedupDropList(T.documents(s, d))
+        .orderBy("doc_id")),
+
     "sample_stratified" -> ((s, d) =>
       graft.operators.CorpusOps.sampleStratified(T.documents(s, d))
         .orderBy("lang")),
@@ -664,6 +670,14 @@ object SparkEntry {
                 floor(col("csim") * 1e6 + 0.5).cast("long").as("sim_fp"))
         .orderBy("vec_id")),
 
+    "embedding_outliers" -> ((s, d) =>
+      // embedding-space quality gate: the 10% of each cluster furthest
+      // from its centroid, exact integer rank cutoff on fixed-point sim
+      graft.operators.VectorOps
+        .kmeansOutliers(T.embeddings(s, d), dim = 64, centroidEvery = 50,
+          maxIter = 2, pct = 10)
+        .orderBy("cluster_id", "rk")),
+
     "embedding_kmeans" -> ((s, d) =>
       // deterministic multi-pass Lloyd over the corpus: topic bucketing /
       // curriculum grouping; fixed-point sums keep both engines exact and
@@ -752,6 +766,28 @@ object SparkEntry {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
+    }),
+
+    "q10_returned_items" -> ((s, d) => {
+      // TPC-H Q10 shape: date-pruned orders ⋈ returned lineitems ⋈
+      // customer ⋈ broadcast nation, top-20 customers by lost revenue —
+      // the filters sit ON THE SCANS (PushedFilters), so the join reads
+      // one quarter of orders and the R fraction of lineitem, not the
+      // tables
+      val li = T.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val o = T.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T.nation(s, d)),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+                 col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     }),
 
     "q18_large_orders" -> ((s, d) => {
@@ -1155,6 +1191,7 @@ object SparkEntry {
     "decontaminate" -> OracleExt.decontaminate,
     "decontaminate_fraction" -> OracleExt.decontaminateFraction,
     "dedup_clusters" -> OracleExt.dedupClusters,
+    "dedup_drop_list" -> OracleExt.dedupDropList,
     "dedup_clusters_cosine" ->
       OracleExt.dedupClustersCosine(0.4, dim = 64, bands = 4, rowsPerBand = 4),
     "dedup_cluster_stats" -> OracleExt.dedupClusterStats,
@@ -1177,6 +1214,8 @@ object SparkEntry {
       dim = 64, centroidEvery = 50, iters = 2),
     "embedding_kmeans_assign" -> OracleExt.kmeansAssignments(
       dim = 64, centroidEvery = 50, iters = 2),
+    "embedding_outliers" -> OracleExt.kmeansOutliers(
+      dim = 64, centroidEvery = 50, iters = 2, pct = 10),
     "similarity_topk_ivf" -> OracleExt.similarityTopkIvf(
       k = 5, nProbe = 4, centroidEvery = 50),
     "multimodal_decode_stub" -> OracleExt.multimodalDecodeStub,
@@ -1254,6 +1293,21 @@ object SparkEntry {
       """SELECT 'local' AS source_provider_id, 'src' AS source_bucket,
                 'local' AS target_provider_id, 'dst' AS target_bucket,
                 'local:src->local:dst' AS mapping_id""",
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1995-10-01'
+           AND o_orderdate < TIMESTAMP '1996-01-01'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
 
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,

@@ -101,6 +101,27 @@ object CorpusOps {
     connectedComponents(docs.select("doc_id"), TextOps.minhashCandidates(docs))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
 
+  /** The dedup DECISION, not just the clustering: per near-dup cluster,
+    * keep the longest document (ties: lowest doc_id) and emit the concrete
+    * keep/drop verdict per doc — the list a pipeline feeds to the writer.
+    * Keeper selection is a map-side `max(struct(quality, tiebreak, id))`
+    * partial aggregate over the cluster assignment — no window, no second
+    * pass over text; swapping the quality column (rarity score, repetition
+    * gate) swaps the policy without changing the plan shape.
+    */
+  def dedupDropList(docs: DataFrame): DataFrame = {
+    val sized = dedupClusters(docs)
+      .select("doc_id", "cluster_id")
+      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+    val keepers = sized.groupBy("cluster_id")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("negid"),
+        col("doc_id"))).as("m"))
+      .select(col("cluster_id"), col("m.doc_id").as("keeper_id"))
+    sized.join(keepers, Seq("cluster_id"))
+      .withColumn("dropped", col("doc_id") =!= col("keeper_id"))
+      .select("doc_id", "cluster_id", "keeper_id", "dropped")
+  }
+
   // ---- deterministic sampling / sharding ------------------------------
 
   /** Per-language sampling rates (percent) for [[sampleStratified]]:

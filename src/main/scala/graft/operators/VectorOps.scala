@@ -471,6 +471,37 @@ object VectorOps {
     (assigned, itersRun)
   }
 
+  /** Embedding-space outlier extraction: the `pct`% of each k-means
+    * cluster FURTHEST from its centroid (lowest cosine) — the vectors that
+    * fit no topic bucket: noise, encoder failures, or genuinely novel
+    * content, either way the review queue of an embedding-space quality
+    * gate. Shares [[kmeansAssign]]'s Lloyd loop, then applies the same
+    * exact-integer-rank cutoff as EventOps.topPercentByValue: K =
+    * ⌈n·pct/100⌉ per cluster, ranked on the FIXED-POINT similarity (ties:
+    * vec_id), so no raw-double ordering crosses the engine boundary.
+    *
+    * Scale shape: the Lloyd loop's broadcast assignment (n×k rows never
+    * shuffle) + one partial-agg'd count per cluster (broadcast back) + one
+    * window partitioned by cluster — parallelism = cluster count, and k
+    * grows with corpus size under the √n centroid rule.
+    */
+  def kmeansOutliers(corpus: DataFrame, dim: Int, centroidEvery: Int,
+                     maxIter: Int, pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
+    val sim = kmeansAssign(corpus, dim, centroidEvery, maxIter)._1
+      .select(col("vec_id"), col("cluster_id"),
+        floor(col("csim") * 1e6 + 0.5).cast("long").as("sim_fp"))
+    val counts = sim.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .withColumn("k", expr(s"(n * $pct + 99) div 100"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("sim_fp"), col("vec_id"))
+    sim
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(counts.select("cluster_id", "k")), Seq("cluster_id"))
+      .filter(col("rk") <= col("k"))
+      .select("cluster_id", "vec_id", "sim_fp", "rk")
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column: per-vector
     * max-abs scale, values mapped to [-127, 127] — the storage/bandwidth
     * reduction step of a large ANN index. Returns ids, the scale and the

@@ -188,6 +188,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(sharedScore.forall(_ == 0.0))
   }
 
+  test("drop list keeps the longest doc per cluster, ties to lowest id") {
+    // identical text → identical minhash signatures → one cluster; doc 2
+    // is declared longer via n_chars, so it is the keeper; doc 4 is a
+    // singleton and must survive as its own keeper
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, txt, 10L), (2L, txt, 99L), (3L, txt, 99L),
+      (4L, "completely different words entirely here now", 50L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = CorpusOps.dedupDropList(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // keeper: n_chars 99 tie between 2 and 3 → lowest id (2)
+    assert(got == Map(
+      1L -> ((2L, true)), 2L -> ((2L, false)), 3L -> ((2L, true)),
+      4L -> ((4L, false))))
+  }
+
   test("token budget keeps exactly the hash-order prefix within budget") {
     val docs = (1L to 40L).map(i =>
       (i, if (i % 2 == 0) "web" else "books", s"${"tok " * (i % 7).toInt}x"))

@@ -196,4 +196,28 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(r.count() == docs.count())
     assert(r.select("dim").distinct().as[Long].head() == 64L)
   }
+
+  test("kmeans outliers are exactly each cluster's bottom ceil(n/10) by sim") {
+    val assigned = VectorOps
+      .kmeansAssign(emb, dim = 64, centroidEvery = 50, maxIter = 2)._1
+      .select(col("vec_id"), col("cluster_id"),
+        floor(col("csim") * 1e6 + 0.5).cast("long").as("sim_fp"))
+      .as[(Long, Long, Long)].collect()
+    val expected = assigned.groupBy(_._2).toSeq.flatMap { case (c, rows) =>
+      val k = (rows.length * 10 + 99) / 100
+      rows.sortBy(r => (r._3, r._1)).take(k).map(r => (c, r._1, r._3))
+    }.toSet
+    val got = VectorOps
+      .kmeansOutliers(emb, dim = 64, centroidEvery = 50, maxIter = 2,
+        pct = 10)
+      .select("cluster_id", "vec_id", "sim_fp")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+    // the flagged vectors are the LEAST central: every outlier's sim is
+    // <= every kept vector's sim within its cluster
+    val keptMin = assigned.filterNot(r => got.contains((r._2, r._1, r._3)))
+      .groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    assert(got.forall { case (c, _, s) =>
+      keptMin.get(c).forall(s <= _) })
+  }
 }
