@@ -245,6 +245,22 @@ class StreamingOpsSpec extends AnyFunSuite {
     // it would report 2 sessions from batch 1 and 1 more from batch 2
   }
 
+  test("stateful sessionize under RocksDB matches batch (state round-trips)") {
+    // the interval-list state (parallel Long arrays) must survive RocksDB
+    // serialization between triggers — the multi-trigger split source
+    // makes every user's state actually round-trip at least once
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = StreamingOps.sessionizeStateful(spark, dir, 30)
+        .collect().map(_.toSeq).toSet
+      val batch = EventOps.sessionStats(Tables.events(spark, dir), 30)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("sessionize state is order-independent: permuted batches agree") {
     val m = 60L * 1000000L
     val events = Seq((5L, 0L), (5L, m / 2), (5L, 5 * m), (5L, 6 * m),
