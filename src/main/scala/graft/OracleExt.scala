@@ -308,6 +308,70 @@ object OracleExt {
     FROM sized s JOIN k USING (cluster_id)
     ORDER BY s.doc_id"""
 
+  /** Mirrors CorpusOps.dedupSavings: drop-list verdicts joined to exact
+    * per-doc token counts, per-source ppm saving.
+    */
+  val dedupSavings: String = s"""
+    WITH RECURSIVE $DocCtes,
+      $minhashPairCtes,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      walk(doc, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, w.lab FROM edges e JOIN walk w ON w.doc = e.dst),
+      comp AS (SELECT doc AS doc_id, min(lab) AS cluster_id
+               FROM walk GROUP BY doc),
+      sized AS (
+        SELECT c.doc_id, c.cluster_id, d.n_chars
+        FROM comp c JOIN documents d USING (doc_id)),
+      k AS (
+        SELECT cluster_id, doc_id AS keeper_id FROM (
+          SELECT cluster_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id) AS r
+          FROM sized)
+        WHERE r = 1),
+      verdict AS (
+        SELECT s.doc_id, s.doc_id <> k.keeper_id AS dropped
+        FROM sized s JOIN k USING (cluster_id)),
+      toks AS (
+        SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks
+        FROM docs_tok)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN dropped THEN n_toks ELSE 0 END) AS BIGINT)
+             AS tokens_dropped,
+           CAST(sum(CASE WHEN dropped THEN n_toks ELSE 0 END) * 1000000
+                // sum(n_toks) AS BIGINT) AS savings_ppm
+    FROM toks JOIN verdict USING (doc_id)
+    GROUP BY source ORDER BY source"""
+
+  /** Mirrors EventOps.nearbyEventCounts: the range join stated directly —
+    * the oracle can afford the quadratic predicate form the Spark side
+    * deliberately avoids; agreement proves the bucket decomposition exact.
+    */
+  def eventsRangeJoin(windowMinutes: Int): String = {
+    val wUs = windowMinutes * 60L * 1000000L
+    s"""
+    WITH $EvCte,
+    inc AS (
+      SELECT event_id AS incident_id, user_id, epoch_us(ts) AS inc_us
+      FROM ev WHERE event_type = 'error')
+    SELECT i.incident_id,
+           CAST(count(e.event_id) AS BIGINT) AS n_nearby
+    FROM inc i LEFT JOIN ev e
+      ON e.user_id = i.user_id
+      AND abs(epoch_us(e.ts) - i.inc_us) <= $wUs
+      AND e.event_id <> i.incident_id
+    GROUP BY i.incident_id ORDER BY i.incident_id"""
+  }
+
   /** Confusion matrix over the langId projection (labeled × predicted). */
   val langIdConfusion: String =
     docQ(s"""

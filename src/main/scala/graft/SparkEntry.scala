@@ -546,6 +546,12 @@ object SparkEntry {
       graft.operators.CorpusOps.dedupDropList(T.documents(s, d))
         .orderBy("doc_id")),
 
+    "dedup_savings" -> ((s, d) =>
+      // the sign-off number: per-source docs/tokens before vs dropped by
+      // the drop list, saving in integer ppm
+      graft.operators.CorpusOps.dedupSavings(T.documents(s, d))
+        .orderBy("source")),
+
     "sample_stratified" -> ((s, d) =>
       graft.operators.CorpusOps.sampleStratified(T.documents(s, d))
         .orderBy("lang")),
@@ -748,6 +754,13 @@ object SparkEntry {
       // pre-join diagnostic: the 20 hottest user_ids with exact counts and
       // integer-ppm share (events_skew_join is the cure, this is the X-ray)
       EventOps.keySkewReport(T.events(s, d), "user_id", topK = 20)),
+
+    "events_range_join" -> ((s, d) =>
+      // range join without a nested loop: incidents explode to their 2-3
+      // overlapping time buckets, events hash-join on (user, bucket), the
+      // exact +/-10 min range is a residual predicate
+      EventOps.nearbyEventCounts(T.events(s, d), windowMinutes = 10)
+        .orderBy("incident_id")),
 
     "corpus_mix_report" -> ((s, d) =>
       // the dataset-card composition table: per (lang, source) counts and
@@ -1192,6 +1205,8 @@ object SparkEntry {
     "decontaminate_fraction" -> OracleExt.decontaminateFraction,
     "dedup_clusters" -> OracleExt.dedupClusters,
     "dedup_drop_list" -> OracleExt.dedupDropList,
+    "dedup_savings" -> OracleExt.dedupSavings,
+    "events_range_join" -> OracleExt.eventsRangeJoin(10),
     "dedup_clusters_cosine" ->
       OracleExt.dedupClustersCosine(0.4, dim = 64, bands = 4, rowsPerBand = 4),
     "dedup_cluster_stats" -> OracleExt.dedupClusterStats,

@@ -122,6 +122,28 @@ object CorpusOps {
       .select("doc_id", "cluster_id", "keeper_id", "dropped")
   }
 
+  /** What the dedup decision actually SAVES, per source: document and
+    * exact token counts before/after applying [[dedupDropList]], with the
+    * saving as integer ppm — the number a data lead reads before signing
+    * off on a dedup pass. One join of the verdict against per-doc token
+    * counts + one partial-agg'd groupBy(source); all integer arithmetic.
+    */
+  def dedupSavings(docs: DataFrame): DataFrame = {
+    val verdict = dedupDropList(docs).select("doc_id", "dropped")
+    docs
+      .withColumn("n_toks", size(TextOps.tokens(col("text"))).cast("long"))
+      .select("doc_id", "source", "n_toks")
+      .join(verdict, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+           sum(col("n_toks")).as("tokens_total"),
+           sum(when(col("dropped"), col("n_toks")).otherwise(0L))
+             .as("tokens_dropped"))
+      .withColumn("savings_ppm",
+        expr("tokens_dropped * 1000000 div tokens_total"))
+  }
+
   // ---- deterministic sampling / sharding ------------------------------
 
   /** Per-language sampling rates (percent) for [[sampleStratified]]:

@@ -229,6 +229,49 @@ object EventOps {
       .withColumn("n_dropped", col("n_events") - col("n_kept"))
   }
 
+  /** Range join done scalably: for every "error" event (an incident),
+    * count the same user's OTHER events within ±`windowMinutes` — the
+    * blast-radius query behind incident triage. A naive `ON abs(ta - tb)
+    * <= w` predicate gives Spark no equi-key and degenerates to a
+    * broadcast-nested-loop join; instead each incident explodes to the
+    * 2-3 fixed-width time buckets its window overlaps (bucket width =
+    * window length bounds the fan-out) and events join on
+    * (user_id, bucket) — a plain hash join — with the exact |Δt| <= w
+    * range as a RESIDUAL filter in the join condition. Left join keeps
+    * zero-neighbor incidents (n_nearby = 0): every incident gets an
+    * audit row.
+    *
+    * Scale shape: fan-out is bounded (≤3 buckets per incident, each event
+    * in exactly 1), the join is keyed by (user, bucket) — high
+    * cardinality, shuffles cleanly — and the count partial-aggregates.
+    * The same shape handles any interval join whose window is bounded;
+    * unbounded intervals bucket by `ceil(len/width)` pieces instead.
+    */
+  def nearbyEventCounts(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val wUs = windowMinutes * 60L * 1000000L
+    val inc = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"),
+              col("user_id").as("inc_user"),
+              unix_micros(col("ts")).as("inc_us"))
+      .withColumn("bucket", explode(sequence(
+        expr(s"(inc_us - ${wUs}L) div ${wUs}L"),
+        expr(s"(inc_us + ${wUs}L) div ${wUs}L"))))
+    // fully distinct names on the probe side: both frames derive from the
+    // same `events`, and df("col") disambiguation is unreliable across a
+    // self-join lineage
+    val ev = events.select(col("user_id").as("ev_user"),
+        col("event_id").as("ev_id"), unix_micros(col("ts")).as("ev_us"))
+      .withColumn("ev_bucket", expr(s"ev_us div ${wUs}L"))
+    inc.join(ev,
+        col("inc_user") === col("ev_user") &&
+          col("bucket") === col("ev_bucket") &&
+          abs(col("ev_us") - col("inc_us")) <= wUs &&
+          col("ev_id") =!= col("incident_id"),
+        "left")
+      .groupBy("incident_id")
+      .agg(count(col("ev_id")).as("n_nearby"))
+  }
+
   /** Join-key skew report: the `topK` hottest keys of `keyCol` with exact
     * counts and integer-ppm share of all events — the diagnostic run
     * BEFORE a big join to decide whether it needs salting or AQE skew

@@ -205,6 +205,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       4L -> ((4L, false))))
   }
 
+  test("dedup savings sums exactly the dropped docs' tokens per source") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, txt, 10L, "web"), (2L, txt, 99L, "web"),            // 2 keeper
+      (3L, "five short tokens here now", 50L, "books"))        // singleton
+      .toDF("doc_id", "text", "n_chars", "source")
+    val got = CorpusOps.dedupSavings(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got("web") == ((2L, 1L, 16L, 8L, 500000L)))
+    assert(got("books") == ((1L, 0L, 5L, 0L, 0L)))
+  }
+
   test("token budget keeps exactly the hash-order prefix within budget") {
     val docs = (1L to 40L).map(i =>
       (i, if (i % 2 == 0) "web" else "books", s"${"tok " * (i % 7).toInt}x"))

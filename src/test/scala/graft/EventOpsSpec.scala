@@ -138,6 +138,23 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got == Map("click" -> ((4L, 3L, 1L)), "view" -> ((1L, 1L, 0L))))
   }
 
+  test("range join counts neighbors across bucket boundaries, keeps zeros") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // incident at 09:59:30; window ±10 min spans buckets 5 and 6
+      (1L, 1L, "error", ts("2025-01-01 09:59:30")),
+      (2L, 1L, "view",  ts("2025-01-01 10:05:00")),  // next bucket, +5:30 → in
+      (3L, 1L, "view",  ts("2025-01-01 09:50:00")),  // same bucket, −9:30 → in
+      (4L, 1L, "view",  ts("2025-01-01 10:15:00")),  // +15:30 → out of range
+      (5L, 2L, "view",  ts("2025-01-01 10:00:00")),  // other user → out
+      // incident with no neighbors at all must still report 0
+      (6L, 3L, "error", ts("2025-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventOps.nearbyEventCounts(ev, windowMinutes = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 6L -> 0L))
+  }
+
   test("key skew report ranks hottest keys with exact ppm shares") {
     def ts(i: Int) = Timestamp.valueOf(f"2025-01-01 09:00:${i}%02d")
     val ev = ((1 to 6).map(i => (i.toLong, 10L, "e", ts(i))) ++
