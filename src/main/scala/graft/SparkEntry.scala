@@ -307,6 +307,14 @@ object SparkEntry {
           benchMaxDf = 2)
         .orderBy("doc_id", "bench_doc_id")),
 
+    "events_stream_range_join" -> ((s, d) =>
+      // stream-stream interval join: incidents x same-user events within
+      // +/-10 min, both sides landing through the split-file source; state
+      // buffers on both sides, matches emit incrementally; shares the
+      // batch range join's oracle
+      graft.streaming.StreamingOps.rangeJoinStream(s, d, windowMinutes = 10)
+        .orderBy("incident_id")),
+
     "docs_stream_near_minhash_capped" -> ((s, d) =>
       // bounded-state near-dup: split-file source (one file per trigger)
       // so the maxPerBand state cap engages across real micro-batches; cap
@@ -1207,6 +1215,7 @@ object SparkEntry {
     "dedup_drop_list" -> OracleExt.dedupDropList,
     "dedup_savings" -> OracleExt.dedupSavings,
     "events_range_join" -> OracleExt.eventsRangeJoin(10),
+    "events_stream_range_join" -> OracleExt.eventsRangeJoin(10),
     "dedup_clusters_cosine" ->
       OracleExt.dedupClustersCosine(0.4, dim = 64, bands = 4, rowsPerBand = 4),
     "dedup_cluster_stats" -> OracleExt.dedupClusterStats,

@@ -374,6 +374,58 @@ object StreamingOps {
               "doc_share_ppm", "token_share_ppm")
   }
 
+  /** Stream-stream interval join: incidents ("error" events) joined, AS
+    * BOTH SIDES LAND, to the same user's events within ±`windowMinutes` —
+    * the streaming twin of EventOps.nearbyEventCounts and the one
+    * Structured-Streaming join shape the engine hadn't exercised: two
+    * unbounded sides, equi-key (user_id) plus an event-time RANGE
+    * condition, state on both sides. Spark buffers each side keyed by
+    * user and evicts via the watermark + range bound; matches emit
+    * incrementally (inner join — no result waits for stream end).
+    *
+    * Harness honesty: both sides run through the split-file source, so
+    * buffering and cross-trigger matching genuinely happen (a pair can
+    * arrive in two different triggers, in either order). The watermark
+    * delay is set beyond the dataset's time span because the split
+    * scatters arrival in ARBITRARY event-time order; a real deployment
+    * sets it to the ingest disorder bound, which is what makes the
+    * buffered state finite. Per-incident counts (and zero-neighbor
+    * incidents) derive from the drained pairs against the static incident
+    * list — the same post-drain projection discipline as the other
+    * streaming queries — so the query shares the batch range join's
+    * oracle.
+    */
+  def rangeJoinStream(spark: SparkSession, dir: String,
+                      windowMinutes: Int, nFiles: Int = 4): DataFrame = {
+    val wUs = windowMinutes * 60L * 1000000L
+    def side(alias: String): DataFrame =
+      eventsStreamSplit(spark, dir, nFiles)
+        .withWatermark("ts", "3650 days").alias(alias)
+    val inc = side("i").filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"),
+              col("user_id").as("inc_user"), col("ts").as("inc_ts"))
+    val ev = side("e")
+      .select(col("event_id").as("ev_id"), col("user_id").as("ev_user"),
+              col("ts").as("ev_ts"))
+    val pairs = inc.join(ev,
+      col("inc_user") === col("ev_user") &&
+        col("ev_ts") >= col("inc_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("ev_ts") <= col("inc_ts") + expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("ev_id") =!= col("incident_id"))
+      .select("incident_id", "ev_id")
+    val drained = runToTable(spark, pairs, OutputMode.Append())
+    val counts = drained.groupBy("incident_id")
+      .agg(count(lit(1)).as("n_pairs"))
+    // zero-neighbor incidents never emit a pair; restore them from the
+    // static incident list (|incidents| rows, post-drain projection)
+    graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"))
+      .join(counts, Seq("incident_id"), "left")
+      .select(col("incident_id"),
+              coalesce(col("n_pairs"), lit(0L)).as("n_nearby"))
+  }
+
   case class Ev(user_id: Long, ts_us: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long,
                           max_session_events: Long)

@@ -183,6 +183,17 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    // both sides land across four triggers in arbitrary event-time order:
+    // the buffered-state matching, not single-batch colocation, produces
+    // the pairs
+    val streamed = StreamingOps.rangeJoinStream(spark, dir, 10)
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps.nearbyEventCounts(Tables.events(spark, dir), 10)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful streaming sessionize equals batch sessionize") {
     // through the split-file source: users' events span several triggers
     // in arbitrary time order, so this asserts the cross-batch interval
