@@ -194,6 +194,54 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("outer stream-stream join emits the unmatched row once the watermark passes") {
+    // left-outer semantics are watermark-DRIVEN: the null-padded row for
+    // an unmatched left row can only emit when the watermark proves no
+    // right match can still arrive. A sentinel event far in the future
+    // advances the watermark; before it, the unmatched row must NOT have
+    // been emitted.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lMem = MemoryStream[(Long, Long)] // (id, ts_us)
+    val rMem = MemoryStream[(Long, Long)]
+    def side(m: MemoryStream[(Long, Long)], ids: String, ts: String) =
+      m.toDF().toDF(ids, ts)
+        .withColumn(ts + "_t", timestamp_micros(col(ts)))
+        .withWatermark(ts + "_t", "0 seconds")
+    val joined = side(lMem, "l_id", "l_ts").join(
+      side(rMem, "r_id", "r_ts"),
+      expr("l_id = r_id AND r_ts_t BETWEEN l_ts_t - INTERVAL 1 MINUTE " +
+           "AND l_ts_t + INTERVAL 1 MINUTE"),
+      "leftOuter")
+      .select(col("l_id"), col("r_id"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("outer_join").start()
+    try {
+      val m = 60L * 1000000L
+      lMem.addData((1L, 10 * m), (2L, 10 * m)) // two left rows at t=10m
+      rMem.addData((1L, 10 * m))               // match for 1, none for 2
+      q.processAllAvailable()
+      val early = spark.table("outer_join")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      // row 2 is unmatched but the watermark hasn't passed its window:
+      // no null emission yet
+      assert(early == Set((1L, Some(1L))))
+      // sentinel at t=1h on BOTH sides pushes the global watermark past
+      // 10m + 1m on the next trigger; row 2's null row must now emit
+      lMem.addData((99L, 60 * m)); rMem.addData((98L, 60 * m))
+      q.processAllAvailable()
+      // watermark advances at trigger START; one more empty trigger lets
+      // the state eviction run with the new watermark
+      lMem.addData((97L, 60 * m))
+      q.processAllAvailable()
+      val late = spark.table("outer_join")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(late.contains((2L, None)))
+    } finally { q.stop(); spark.catalog.dropTempView("outer_join") }
+  }
+
   test("stateful streaming sessionize equals batch sessionize") {
     // through the split-file source: users' events span several triggers
     // in arbitrary time order, so this asserts the cross-batch interval
