@@ -311,8 +311,12 @@ object SparkEntry {
       // stream-stream interval join: incidents x same-user events within
       // +/-10 min, both sides landing through the split-file source; state
       // buffers on both sides, matches emit incrementally; shares the
-      // batch range join's oracle
-      graft.streaming.StreamingOps.rangeJoinStream(s, d, windowMinutes = 10)
+      // batch range join's oracle. nFiles=2 per side: cross-trigger
+      // matching is fully exercised (the spec asserts batch equality at 4
+      // files too) at half the per-trigger state-commit fixed cost —
+      // 8 join-state stores x 32 partitions commit per trigger pair
+      graft.streaming.StreamingOps.rangeJoinStream(s, d, windowMinutes = 10,
+          nFiles = 2)
         .orderBy("incident_id")),
 
     "docs_stream_near_minhash_capped" -> ((s, d) =>
