@@ -372,6 +372,47 @@ object OracleExt {
     GROUP BY i.incident_id ORDER BY i.incident_id"""
   }
 
+  /** Mirrors TextOps.lengthFloor(pct): exact integer rank cutoff per
+    * source over token counts, per-source audit.
+    */
+  def lengthFloor(pct: Int): String = docQ(s"""
+    , sized AS (
+      SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM docs_tok),
+    c AS (SELECT source, count(*) AS n FROM sized GROUP BY source),
+    r AS (
+      SELECT source, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_tokens, doc_id) AS rk
+      FROM sized)
+    SELECT r.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk <= n * $pct // 100 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped,
+           CAST(min(CASE WHEN rk > n * $pct // 100 THEN n_tokens END)
+             AS BIGINT) AS min_kept_tokens
+    FROM r JOIN c USING (source)
+    GROUP BY r.source ORDER BY r.source""")
+
+  /** Mirrors TextOps.crossSourceDupMatrix: banded-minhash candidate pairs
+    * counted by unordered source pair, integer-ppm share.
+    */
+  val crossSourceDupMatrix: String = s"""
+    WITH $DocCtes,
+    $minhashPairCtes,
+    sp AS (
+      SELECT least(da.source, db.source) AS source_x,
+             greatest(da.source, db.source) AS source_y
+      FROM pairs p
+      JOIN documents da ON p.doc_a = da.doc_id
+      JOIN documents db ON p.doc_b = db.doc_id),
+    t AS (SELECT count(*) AS t FROM sp)
+    SELECT source_x, source_y,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) * 1000000 // t AS BIGINT) AS pair_share_ppm
+    FROM sp, t GROUP BY source_x, source_y, t
+    ORDER BY source_x, source_y"""
+
   /** Confusion matrix over the langId projection (labeled × predicted). */
   val langIdConfusion: String =
     docQ(s"""

@@ -307,6 +307,12 @@ object SparkEntry {
           benchMaxDf = 2)
         .orderBy("doc_id", "bench_doc_id")),
 
+    "docs_stream_vocab" -> ((s, d) =>
+      // live tokenizer-engineering view: complete-mode per-token counts
+      // (state = one row per distinct token, vocabulary-bounded);
+      // deterministic top-50 over the drained counts — batch oracle
+      graft.streaming.StreamingOps.vocabularyStream(s, d, topN = 50)),
+
     "events_stream_range_join" -> ((s, d) =>
       // stream-stream interval join: incidents x same-user events within
       // +/-10 min, both sides landing through the split-file source; state
@@ -486,6 +492,18 @@ object SparkEntry {
       // IDF-mean novelty gate without floats: per-doc integer mean of
       // 1e6 div df over its distinct tokens
       TextOps.rarityScore(T.documents(s, d)).orderBy("doc_id")),
+
+    "quality_length_floor" -> ((s, d) =>
+      // source-relative minimum-quality filter: drop each source's
+      // shortest 10% by exact integer rank, per-source audit
+      TextOps.lengthFloor(T.documents(s, d), pct = 10).orderBy("source")),
+
+    "dedup_cross_source" -> ((s, d) =>
+      // mirror detection: near-dup candidate pairs counted by unordered
+      // source pair — a heavy off-diagonal cell means one source re-hosts
+      // another
+      TextOps.crossSourceDupMatrix(T.documents(s, d))
+        .orderBy("source_x", "source_y")),
 
     "vocab_top_tokens" -> ((s, d) =>
       TextOps.vocabulary(T.documents(s, d), topN = 50)),
@@ -1201,6 +1219,9 @@ object SparkEntry {
     "repetition_signals" -> OracleExt.repetitionSignals,
     "dup_span_fraction" -> OracleExt.dupSpanFraction,
     "rarity_score" -> OracleExt.rarityScore,
+    "quality_length_floor" -> OracleExt.lengthFloor(10),
+    "dedup_cross_source" -> OracleExt.crossSourceDupMatrix,
+    "docs_stream_vocab" -> OracleExt.vocabTopTokens,
     "sample_token_budget" -> OracleExt.sampleTokenBudget(100000L),
     "events_dedup_window" -> OracleExt.eventsDedupWindow(5),
     "events_key_skew" -> OracleExt.eventsKeySkew(20),

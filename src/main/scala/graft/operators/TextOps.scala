@@ -610,4 +610,60 @@ object TextOps {
       .agg(count(lit(1)).as("n_distinct_tokens"),
            expr("sum(w) div count(*)").as("rarity_score"))
   }
+
+  /** Source-relative length floor: drop each source's shortest `pct`% of
+    * documents (by token count) — the universal minimum-quality filter,
+    * but RELATIVE per source so a terse-by-nature source isn't wiped out
+    * by a corpus-global threshold. Cutoff is the exact integer rank
+    * K = n·pct div 100 (the same no-float-threshold discipline as
+    * EventOps.topPercentByValue; ties by doc_id). Returns the per-source
+    * audit (docs seen / dropped / the kept minimum length); the kept set
+    * is the `rk > k` frame upstream.
+    *
+    * Scale shape: one broadcast per-source count + one window partitioned
+    * by source — parallelism = source count; the same per-source
+    * hash-histogram two-pass as sampleTokenBudget applies when sources
+    * are few and huge.
+    */
+  def lengthFloor(docs: DataFrame, pct: Int): DataFrame = {
+    require(pct >= 0 && pct < 100, s"pct must be in [0,100), got $pct")
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tokens"), col("doc_id"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("k", expr(s"n * $pct div 100"))
+    docs
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("rk") <= col("k"), 1L).otherwise(0L))
+             .as("n_dropped"),
+           min(when(col("rk") > col("k"), col("n_tokens")))
+             .as("min_kept_tokens"))
+  }
+
+  /** Cross-source duplication matrix: near-dup candidate pairs counted by
+    * unordered source pair — the mirror-detection view (a heavy
+    * off-diagonal cell means one source largely re-hosts another, and the
+    * cheap fix is dropping a source, not clustering a million pairs).
+    * Rides the one banded-minhash candidate set; two joins against the
+    * (doc → source) projection; output is |sources|² cells at most.
+    */
+  def crossSourceDupMatrix(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = minhashCandidates(docs)
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+               .withColumnRenamed("source", "source_a"), Seq("doc_a"))
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+               .withColumnRenamed("source", "source_b"), Seq("doc_b"))
+    val tot = pairs.agg(count(lit(1)).as("t"))
+    pairs
+      .groupBy(least(col("source_a"), col("source_b")).as("source_x"),
+               greatest(col("source_a"), col("source_b")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pair_share_ppm", expr("n_pairs * 1000000 div t"))
+      .select("source_x", "source_y", "n_pairs", "pair_share_ppm")
+  }
 }

@@ -374,6 +374,25 @@ object StreamingOps {
               "doc_share_ppm", "token_share_ppm")
   }
 
+  /** Streaming vocabulary: per-token occurrence counts maintained AS THE
+    * CORPUS LANDS (complete mode — state is one count per DISTINCT token,
+    * i.e. vocabulary-bounded, the same reason the batch op scales), with
+    * the deterministic top-N (freq desc, token asc) taken over the
+    * drained counts. The live tokenizer-engineering view of
+    * TextOps.vocabulary — same oracle.
+    */
+  def vocabularyStream(spark: SparkSession, dir: String,
+                       topN: Int): DataFrame = {
+    import graft.operators.TextOps.tokens
+    val agg = docsStream(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+    runToTable(spark, agg, OutputMode.Complete())
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topN)
+  }
+
   /** Stream-stream interval join: incidents ("error" events) joined, AS
     * BOTH SIDES LAND, to the same user's events within ±`windowMinutes` —
     * the streaming twin of EventOps.nearbyEventCounts and the one

@@ -183,6 +183,15 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming vocabulary equals the batch top-N") {
+    val streamed = StreamingOps.vocabularyStream(spark, dir, 50)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.TextOps
+      .vocabulary(Tables.documents(spark, dir), 50)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+  }
+
   test("stream-stream interval join equals the batch range join") {
     // both sides land across four triggers in arbitrary event-time order:
     // the buffered-state matching, not single-batch colocation, produces

@@ -208,6 +208,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!got.contains(4L))
   }
 
+  test("length floor drops exactly the shortest n*pct div 100 per source") {
+    val docs = Seq(
+      // web: lengths 1,2,3,4,5 → pct=40 drops k = 5*40 div 100 = 2
+      (1L, "a", "web"), (2L, "a b", "web"), (3L, "a b c", "web"),
+      (4L, "a b c d", "web"), (5L, "a b c d e", "web"),
+      // books: 2 docs → k = 0, nothing dropped
+      (6L, "x", "books"), (7L, "x y", "books"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.lengthFloor(docs, pct = 40).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map("web" -> ((5L, 2L, 3L)), "books" -> ((2L, 0L, 1L))))
+  }
+
+  test("cross-source matrix counts candidate pairs by unordered source pair") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, txt, "web"), (2L, txt, "mirror"),   // cross-source pair
+      (3L, txt, "mirror"),                     // pairs with 1 (cross) & 2 (within)
+      (4L, "unrelated totally different words here", "web"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.crossSourceDupMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // 3 pairs total: (1,2) mirror-web, (1,3) mirror-web, (2,3) mirror-mirror
+    assert(got == Map(("mirror", "web") -> ((2L, 666666L)),
+                      ("mirror", "mirror") -> ((1L, 333333L))))
+  }
+
   test("rarity score is the integer mean of 1e6 div df over distinct tokens") {
     val docs = Seq(
       (1L, "common rare1"),        // df(common)=3, df(rare1)=1
