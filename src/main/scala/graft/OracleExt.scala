@@ -12,12 +12,18 @@ import graft.operators.{CorpusOps, TextOps}
   */
 object OracleExt {
 
-  /** Tokenized + shingled documents prelude. */
-  val DocCtes: String = """
+  /** Tokenized documents CTE — standalone so queries that shingle
+    * something OTHER than whole documents (paragraph-level dedup) can
+    * reuse it without the doc-level `docs_sh` name.
+    */
+  val DocsTokCte: String = """
     docs_tok AS (
       SELECT doc_id, lang, source, n_chars, text,
              regexp_extract_all(lower(text), '\S+') AS toks
-      FROM documents),
+      FROM documents)"""
+
+  /** Tokenized + shingled documents prelude. */
+  val DocCtes: String = s"""$DocsTokCte,
     docs_sh AS (
       SELECT doc_id,
              [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
@@ -200,6 +206,78 @@ object OracleExt {
     docQ(s"""
       , $minhashPairCtes
       SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""")
+
+  /** Mirrors TextOps.chunkParagraphs (32-token non-overlapping windows,
+    * para_id = doc_id·2^20 + idx) + paragraphNearDupes: the same banded
+    * pair CTE chain keyed by para_id, decomposed on the way out.
+    */
+  val dedupNearMinhashPara: String = s"""
+    WITH $DocsTokCte,
+    base AS (
+      SELECT doc_id, toks,
+             greatest(CAST(ceil(len(toks) / 32.0) AS INT), 1) AS n_paras
+      FROM docs_tok),
+    paras AS (
+      SELECT doc_id * 1048576 + i AS para_id,
+             toks[(i*32 + 1):(i*32 + 32)] AS chunk
+      FROM (SELECT doc_id, toks, unnest(range(0, n_paras)) AS i FROM base)),
+    docs_sh AS (
+      SELECT para_id AS doc_id,
+             [chunk[j] || ' ' || chunk[j+1] || ' ' || chunk[j+2]
+              for j in range(1, len(chunk)-1)] AS sh
+      FROM paras),
+    $minhashPairCtes
+    SELECT * FROM (
+      SELECT doc_a // 1048576 AS doc_a, doc_a % 1048576 AS para_a,
+             doc_b // 1048576 AS doc_b, doc_b % 1048576 AS para_b
+      FROM pairs)
+    ORDER BY doc_a, para_a, doc_b, para_b"""
+
+  /** Mirrors TextOps.exactSubstringContamination over the doc_id % 11
+    * split: distinct md5'd 13-token windows, corpus⋈benchmark, count of
+    * matching windows per contaminated doc.
+    */
+  val decontaminateExact: String = docQ("""
+    , wins AS (
+      SELECT DISTINCT doc_id, md5(w) AS wh
+      FROM (SELECT doc_id,
+                   unnest([array_to_string(toks[i:(i+12)], ' ')
+                           for i in range(1, len(toks) - 11)]) AS w
+            FROM docs_tok)),
+    bench AS (SELECT DISTINCT wh FROM wins WHERE doc_id % 11 = 0)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_matched_windows
+    FROM (SELECT * FROM wins WHERE doc_id % 11 <> 0) c
+    JOIN bench USING (wh)
+    GROUP BY c.doc_id ORDER BY doc_id""")
+
+  /** Mirrors CorpusOps.domainBlocklist over SparkEntry's synthesized url
+    * column (host regex, last-two-labels registrable domain, blocklist
+    * verdict, per-domain counts).
+    */
+  def domainBlocklist(blocked: Seq[String]): String = {
+    val list = blocked.map(b => s"'$b'").mkString(", ")
+    s"""
+    WITH pages AS (
+      SELECT doc_id,
+             'https://' ||
+             CASE WHEN doc_id % 9 = 0 THEN 'cdn.static.'
+                  WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+             source || '.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+             CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END ||
+             '/docs/' || CAST(doc_id AS VARCHAR) ||
+             CASE WHEN doc_id % 4 = 0 THEN '?ref=rss' ELSE '' END AS url
+      FROM documents),
+    d AS (
+      SELECT regexp_extract(regexp_extract(lower(url),
+               '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+               '([^.]+\\.[^.]+)$$', 1) AS domain
+      FROM pages)
+    SELECT domain,
+           CASE WHEN domain IN ($list) THEN 'dropped' ELSE 'kept' END
+             AS action,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY 1, 2 ORDER BY domain, action"""
+  }
 
   /** Mirrors TextOps.incrementalDedupSurvivors over the doc_id % 7 split
     * (history = % 7 <> 0, batch = % 7 = 0): first-in-batch unseen hashes,

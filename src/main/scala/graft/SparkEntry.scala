@@ -16,6 +16,11 @@ import graft.operators.{CopyExecutor, EventOps, Multimodal, SyncOps, TextOps, Ve
 object SparkEntry {
   private val M = R.MappingId
 
+  /** Registrable domains denied by the `domain_blocklist` query — shared
+    * with the oracle SQL so both sides verdict identically.
+    */
+  val DemoBlocklist: Seq[String] = Seq("example2.com", "example5.com")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("catalog_ledger_diff")(spark, "/root/testdata/sf0.001")
@@ -649,6 +654,45 @@ object SparkEntry {
         .orderBy("doc_id", "bench_doc_id")
     }),
 
+    "dedup_near_minhash_para" -> ((s, d) =>
+      // paragraph-granularity near-dup — catches cross-document boilerplate
+      // that doc-level MinHash dilutes away; the driver's single-line
+      // synthetic docs have no \n\n structure, so non-overlapping 32-token
+      // chunk windows stand in for paragraphs (the separator-split path is
+      // spec-covered in TextOpsSpec)
+      TextOps.paragraphNearDupes(TextOps.chunkParagraphs(T.documents(s, d)))
+        .orderBy("doc_a", "para_a", "doc_b", "para_b")),
+
+    "decontaminate_exact" -> ((s, d) => {
+      // the stricter canonical leakage check: verbatim 13-token runs shared
+      // with the held-out benchmark (= every 11th doc — wide enough that
+      // exact collisions exist at every SF, unlike the %97 shingle split)
+      val docs = T.documents(s, d)
+      TextOps.exactSubstringContamination(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          docs.filter(col("doc_id") % 11 === 0))
+        .orderBy("doc_id")
+    }),
+
+    "domain_blocklist" -> ((s, d) => {
+      // corpus-prep gate: registrable-domain blocklist over a synthesized
+      // url column (the testdata has none) — subdomain/port/path/query
+      // variants exercise the extraction; the blocklist itself broadcasts
+      val m3 = col("doc_id") % 3
+      val pages = T.documents(s, d).select(col("doc_id"), concat(
+        lit("https://"),
+        when(col("doc_id") % 9 === 0, lit("cdn.static."))
+          .when(m3 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit(".example"),
+        (col("doc_id") % 7).cast("string"), lit(".com"),
+        when(col("doc_id") % 5 === 0, lit(":8443")).otherwise(lit("")),
+        lit("/docs/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 4 === 0, lit("?ref=rss")).otherwise(lit("")))
+        .as("url"))
+      graft.operators.CorpusOps.domainBlocklist(pages, DemoBlocklist)
+        .orderBy("domain", "action")
+    }),
+
     "dedup_near_cosine" -> ((s, d) =>
       // banded-LSH blocked (4 bands × 4 sign bits) — never an all-pairs join
       VectorOps.nearDupCosine(T.embeddings(s, d), 0.4, dim = 64)
@@ -1235,7 +1279,10 @@ object SparkEntry {
     "dedup_simhash" -> OracleExt.dedupSimhash,
     "dedup_ngram_jaccard" -> OracleExt.dedupNgramJaccard(0.5),
     "decontaminate" -> OracleExt.decontaminate,
+    "decontaminate_exact" -> OracleExt.decontaminateExact,
     "decontaminate_fraction" -> OracleExt.decontaminateFraction,
+    "dedup_near_minhash_para" -> OracleExt.dedupNearMinhashPara,
+    "domain_blocklist" -> OracleExt.domainBlocklist(DemoBlocklist),
     "dedup_clusters" -> OracleExt.dedupClusters,
     "dedup_drop_list" -> OracleExt.dedupDropList,
     "dedup_savings" -> OracleExt.dedupSavings,

@@ -347,6 +347,40 @@ object CorpusOps {
         .as("scrubbed_hash"))
   }
 
+  // ---- domain blocklist ------------------------------------------------
+
+  /** Domain/URL blocklist filter — the standard corpus-prep gate that
+    * drops pages from known-bad hosts before any content-level filtering
+    * runs. Takes any frame with a `url` column, extracts the host
+    * (`scheme://host[:port]/...` — port/path/query stripped), reduces it
+    * to the registrable domain (last two dot-labels, so `www.`/CDN
+    * subdomains can't dodge the list; production deployments substitute
+    * the Public Suffix List here, which is a data-file swap, not a shape
+    * change), and verdicts each row against the blocklist. Everything is
+    * `regexp_extract` + a broadcast hash join — no UDF, stays in codegen.
+    *
+    * Returns the per-domain audit (domain, action kept|dropped, n_docs);
+    * the kept row set itself is the `dropped IS NULL` frame upstream of
+    * the final groupBy — at 100 TB the audit is what comes back to the
+    * driver while the kept corpus is written out.
+    */
+  val HostRe = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+  val RegistrableRe = "([^.]+\\.[^.]+)$"
+  def domainBlocklist(pages: DataFrame, blocked: Seq[String]): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val deny = blocked.toDF("domain").withColumn("dropped", lit(true))
+    pages
+      .withColumn("domain",
+        regexp_extract(regexp_extract(lower(col("url")), HostRe, 1),
+          RegistrableRe, 1))
+      .join(broadcast(deny), Seq("domain"), "left")
+      .groupBy(col("domain"),
+        when(col("dropped"), lit("dropped")).otherwise(lit("kept"))
+          .as("action"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   // ---- TF-IDF ----------------------------------------------------------
 
   /** Top-N terms per source by TF-IDF (tf = term count within the source,

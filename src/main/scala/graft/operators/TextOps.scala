@@ -643,6 +643,102 @@ object TextOps {
              .as("min_kept_tokens"))
   }
 
+  // ---- sub-document (paragraph-level) dedup ----------------------------
+
+  /** Explode documents into paragraphs: split on runs of blank lines
+    * (`\n{2,}` by default), trim, drop empties. Real pipelines dedup at
+    * paragraph granularity BEFORE document granularity — boilerplate
+    * headers/footers/navigation survive doc-level MinHash because the rest
+    * of the page differs, but repeat verbatim across a site at paragraph
+    * level. Emits (doc_id, para_idx, para_text) with para_idx counting the
+    * KEPT (non-empty) paragraphs in document order.
+    */
+  def explodeParagraphs(docs: DataFrame,
+                        sepRegex: String = "\\n{2,}"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(filter(transform(split(col("text"), sepRegex), trim(_)),
+          p => length(p) > 0)))
+      .select(col("doc_id"), col("pos").cast("long").as("para_idx"),
+              col("col").as("para_text"))
+
+  /** Paragraph frame for corpora WITHOUT separator structure (the driver's
+    * synthetic docs are single-line): non-overlapping fixed-token windows
+    * stand in for paragraphs. Same output shape as [[explodeParagraphs]],
+    * plus a composite `para_id` = doc_id·2^20 + para_idx so the pair
+    * machinery can treat a paragraph as one key (valid while documents
+    * stay under 2^20 paragraphs ≈ 33M tokens at the default width, and
+    * doc_id < 2^43 — both far above real corpora; the id arithmetic is
+    * mirrored in the oracle).
+    */
+  val ParaIdShift: Long = 1L << 20
+  def chunkParagraphs(docs: DataFrame, chunkTokens: Int = 32): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"),
+        greatest(ceil(size(toks).cast("double") / chunkTokens).cast("int"),
+          lit(1)).as("n_paras"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_paras") - 1)).as("i"), col("toks"))
+      .select(
+        (col("doc_id") * ParaIdShift + col("i")).as("para_id"),
+        col("doc_id"), col("i").cast("long").as("para_idx"),
+        concat_ws(" ", slice(col("toks"), col("i") * chunkTokens + 1,
+          lit(chunkTokens))).as("para_text"))
+  }
+
+  /** Paragraph-level near-duplicate pairs: the banded-MinHash candidate
+    * join ([[minhashCandidates]], unchanged machinery) run over paragraphs
+    * instead of documents, with the composite para_id decomposed back to
+    * (doc, para) coordinates on the way out. Catches cross-document
+    * boilerplate that document-level MinHash dilutes away. Input is any
+    * frame shaped like [[chunkParagraphs]]/[[explodeParagraphs]]+id;
+    * shingle-less paragraphs (<3 tokens) drop out exactly as short docs
+    * do at document level.
+    *
+    * Scale shape: identical to doc-level — shuffle on band hash, never a
+    * cross join; the only growth is row count (paragraphs ≫ documents),
+    * which the band equi-join absorbs linearly.
+    */
+  def paragraphNearDupes(paras: DataFrame): DataFrame =
+    minhashCandidates(
+        paras.select(col("para_id").as("doc_id"), col("para_text").as("text")))
+      .select(
+        expr(s"doc_a div $ParaIdShift").as("doc_a"),
+        expr(s"doc_a % $ParaIdShift").as("para_a"),
+        expr(s"doc_b div $ParaIdShift").as("doc_b"),
+        expr(s"doc_b % $ParaIdShift").as("para_b"))
+
+  // ---- exact-substring decontamination ---------------------------------
+
+  /** Exact n-token substring decontamination — the stricter canonical
+    * check labs run ALONGSIDE shingle-overlap [[contamination]]: a
+    * training doc is flagged iff some run of `n` consecutive tokens
+    * appears verbatim anywhere in the held-out benchmark (n=13 is the
+    * conventional window; GPT-3 appendix C / PaLM §7 use 13-gram overlap).
+    * Emits one row per contaminated doc with the count of its DISTINCT
+    * matching windows — the trim-vs-drop policy signal.
+    *
+    * Scale shape: the benchmark's distinct window-hash set broadcasts
+    * (its size is the benchmark's token count — always driver-tiny next
+    * to the corpus); the corpus streams through one broadcast semi-ish
+    * join + one partial-agg'd groupBy. Windows are md5'd before the join
+    * so the shuffle/broadcast payload is 32 bytes regardless of n, and
+    * the oracle reproduces the hash bit-for-bit.
+    */
+  def exactSubstringContamination(corpus: DataFrame, benchmark: DataFrame,
+                                  n: Int = 13): DataFrame = {
+    def windows(d: DataFrame) = d
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), n))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("wh"))
+    val benchSet = windows(benchmark).select("wh").distinct()
+    windows(corpus)
+      .join(broadcast(benchSet), Seq("wh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched_windows"))
+  }
+
   /** Cross-source duplication matrix: near-dup candidate pairs counted by
     * unordered source pair — the mirror-detection view (a heavy
     * off-diagonal cell means one source largely re-hosts another, and the

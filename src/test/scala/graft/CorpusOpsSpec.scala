@@ -241,4 +241,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
     assert(got == expected && got.values.forall(_._2 <= budget))
   }
+
+  test("domain blocklist verdicts by registrable domain, not literal host") {
+    val pages = Seq(
+      (1L, "https://www.bad.com/page"),           // www → bad.com, dropped
+      (2L, "http://cdn.assets.bad.com:8080/x?y=1"), // deep subdomain + port
+      (3L, "https://BAD.com/"),                   // case-insensitive
+      (4L, "https://good.org/a/b"),               // kept
+      (5L, "https://bad.com.evil.net/phish"),     // registrable = evil.net!
+      (6L, "ftp://mirror.good.org/file"))         // scheme-agnostic
+      .toDF("doc_id", "url")
+    val got = CorpusOps.domainBlocklist(pages, Seq("bad.com")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("bad.com", "dropped") -> 3L,
+      ("good.org", "kept") -> 2L,
+      ("evil.net", "kept") -> 1L))
+  }
 }

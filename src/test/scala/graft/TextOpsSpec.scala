@@ -237,6 +237,66 @@ class TextOpsSpec extends AnyFunSuite {
                       ("mirror", "mirror") -> ((1L, 333333L))))
   }
 
+  test("explodeParagraphs splits on blank lines, trims, drops empties") {
+    val docs = Seq(
+      (1L, "first para here\n\n  second para  \n\n\n\nthird"),
+      (2L, "single paragraph no separators"),
+      (3L, "\n\n\n\n")) // only separators → no paragraphs at all
+      .toDF("doc_id", "text")
+    val got = TextOps.explodeParagraphs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 0L, "first para here"), (1L, 1L, "second para"), (1L, 2L, "third"),
+      (2L, 0L, "single paragraph no separators")))
+  }
+
+  test("paragraph near-dup finds cross-doc boilerplate doc-level minhash misses") {
+    // shared footer is 1/3 of each doc — doc-level jaccard too low to band-
+    // collide, but the footer PARAGRAPHS are identical
+    val footer = "copyright acme corp all rights reserved contact us here"
+    val docs = Seq(
+      (1L, s"alpha bravo charlie delta echo foxtrot golf hotel\n\n$footer"),
+      (2L, s"india juliett kilo lima mike november oscar papa\n\n$footer"))
+      .toDF("doc_id", "text")
+    val paras = TextOps.explodeParagraphs(docs)
+      .select((col("doc_id") * TextOps.ParaIdShift + col("para_idx"))
+                .as("para_id"),
+              col("para_text"))
+    val pairs = TextOps.paragraphNearDupes(paras).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pairs.toSet == Set((1L, 1L, 2L, 1L))) // the two footers, nothing else
+    // doc-level minhash on the same corpus reports no candidate pair
+    assert(TextOps.minhashCandidates(docs).count() == 0L)
+  }
+
+  test("chunkParagraphs windows are non-overlapping and cover every token") {
+    val docs = Seq((7L, (1 to 70).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkParagraphs(docs, chunkTokens = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length == 3) // ceil(70/32)
+    assert(got.map(_._3).toSet == Set(0L, 1L, 2L))
+    assert(got.forall { case (pid, d, i, _) =>
+      d == 7L && pid == 7L * TextOps.ParaIdShift + i })
+    val texts = got.sortBy(_._3).map(_._4)
+    assert(texts(0).startsWith("w1 w2 ") && texts(1).startsWith("w33 ") &&
+           texts(2) == (65 to 70).map(i => s"w$i").mkString(" "))
+  }
+
+  test("exact-substring contamination needs a verbatim n-token run") {
+    val run13 = (1 to 13).map(i => s"t$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"pre1 pre2 $run13 post1"),            // verbatim 13-run → flagged
+      (2L, (1 to 12).map(i => s"t$i").mkString(" ") + " different tail"),
+      (3L, "wholly unrelated words nothing shared with the benchmark at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"bench lead $run13 bench tail"))
+      .toDF("doc_id", "text")
+    val got = TextOps.exactSubstringContamination(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L)) // doc 2's longest shared run is 12 tokens
+  }
+
   test("rarity score is the integer mean of 1e6 div df over distinct tokens") {
     val docs = Seq(
       (1L, "common rare1"),        // df(common)=3, df(rare1)=1
