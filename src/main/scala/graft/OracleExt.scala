@@ -250,6 +250,59 @@ object OracleExt {
     JOIN bench USING (wh)
     GROUP BY c.doc_id ORDER BY doc_id""")
 
+  /** Mirrors TextOps.duplicatedSpans (n=13): duplicated window hashes →
+    * per-doc gaps-and-islands fuse (starts ≤ 13 apart overlap) → maximal
+    * span coordinates.
+    */
+  val dedupExactSpans: String = docQ("""
+    , wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:(i+12)], ' ')) AS wh
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 11)) AS i
+            FROM docs_tok)),
+    dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= 13
+                  THEN 0 ELSE 1 END AS new_island
+      FROM wins JOIN dup USING (wh)),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged)
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 12 AS BIGINT) AS span_end,
+           CAST(max(pos) + 12 - min(pos) + 1 AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start""")
+
+  /** Mirrors TextOps.ngramLmCounts (topK=3): 3-shingles split into
+    * (2-token context, next token), exact counts, per-context totals and
+    * integer-ppm conditionals, top-3 by count then token.
+    */
+  val ngramLmCounts: String = docQ("""
+    , tri AS (
+      SELECT string_split(s, ' ') AS g
+      FROM (SELECT unnest(sh) AS s FROM docs_sh)),
+    cnt AS (
+      SELECT array_to_string(g[1:2], ' ') AS context, g[3] AS next_token,
+             count(*) AS cnt
+      FROM tri GROUP BY 1, 2),
+    ranked AS (
+      SELECT context, next_token, CAST(cnt AS BIGINT) AS cnt,
+             CAST(sum(cnt) OVER (PARTITION BY context) AS BIGINT)
+               AS ctx_total,
+             CAST(row_number() OVER (PARTITION BY context
+                    ORDER BY cnt DESC, next_token) AS BIGINT) AS rank
+      FROM cnt)
+    SELECT context, next_token, cnt, ctx_total, rank,
+           cnt * 1000000 // ctx_total AS ppm
+    FROM ranked WHERE rank <= 3
+    ORDER BY context, rank""")
+
   /** Mirrors CorpusOps.domainBlocklist over SparkEntry's synthesized url
     * column (host regex, last-two-labels registrable domain, blocklist
     * verdict, per-domain counts).

@@ -297,6 +297,13 @@ object SparkEntry {
       graft.streaming.StreamingOps.contaminationStream(s, d, minShared = 3)
         .orderBy("doc_id", "bench_doc_id")),
 
+    "docs_stream_decontaminate_exact" -> ((s, d) =>
+      // the verbatim 13-token-window gate as docs land: static broadcast
+      // benchmark window hashes, complete-mode per-doc match counts —
+      // shares the batch decontaminate_exact oracle
+      graft.streaming.StreamingOps.exactContaminationStream(s, d)
+        .orderBy("doc_id")),
+
     "docs_stream_mix_report" -> ((s, d) =>
       // live dataset-card: composition counts maintained as docs land
       // (complete-mode state = one row per (lang, source) cell); shares
@@ -653,6 +660,20 @@ object SparkEntry {
           minShared = 3)
         .orderBy("doc_id", "bench_doc_id")
     }),
+
+    "ngram_lm_counts" -> ((s, d) =>
+      // corpus n-gram LM view: top-3 next tokens per 2-token context,
+      // exact counts + integer-ppm conditionals (CCNet-style LM filters
+      // score docs against exactly this table)
+      TextOps.ngramLmCounts(T.documents(s, d))
+        .orderBy("context", "rank")),
+
+    "dedup_exact_spans" -> ((s, d) =>
+      // Lee-et-al-style exact-substring dedup unit of work: maximal
+      // duplicated ≥13-token runs in token coordinates — what a trimming
+      // pass deletes, vs dropping whole docs
+      TextOps.duplicatedSpans(T.documents(s, d))
+        .orderBy("doc_id", "span_start")),
 
     "dedup_near_minhash_para" -> ((s, d) =>
       // paragraph-granularity near-dup — catches cross-document boilerplate
@@ -1280,8 +1301,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleExt.dedupNgramJaccard(0.5),
     "decontaminate" -> OracleExt.decontaminate,
     "decontaminate_exact" -> OracleExt.decontaminateExact,
+    "docs_stream_decontaminate_exact" -> OracleExt.decontaminateExact,
     "decontaminate_fraction" -> OracleExt.decontaminateFraction,
     "dedup_near_minhash_para" -> OracleExt.dedupNearMinhashPara,
+    "dedup_exact_spans" -> OracleExt.dedupExactSpans,
+    "ngram_lm_counts" -> OracleExt.ngramLmCounts,
     "domain_blocklist" -> OracleExt.domainBlocklist(DemoBlocklist),
     "dedup_clusters" -> OracleExt.dedupClusters,
     "dedup_drop_list" -> OracleExt.dedupDropList,

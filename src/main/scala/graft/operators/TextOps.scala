@@ -739,6 +739,79 @@ object TextOps {
       .agg(count(lit(1)).as("n_matched_windows"))
   }
 
+  /** Maximal duplicated token spans — the exact-substring dedup unit of
+    * work (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better": trim duplicated substrings, don't drop whole docs).
+    * A length-`n` token window is DUPLICATED if its text occurs a second
+    * time anywhere in the corpus (another doc or another position);
+    * overlapping/adjacent duplicated windows in a doc fuse into one
+    * maximal span (gaps-and-islands: window starts ≤ n apart share
+    * overlapping token ranges). Emits (doc_id, span_start, span_end,
+    * span_tokens, n_windows) in token coordinates — exactly what a
+    * trimming pass deletes. The suffix-array formulation finds shorter
+    * duplicates too; fixing the window at the policy's minimum match
+    * length makes the scan one hash join and loses nothing the policy
+    * would act on — any duplicated run ≥ n tokens contains a duplicated
+    * n-window at every offset, so maximal spans come out identical.
+    *
+    * Scale shape: windows are md5'd (32-byte keys) → one partial-agg'd
+    * count keyed by hash (a boilerplate window costs one long per
+    * partition); the ≥2 verdict joins back on the same key; the island
+    * merge windows BY DOC over positions — per-doc state, parallel across
+    * the corpus, no global sort anywhere.
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int = 13): DataFrame = {
+    val wins = Barriers.materialize(docs
+      .select(col("doc_id"), posexplode(shingles(tokens(col("text")), n)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+              md5(col("col")).as("wh")))
+    val dup = wins.groupBy("wh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("wh")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    wins.join(dup, Seq("wh"))
+      .withColumn("new_island",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= n, 0L)
+          .otherwise(1L))
+      .withColumn("island",
+        sum(col("new_island")).over(byDoc.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("span_start"),
+           (max(col("pos")) + (n - 1)).as("span_end"),
+           count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+              (col("span_end") - col("span_start") + 1).as("span_tokens"),
+              col("n_windows"))
+  }
+
+  /** Conditional next-token table — the n-gram LM statistic behind
+    * perplexity-style quality filters and classic smoothing estimates:
+    * for each 2-token context, the top-K next tokens with exact counts
+    * and integer-ppm conditional probability. (CCNet-style pipelines
+    * score documents against exactly this kind of corpus LM.)
+    *
+    * Scale shape: one shingle explode + one partial-agg'd groupBy on
+    * (context, next); the per-context total and top-K window run over a
+    * frame bounded by VOCABULARY² rows, not corpus size — corpus scale
+    * only raises the counts.
+    */
+  def ngramLmCounts(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val parts = split(col("g"), " ")
+    val cnt = docs
+      .select(explode(shingles(tokens(col("text")), 3)).as("g"))
+      .select(concat_ws(" ", slice(parts, 1, 2)).as("context"),
+              element_at(parts, 3).as("next_token"))
+      .groupBy("context", "next_token").agg(count(lit(1)).as("cnt"))
+    val byCtx = Window.partitionBy("context")
+    cnt
+      .withColumn("ctx_total", sum(col("cnt")).over(byCtx))
+      .withColumn("rank", row_number().over(
+        byCtx.orderBy(col("cnt").desc, col("next_token"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .withColumn("ppm", expr("cnt * 1000000 div ctx_total"))
+      .select("context", "next_token", "cnt", "ctx_total", "rank", "ppm")
+  }
+
   /** Cross-source duplication matrix: near-dup candidate pairs counted by
     * unordered source pair — the mirror-detection view (a heavy
     * off-diagonal cell means one source largely re-hosts another, and the

@@ -254,6 +254,33 @@ object StreamingOps {
     runToTable(spark, agg, OutputMode.Complete())
   }
 
+  /** Streaming exact-substring decontamination: the verbatim-13-token-
+    * window gate (`TextOps.exactSubstringContamination`) run as docs land.
+    * Benchmark window hashes are a static broadcast side materialized once
+    * (same discipline as [[contaminationStream]]); the stream pays one
+    * broadcast join + a complete-mode count per doc. State is bounded by
+    * CONTAMINATED docs only — clean docs never enter the aggregation.
+    */
+  def exactContaminationStream(spark: SparkSession, dir: String,
+                               n: Int = 13): DataFrame = {
+    import graft.operators.TextOps.{shingles, tokens}
+    val benchWh = graft.operators.Barriers.materialize(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 11 === 0)
+        .select(explode(array_distinct(shingles(tokens(col("text")), n)))
+          .as("w"))
+        .select(md5(col("w")).as("wh")).distinct())
+    val corpusW = docsStream(spark, dir)
+      .filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), n))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("wh"))
+    val agg = corpusW.join(broadcast(benchWh), Seq("wh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched_windows"))
+    runToTable(spark, agg, OutputMode.Complete())
+  }
+
   case class BandRow(doc_id: Long, band: String)
   case class CandPair(doc_a: Long, doc_b: Long)
 

@@ -80,6 +80,18 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming exact-substring decontamination equals the batch gate") {
+    val streamed = StreamingOps.exactContaminationStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val docs = Tables.documents(spark, dir)
+    import org.apache.spark.sql.functions.col
+    val batch = graft.operators.TextOps.exactSubstringContamination(
+        docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 11 === 0))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("bench-side df cap yields a subset of the uncapped contamination") {
     val uncapped = StreamingOps.contaminationStream(spark, dir, minShared = 3)
       .collect().map(_.toSeq).toSet

@@ -297,6 +297,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L)) // doc 2's longest shared run is 12 tokens
   }
 
+  test("duplicated spans fuse overlapping windows into maximal runs") {
+    val run = (1 to 15).map(i => s"r$i").mkString(" ") // 15-token shared run
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $run z1 z2"),   // run at token offset 3
+      (2L, s"$run b1 b2 b3 b4 b5"),   // run at offset 0
+      (3L, "nothing duplicated here at all in this document text"))
+      .toDF("doc_id", "text")
+    val got = TextOps.duplicatedSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).toSet
+    // 15-token run ⇒ 3 overlapping 13-windows ⇒ ONE span of 15 tokens
+    assert(got == Set((1L, 3L, 17L, 15L, 3L), (2L, 0L, 14L, 15L, 3L)))
+  }
+
+  test("ngram LM counts rank next tokens per context with exact ppm") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b d"), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = TextOps.ngramLmCounts(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      ("a b", "c", 2L, 3L, 1L, 666666L),
+      ("a b", "d", 1L, 3L, 2L, 333333L),
+      ("x y", "z", 1L, 1L, 1L, 1000000L)))
+  }
+
   test("rarity score is the integer mean of 1e6 div df over distinct tokens") {
     val docs = Seq(
       (1L, "common rare1"),        // df(common)=3, df(rare1)=1
