@@ -279,6 +279,84 @@ object OracleExt {
     FROM isl GROUP BY doc_id, island
     ORDER BY doc_id, span_start""")
 
+  /** Mirrors TextOps.spanTrimmedDocs (n=13): later-occurrence windows →
+    * fused spans → token ranges deleted → trimmed-text md5 witness.
+    */
+  val dedupSpanTrim: String = docQ("""
+    , wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:(i+12)], ' ')) AS wh
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 11)) AS i
+            FROM docs_tok)),
+    ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rk,
+             count(*) OVER (PARTITION BY wh) AS occ
+      FROM wins),
+    later AS (SELECT doc_id, pos FROM ranked WHERE occ >= 2 AND rk > 1),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= 13
+                  THEN 0 ELSE 1 END AS new_island
+      FROM later),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 12 AS e
+      FROM isl GROUP BY doc_id, island),
+    dels AS (
+      SELECT doc_id, flatten(list(range(s, e + 1))) AS del,
+             sum(e - s + 1) AS n_trimmed
+      FROM spans GROUP BY doc_id)
+    SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(n_trimmed AS BIGINT) AS n_trimmed,
+           md5(coalesce(array_to_string(
+             [toks[i] for i in range(1, len(toks) + 1)
+              if NOT list_contains(del, i - 1)], ' '), ''))
+             AS trimmed_hash
+    FROM docs_tok d JOIN dels USING (doc_id)
+    ORDER BY doc_id""")
+
+  /** Mirrors CorpusOps.corpusSplit: salted-hash 80/10/10 assignment,
+    * per-(source, split) doc and token counts.
+    */
+  val corpusSplit: String = s"""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN u < 80 THEN 'train'
+                  WHEN u < 90 THEN 'valid' ELSE 'test' END AS split,
+             len(regexp_extract_all(lower(text), '\\S+')) AS n_toks
+      FROM (SELECT source, text,
+                   ${hexParse8("substr(md5('split:' || doc_id), 1, 8)")}
+                     % 100 AS u
+            FROM documents))
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
+    FROM s GROUP BY 1, 2 ORDER BY source, split"""
+
+  /** Mirrors TextOps.vocabGrowth (10 buckets): distinct shingles credited
+    * to their first id-decile, new + cumulative counts.
+    */
+  val vocabGrowth: String = docQ("""
+    , mx AS (SELECT max(doc_id) AS mx FROM documents),
+    firsts AS (
+      SELECT sh_one AS sh,
+             min(least(doc_id * 10 // (mx + 1), 9)) AS bucket
+      FROM (SELECT doc_id, unnest(list_distinct(sh)) AS sh_one
+            FROM docs_sh), mx
+      GROUP BY sh_one),
+    news AS (
+      SELECT bucket, count(*) AS n_new_shingles FROM firsts GROUP BY bucket)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_new_shingles AS BIGINT) AS n_new_shingles,
+           CAST(sum(n_new_shingles) OVER (ORDER BY bucket
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct
+    FROM news ORDER BY bucket""")
+
   /** Mirrors TextOps.ngramLmCounts (topK=3): 3-shingles split into
     * (2-token context, next token), exact counts, per-context totals and
     * integer-ppm conditionals, top-3 by count then token.

@@ -661,6 +661,24 @@ object SparkEntry {
         .orderBy("doc_id", "bench_doc_id")
     }),
 
+    "dedup_span_trim" -> ((s, d) =>
+      // the APPLY of exact-substring dedup: every duplicated window except
+      // the globally-first occurrence trimmed, md5 witness of the result
+      TextOps.spanTrimmedDocs(T.documents(s, d))
+        .orderBy("doc_id")),
+
+    "corpus_split" -> ((s, d) =>
+      // reproducible 80/10/10 split: pure salted-hash function of doc_id,
+      // so adding docs can never reshuffle existing assignments
+      graft.operators.CorpusOps.corpusSplit(T.documents(s, d))
+        .orderBy("source", "split")),
+
+    "vocab_growth" -> ((s, d) =>
+      // Heaps-law saturation curve: new + cumulative distinct 3-grams per
+      // id-decile — the dedup-policy sizing view
+      TextOps.vocabGrowth(T.documents(s, d))
+        .orderBy("bucket")),
+
     "ngram_lm_counts" -> ((s, d) =>
       // corpus n-gram LM view: top-3 next tokens per 2-token context,
       // exact counts + integer-ppm conditionals (CCNet-style LM filters
@@ -1305,6 +1323,9 @@ object SparkEntry {
     "decontaminate_fraction" -> OracleExt.decontaminateFraction,
     "dedup_near_minhash_para" -> OracleExt.dedupNearMinhashPara,
     "dedup_exact_spans" -> OracleExt.dedupExactSpans,
+    "dedup_span_trim" -> OracleExt.dedupSpanTrim,
+    "corpus_split" -> OracleExt.corpusSplit,
+    "vocab_growth" -> OracleExt.vocabGrowth,
     "ngram_lm_counts" -> OracleExt.ngramLmCounts,
     "domain_blocklist" -> OracleExt.domainBlocklist(DemoBlocklist),
     "dedup_clusters" -> OracleExt.dedupClusters,

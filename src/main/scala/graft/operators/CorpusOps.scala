@@ -347,6 +347,27 @@ object CorpusOps {
         .as("scrubbed_hash"))
   }
 
+  // ---- train/valid/test split -----------------------------------------
+
+  /** Deterministic 80/10/10 train/valid/test assignment by salted hash —
+    * the split must be a pure function of the document id (reproducible
+    * across runs, partitionings and engines; a new doc joining the corpus
+    * cannot reshuffle anyone else's split, which `rand()` or any
+    * row-number scheme would). Emits the per-(source, split) audit with
+    * doc and token counts; the split corpus itself is the upstream frame
+    * partitioned-by-`split` write.
+    */
+  def corpusSplit(docs: DataFrame): DataFrame = {
+    val u = hashUniform("split", col("doc_id")) % 100
+    docs
+      .withColumn("split",
+        when(u < 80, lit("train")).when(u < 90, lit("valid"))
+          .otherwise(lit("test")))
+      .withColumn("n_toks", size(TextOps.tokens(col("text"))).cast("long"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+  }
+
   // ---- domain blocklist ------------------------------------------------
 
   /** Domain/URL blocklist filter — the standard corpus-prep gate that

@@ -784,6 +784,81 @@ object TextOps {
               col("n_windows"))
   }
 
+  /** The APPLY step of exact-substring dedup ([[duplicatedSpans]] is the
+    * plan): remove every duplicated window occurrence EXCEPT the globally
+    * first (by (doc_id, pos) — Lee et al. keep one copy, not zero), fuse
+    * the removable windows per doc into maximal spans, and emit the
+    * per-doc trim audit with an md5 witness of the trimmed text (the
+    * trimmed corpus is written at scale, not collected; the hash is what
+    * parity-checks). Span-granularity trimming is greedy: a first-
+    * occurrence window overlapping a removed span loses those tokens —
+    * the same behavior as the reference exact-substring implementations.
+    *
+    * Scale shape: adds one window function over the (wh)-partitioned
+    * occurrence list (partitions are per-duplicate-text, tiny) on top of
+    * [[duplicatedSpans]]'s joins; the final projection filters each doc's
+    * token array against its own ≤O(spans) list — per-row work, no
+    * shuffle.
+    */
+  def spanTrimmedDocs(docs: DataFrame, n: Int = 13): DataFrame = {
+    val wins = Barriers.materialize(docs
+      .select(col("doc_id"), posexplode(shingles(tokens(col("text")), n)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+              md5(col("col")).as("wh")))
+    val byWh = Window.partitionBy("wh")
+    val later = wins
+      .withColumn("rk",
+        row_number().over(byWh.orderBy(col("doc_id"), col("pos"))))
+      .withColumn("occ", count(lit(1)).over(byWh))
+      .filter(col("occ") >= 2 && col("rk") > 1)
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = later
+      .withColumn("new_island",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= n, 0L)
+          .otherwise(1L))
+      .withColumn("island",
+        sum(col("new_island")).over(byDoc.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (n - 1)).as("e"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"),
+           sum(col("e") - col("s") + 1).as("n_trimmed"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(perDoc, Seq("doc_id")) // inner: only docs with something to trim
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        col("n_trimmed"),
+        md5(concat_ws(" ", filter(col("toks"), (_, i) =>
+          !exists(col("spans"),
+            sp => i >= sp("s") && i <= sp("e"))))).as("trimmed_hash"))
+  }
+
+  /** Distinct-3-gram growth curve (the Heaps-law view dedup policy sizing
+    * reads): documents bucketed into `buckets` id-deciles; each distinct
+    * shingle is credited to the first bucket containing it; emits new and
+    * cumulative distinct counts per bucket. A flattening curve says the
+    * corpus is saturating — more data is re-saying the same things.
+    *
+    * Scale shape: one explode + a min-agg keyed by shingle (partial-agg'd)
+    * + a count over |buckets| rows; the cumulative window runs over ≤
+    * `buckets` rows on one partition — deliberately, it is the summary.
+    */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val sh = docs.crossJoin(broadcast(mx))
+      .select(least(expr(s"doc_id * $buckets div (mx + 1)"),
+                lit(buckets - 1)).cast("long").as("bucket"),
+              explode(array_distinct(shingles(tokens(col("text")), 3)))
+                .as("sh"))
+    sh.groupBy("sh").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_shingles"))
+      .withColumn("cum_distinct",
+        sum(col("n_new_shingles")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Conditional next-token table — the n-gram LM statistic behind
     * perplexity-style quality filters and classic smoothing estimates:
     * for each 2-token context, the top-K next tokens with exact counts

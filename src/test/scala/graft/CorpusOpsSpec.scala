@@ -242,6 +242,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == expected && got.values.forall(_._2 <= budget))
   }
 
+  test("corpus split is a pure hash function of doc_id with exact audit sums") {
+    val docs = (1L to 200L).map(i => (i, s"s${i % 3}", s"tok a b c d$i"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.corpusSplit(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute-force the same salted-hash assignment
+    val us = docs.select(col("doc_id"), col("source"),
+        (CorpusOps.hashUniform("split", col("doc_id")) % 100).as("u"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = us.groupBy { case (_, src, u) =>
+      (src, if (u < 80) "train" else if (u < 90) "valid" else "test")
+    }.map { case (k, rows) => k -> ((rows.length.toLong, rows.length * 5L)) }
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == 200L)
+    // determinism: permuting input order changes nothing
+    val again = CorpusOps.corpusSplit(docs.orderBy(col("doc_id").desc))
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(again == got)
+  }
+
   test("domain blocklist verdicts by registrable domain, not literal host") {
     val pages = Seq(
       (1L, "https://www.bad.com/page"),           // www → bad.com, dropped

@@ -311,6 +311,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 3L, 17L, 15L, 3L), (2L, 0L, 14L, 15L, 3L)))
   }
 
+  test("span trim keeps the first occurrence and trims the later one") {
+    val run = (1 to 15).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $run z1 z2"),  // first occurrence (doc 1 < doc 2)
+      (2L, s"$run b1 b2 b3 b4 b5"))  // later occurrence → trimmed
+      .toDF("doc_id", "text")
+    val got = TextOps.spanTrimmedDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("b1 b2 b3 b4 b5".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got.toSet == Set((2L, 20L, 15L, md))) // doc 1 untouched
+  }
+
+  test("vocab growth credits each distinct shingle to its first decile") {
+    val docs = (0L to 9L).map { i =>
+      val text = i match {
+        case 0 => "a b c d"  // shingles "a b c", "b c d" — both new
+        case 5 => "a b c x"  // "a b c" seen, "b c x" new
+        case _ => "zz yy"    // too short to shingle
+      }
+      (i, text)
+    }.toDF("doc_id", "text")
+    val got = TextOps.vocabGrowth(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 2L, 2L), (5L, 1L, 3L)))
+  }
+
   test("ngram LM counts rank next tokens per context with exact ppm") {
     val docs = Seq(
       (1L, "a b c"), (2L, "a b c"), (3L, "a b d"), (4L, "x y z"))
