@@ -62,13 +62,20 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val xv = if (elemIsFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val yv = if (elemIsFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // freshName, NOT fixed identifiers: two DotProducts fused into one
+      // whole-stage function (dot/(na*nb) has three) would otherwise
+      // redeclare the locals — Janino rejects the class and the entire
+      // stage silently drops to interpreted paths
+      val n = ctx.freshName("dpN")
+      val s = ctx.freshName("dpS")
+      val i = ctx.freshName("dpI")
+      val xv = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val yv = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-        int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double s = 0.0;
-        for (int i = 0; i < n; i++) { s += $xv * $yv; }
-        ${ev.value} = s;
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) { $s += $xv * $yv; }
+        ${ev.value} = $s;
       """
     })
 
