@@ -357,6 +357,37 @@ object OracleExt {
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct
     FROM news ORDER BY bucket""")
 
+  /** Mirrors TextOps.lengthQuantiles (50/90/99): exact integer-rank
+    * per-source token-length quantiles, ties by doc_id.
+    */
+  val lengthQuantiles: String = docQ("""
+    , r AS (
+      SELECT source, doc_id, len(toks) AS n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY len(toks), doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM docs_tok)
+    SELECT source, CAST(p AS BIGINT) AS pct,
+           CAST(n_tokens AS BIGINT) AS token_len
+    FROM r, (SELECT unnest([50, 90, 99]) AS p) ps
+    WHERE rk = CAST(ceil(n * p / 100.0) AS BIGINT)
+    ORDER BY source, pct""")
+
+  /** Mirrors TextOps.candidateDegreeHistogram: per-doc candidate degree
+    * over the banded pair set, zero-degree docs restored.
+    */
+  val dedupDegreeHist: String = docQ(s"""
+    , $minhashPairCtes,
+    deg AS (
+      SELECT doc_id, count(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b AS doc_id FROM pairs)
+      GROUP BY doc_id)
+    SELECT CAST(coalesce(degree, 0) AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents LEFT JOIN deg USING (doc_id)
+    GROUP BY 1 ORDER BY degree""")
+
   /** Mirrors TextOps.ngramLmCounts (topK=3): 3-shingles split into
     * (2-token context, next token), exact counts, per-context totals and
     * integer-ppm conditionals, top-3 by count then token.

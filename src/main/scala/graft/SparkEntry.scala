@@ -679,6 +679,19 @@ object SparkEntry {
       TextOps.vocabGrowth(T.documents(s, d))
         .orderBy("bucket")),
 
+    "length_quantiles" -> ((s, d) =>
+      // dataset-card length profile: exact integer-rank p50/p90/p99 token
+      // lengths per source — no approximate-percentile sketch, so it
+      // oracles bit-for-bit
+      TextOps.lengthQuantiles(T.documents(s, d))
+        .orderBy("source", "pct")),
+
+    "dedup_degree_hist" -> ((s, d) =>
+      // banding-health audit: candidate-partner degree histogram (heavy
+      // tail ⇒ a hot band is about to explode downstream pair counts)
+      TextOps.candidateDegreeHistogram(T.documents(s, d))
+        .orderBy("degree")),
+
     "ngram_lm_counts" -> ((s, d) =>
       // corpus n-gram LM view: top-3 next tokens per 2-token context,
       // exact counts + integer-ppm conditionals (CCNet-style LM filters
@@ -1327,6 +1340,8 @@ object SparkEntry {
     "corpus_split" -> OracleExt.corpusSplit,
     "vocab_growth" -> OracleExt.vocabGrowth,
     "ngram_lm_counts" -> OracleExt.ngramLmCounts,
+    "length_quantiles" -> OracleExt.lengthQuantiles,
+    "dedup_degree_hist" -> OracleExt.dedupDegreeHist,
     "domain_blocklist" -> OracleExt.domainBlocklist(DemoBlocklist),
     "dedup_clusters" -> OracleExt.dedupClusters,
     "dedup_drop_list" -> OracleExt.dedupDropList,

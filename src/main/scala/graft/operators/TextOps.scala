@@ -887,6 +887,51 @@ object TextOps {
       .select("context", "next_token", "cnt", "ctx_total", "rank", "ppm")
   }
 
+  /** Exact token-length quantiles per source — the dataset-card length
+    * profile, at the exact integer rank K = ⌈n·pct/100⌉ (same
+    * no-float-threshold discipline as the rank cutoffs elsewhere; an
+    * approximate-percentile sketch would not oracle and the exact rank is
+    * one window away). Ties break by doc_id so ranks are total.
+    *
+    * Scale shape: one per-source window (parallelism = sources) + a
+    * broadcast count; for few huge sources the same hash-histogram
+    * two-pass escape as `sampleTokenBudget` applies.
+    */
+  def lengthQuantiles(docs: DataFrame,
+                      pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tokens"), col("doc_id"))
+    val ranked = docs
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq("source"))
+    pcts.map { p =>
+      ranked
+        .filter(col("rk") === expr(s"cast(ceil(n * $p / 100.0) as bigint)"))
+        .select(col("source"), lit(p.toLong).as("pct"),
+                col("n_tokens").as("token_len"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Candidate-graph degree histogram — the banding-health audit: how
+    * many docs have 0, 1, 2… near-dup candidate partners. A heavy tail
+    * here means a hot band (boilerplate shingles) is about to explode the
+    * pair count downstream; the df-caps and `maxPerBand` knobs exist for
+    * exactly what this table surfaces. Zero-degree docs are restored via
+    * an anti-join-shaped left join so the histogram sums to the corpus.
+    */
+  def candidateDegreeHistogram(docs: DataFrame): DataFrame = {
+    val pairs = minhashCandidates(docs)
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    docs.select("doc_id")
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Cross-source duplication matrix: near-dup candidate pairs counted by
     * unordered source pair — the mirror-detection view (a heavy
     * off-diagonal cell means one source largely re-hosts another, and the

@@ -339,6 +339,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Set((0L, 2L, 2L), (5L, 1L, 3L)))
   }
 
+  test("length quantiles sit at the exact per-source rank") {
+    // source s: lengths 1..10 → p50 = rank 5 → 5 tokens; p90 = rank 9;
+    // p99 = rank ceil(9.9) = 10
+    val docs = (1L to 10L).map(i => (i, (1L to i).map(j => s"w$j").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.lengthQuantiles(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("s", 50L) -> 5L, ("s", 90L) -> 9L, ("s", 99L) -> 10L))
+  }
+
+  test("candidate degree histogram restores zero-degree docs") {
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, same), (2L, same), (3L, same),  // clique of 3 → degree 2 each
+      (4L, "totally different words in this document right here"),
+      (5L, "and a third unrelated set of tokens making no pairs"))
+      .toDF("doc_id", "text")
+    val got = TextOps.candidateDegreeHistogram(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 2L -> 3L))
+    assert(got.values.sum == 5L) // sums to the corpus
+  }
+
   test("ngram LM counts rank next tokens per context with exact ppm") {
     val docs = Seq(
       (1L, "a b c"), (2L, "a b c"), (3L, "a b d"), (4L, "x y z"))
