@@ -1575,8 +1575,10 @@ object OracleExt {
       ON p.user_id = v.user_id AND v.ts <= p.ts
     ORDER BY p.event_id"""
 
-  val eventsSessionize: String = s"""
-    WITH $EvCte,
+  /** Shared session CTE chain (30-min gap), reused by the per-user
+    * summary and the session-length histogram.
+    */
+  private val sessCtes: String = s"""$EvCte,
     lagd AS (
       SELECT user_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
@@ -1594,10 +1596,67 @@ object OracleExt {
       FROM marked),
     sess AS (
       SELECT user_id, session_seq, count(*) AS n_events
-      FROM seq GROUP BY user_id, session_seq)
+      FROM seq GROUP BY user_id, session_seq)"""
+
+  val eventsSessionize: String = s"""
+    WITH $sessCtes
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(sum(n_events) AS BIGINT) AS n_events,
            CAST(max(n_events) AS BIGINT) AS max_session_events
     FROM sess GROUP BY user_id ORDER BY user_id"""
+
+  /** Mirrors EventOps.sessionLengthHistogram (30-min gap). */
+  val eventsSessionLengthHist: String = s"""
+    WITH $sessCtes
+    SELECT CAST(n_events AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM sess GROUP BY 1 ORDER BY n_events"""
+
+  /** Mirrors EventOps.gapHistogram: per-user consecutive µs gaps bucketed
+    * by decimal digit count, integer-ppm shares.
+    */
+  val eventsGapHist: String = s"""
+    WITH $EvCte,
+    lagd AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM ev),
+    h AS (
+      SELECT length(CAST(gap_us AS VARCHAR)) AS gap_digits,
+             count(*) AS n_gaps
+      FROM lagd WHERE gap_us IS NOT NULL GROUP BY 1)
+    SELECT CAST(gap_digits AS BIGINT) AS gap_digits,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(n_gaps * 1000000 //
+                (SELECT CAST(sum(n_gaps) AS BIGINT) FROM h) AS BIGINT)
+             AS ppm
+    FROM h ORDER BY gap_digits"""
+
+  /** TPC-H Q6 shape: scan-only predicate work, one decimal sum. */
+  val q6ForecastRevenue: String = """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,4)))
+             AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24"""
+
+  /** TPC-H Q14 shape: promo revenue share over one month. */
+  val q14PromoRevenue: String = """
+    WITH f AS (
+      SELECT l_partkey, l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate < TIMESTAMP '1996-10-01'),
+    a AS (
+      SELECT CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+                                ELSE 0.0 END AS DECIMAL(25,4))) AS DOUBLE)
+               AS promo_revenue,
+             CAST(sum(CAST(rev AS DECIMAL(25,4))) AS DOUBLE) AS total_revenue
+      FROM f JOIN part ON l_partkey = p_partkey)
+    SELECT promo_revenue, total_revenue,
+           round(promo_revenue / total_revenue * 100.0, 6) AS promo_share_pct
+    FROM a"""
 }

@@ -679,6 +679,46 @@ object SparkEntry {
       TextOps.vocabGrowth(T.documents(s, d))
         .orderBy("bucket")),
 
+    "events_gap_hist" -> ((s, d) =>
+      // why gap=30min: digit-bucketed inter-event gap histogram exposes
+      // the within-session vs between-session bimodal split exactly
+      EventOps.gapHistogram(T.events(s, d))
+        .orderBy("gap_digits")),
+
+    "events_session_length_hist" -> ((s, d) =>
+      // engagement distribution: sessions by event count
+      EventOps.sessionLengthHistogram(T.events(s, d), gapMinutes = 30)
+        .orderBy("n_events")),
+
+    "q6_forecast_revenue" -> ((s, d) =>
+      // TPC-H Q6 shape: pure scan-side predicate work — every filter must
+      // reach the parquet scan (PushedFilters), no join at all
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+                col("l_discount").between(0.03, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"))
+          .as("revenue"))),
+
+    "q14_promo_revenue" -> ((s, d) => {
+      // TPC-H Q14 shape: one broadcast dim join + conditional aggregation;
+      // the share divides two decimal sums, rounded identically both sides
+      val li = T.lineitem(s, d).filter(
+        col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(broadcast(T.part(s, d)),
+          li("l_partkey") === col("p_partkey"))
+        .agg(
+          dsum(when(col("p_type").startsWith("PROMO"), rev).otherwise(0.0))
+            .as("promo_revenue"),
+          dsum(rev).as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          round(col("promo_revenue") / col("total_revenue") * 100.0, 6)
+            .as("promo_share_pct"))
+    }),
+
     "length_quantiles" -> ((s, d) =>
       // dataset-card length profile: exact integer-rank p50/p90/p99 token
       // lengths per source — no approximate-percentile sketch, so it
@@ -1342,6 +1382,10 @@ object SparkEntry {
     "ngram_lm_counts" -> OracleExt.ngramLmCounts,
     "length_quantiles" -> OracleExt.lengthQuantiles,
     "dedup_degree_hist" -> OracleExt.dedupDegreeHist,
+    "events_gap_hist" -> OracleExt.eventsGapHist,
+    "events_session_length_hist" -> OracleExt.eventsSessionLengthHist,
+    "q6_forecast_revenue" -> OracleExt.q6ForecastRevenue,
+    "q14_promo_revenue" -> OracleExt.q14PromoRevenue,
     "domain_blocklist" -> OracleExt.domainBlocklist(DemoBlocklist),
     "dedup_clusters" -> OracleExt.dedupClusters,
     "dedup_drop_list" -> OracleExt.dedupDropList,

@@ -81,6 +81,42 @@ object EventOps {
         max(col("ts")).as("session_end"))
   }
 
+  /** Inter-event gap histogram in decimal-digit buckets of µs — the
+    * data-driven justification for the sessionization gap: the bucket
+    * counts expose the bimodal split (within-session vs between-session
+    * gaps), and the valley between the modes is where `gapMinutes`
+    * belongs. Digit buckets (1 digit = <10 µs … 10 digits = ~2.8 h) are
+    * integer-exact on both engines — no log(), no float binning.
+    *
+    * Scale shape: one per-user lag window + a fully partial-agg'd
+    * histogram over ≤19 buckets; the single-row total broadcasts. The
+    * consecutive-difference MULTISET is invariant to how equal-ts ties
+    * order, so no global coordination is needed beyond the per-user sort.
+    */
+  def gapHistogram(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("prev_us").isNotNull)
+      .select((unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
+    val hist = gaps
+      .select(length(col("gap_us").cast("string")).cast("long")
+        .as("gap_digits"))
+      .groupBy("gap_digits").agg(count(lit(1)).as("n_gaps"))
+    val tot = hist.agg(sum(col("n_gaps")).as("t"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("ppm", expr("n_gaps * 1000000 div t"))
+      .select("gap_digits", "n_gaps", "ppm")
+  }
+
+  /** Session-length histogram: how many sessions have 1, 2, 3… events —
+    * the engagement-distribution view over [[sessionize]]'s output (one
+    * extra partial-agg'd groupBy over |sessions| rows).
+    */
+  def sessionLengthHistogram(events: DataFrame, gapMinutes: Int): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
+
   /** As-of join: for each left row, the latest right row with
     * `right.ts <= left.ts` per key — an operator Spark lacks natively.
     *

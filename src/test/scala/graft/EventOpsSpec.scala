@@ -155,6 +155,34 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 6L -> 0L))
   }
 
+  test("gap histogram buckets consecutive per-user gaps by digit count") {
+    val ev = Seq(
+      (1L, 1L, Timestamp.valueOf("2025-01-01 09:00:00")),
+      (2L, 1L, Timestamp.valueOf("2025-01-01 09:00:01")),  // 1s = 1e6 µs → 7 digits
+      (3L, 1L, Timestamp.valueOf("2025-01-01 09:16:41")),  // 1000s = 1e9 µs → 10 digits
+      (4L, 2L, Timestamp.valueOf("2025-01-01 09:00:00")),
+      (5L, 2L, Timestamp.valueOf("2025-01-01 09:00:01")))  // 7 digits
+      .toDF("event_id", "user_id", "ts")
+    val got = EventOps.gapHistogram(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((7L, 2L, 666666L), (10L, 1L, 333333L)))
+  }
+
+  test("session length histogram counts sessions by event count") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, t("2025-01-01 09:00:00")),  // session A (2 events)
+      (2L, 1L, t("2025-01-01 09:10:00")),
+      (3L, 1L, t("2025-01-01 11:00:00")),  // session B (1 event, >30min gap)
+      (4L, 2L, t("2025-01-01 09:00:00")),  // session C (3 events)
+      (5L, 2L, t("2025-01-01 09:05:00")),
+      (6L, 2L, t("2025-01-01 09:10:00")))
+      .toDF("event_id", "user_id", "ts")
+    val got = EventOps.sessionLengthHistogram(ev, gapMinutes = 30).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("key skew report ranks hottest keys with exact ppm shares") {
     def ts(i: Int) = Timestamp.valueOf(f"2025-01-01 09:00:${i}%02d")
     val ev = ((1 to 6).map(i => (i.toLong, 10L, "e", ts(i))) ++
