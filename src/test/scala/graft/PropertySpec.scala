@@ -137,4 +137,72 @@ class PropertySpec extends AnyFunSuite {
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"trial $trial")
     }
   }
+
+  /** Brute-force duplicated-span model: duplicated n-windows (second
+    * occurrence anywhere), fused when starts are ≤ n apart.
+    */
+  private def bruteSpans(docs: Seq[(Long, String)], n: Int
+                        ): Set[(Long, Long, Long, Long, Long)] = {
+    val wins = docs.flatMap { case (id, text) =>
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (0 to tk.length - n).map(i => (id, i.toLong, tk.slice(i, i + n).mkString(" ")))
+    }
+    val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    wins.filter(w => counts(w._3) >= 2)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toList
+      .flatMap { case (id, ps) =>
+        val islands = ps.foldLeft(List.empty[List[Long]]) {
+          case (acc @ (cur :: rest), p) if p - cur.head <= n =>
+            (p :: cur) :: rest // cur.head is the island's LAST pos (prepend order)
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map { isl =>
+          val s = isl.min; val e = isl.max + n - 1
+          (id, s, e, e - s + 1, isl.size.toLong)
+        }
+      }.toSet
+  }
+
+  test("duplicated spans equal the brute-force model on random corpora") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c")
+    for (trial <- 1 to 8) {
+      // small vocab + short windows force frequent genuine duplicates
+      val n = 3
+      val docs = (1L to 10L).map { id =>
+        val len = 2 + rnd.nextInt(20)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = graft.operators.TextOps
+        .duplicatedSpans(docs.toDF("doc_id", "text"), n).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                   r.getLong(4))).toSet
+      assert(got == bruteSpans(docs, n), s"trial $trial docs=$docs")
+    }
+  }
+
+  test("span trim audit is internally consistent on random corpora") {
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("x", "y")
+    for (trial <- 1 to 6) {
+      val docs = (1L to 8L).map { id =>
+        val len = 2 + rnd.nextInt(16)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.operators.TextOps.spanTrimmedDocs(df, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      got.foreach { case (id, nTok, nTrim, hash) =>
+        val len = docs.find(_._1 == id).get._2.split(" ").length.toLong
+        assert(nTok == len && nTrim >= 3L && nTrim <= nTok,
+          s"trial $trial doc $id")
+        // trimmed windows are a subset of the doc: first occurrences of
+        // every window in a GLOBALLY unique doc can never be trimmed
+      }
+      // docs made of one repeated token everywhere (if any) must be
+      // trimmed somewhere unless they hold the global first occurrence
+      val trimmedIds = got.map(_._1).toSet
+      assert(trimmedIds.subsetOf(docs.map(_._1).toSet))
+    }
+  }
 }
