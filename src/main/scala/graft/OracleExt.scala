@@ -1633,6 +1633,28 @@ object OracleExt {
              AS ppm
     FROM h ORDER BY gap_digits"""
 
+  /** TPC-H Q13 shape (comment filter dropped — no such column): order
+    * count distribution over a left join.
+    */
+  val q13Custdist: String = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+  /** TPC-H Q4 shape adapted to available columns: EXISTS lineitem shipped
+    * after the order date, quarter-filtered, counts per priority.
+    */
+  val q4OrderPriority: String = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   /** TPC-H Q6 shape: scan-only predicate work, one decimal sum. */
   val q6ForecastRevenue: String = """
     SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,4)))

@@ -690,6 +690,34 @@ object SparkEntry {
       EventOps.sessionLengthHistogram(T.events(s, d), gapMinutes = 30)
         .orderBy("n_events")),
 
+    "q13_custdist" -> ((s, d) => {
+      // TPC-H Q13 shape (o_comment filter dropped — column not in the
+      // testdata): customers LEFT JOIN orders, per-customer order count,
+      // then the count-of-counts distribution
+      val c = T.customer(s, d); val o = T.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q4_order_priority" -> ((s, d) => {
+      // TPC-H Q4 shape (late-lineitem EXISTS adapted to the available
+      // columns: l_shipdate > o_orderdate): quarter-filtered orders with a
+      // SEMI join carrying a non-equi residual condition
+      val o = T.orders(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val li = T.lineitem(s, d)
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+                 li("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q6_forecast_revenue" -> ((s, d) =>
       // TPC-H Q6 shape: pure scan-side predicate work — every filter must
       // reach the parquet scan (PushedFilters), no join at all
@@ -1386,6 +1414,8 @@ object SparkEntry {
     "events_session_length_hist" -> OracleExt.eventsSessionLengthHist,
     "q6_forecast_revenue" -> OracleExt.q6ForecastRevenue,
     "q14_promo_revenue" -> OracleExt.q14PromoRevenue,
+    "q13_custdist" -> OracleExt.q13Custdist,
+    "q4_order_priority" -> OracleExt.q4OrderPriority,
     "domain_blocklist" -> OracleExt.domainBlocklist(DemoBlocklist),
     "dedup_clusters" -> OracleExt.dedupClusters,
     "dedup_drop_list" -> OracleExt.dedupDropList,
