@@ -1456,6 +1456,33 @@ object OracleExt {
     FROM fr GROUP BY media_id ORDER BY media_id"""
   }
 
+  /** Mirrors the frame-dedup aggregation over Multimodal.frameSample
+    * (frameBytes=64, stride=2): frame i covers bytes [i·128, i·128+64);
+    * the synthetic payload is UTF-8 of ASCII text, so the char-wise
+    * substr here hashes the same bytes Spark's binary substring does.
+    */
+  def multimodalFrameDedup(frameBytes: Int, stride: Int): String = {
+    val step = frameBytes * stride
+    s"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) AS blen
+      FROM documents),
+    n AS (
+      SELECT media_id, text,
+             greatest(CAST(ceil((blen // $frameBytes) / ${stride}.0)
+                        AS BIGINT), 1) AS n_frames
+      FROM m),
+    fr AS (
+      SELECT media_id,
+             md5(substr(text, CAST(i * $step + 1 AS BIGINT), $frameBytes))
+               AS frame_hash
+      FROM (SELECT media_id, text, unnest(range(0, n_frames)) AS i FROM n))
+    SELECT frame_hash, CAST(min(media_id) AS BIGINT) AS keeper_media_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM fr GROUP BY frame_hash ORDER BY frame_hash"""
+  }
+
   // ---- events ----------------------------------------------------------
 
   /** Normalize ns → µs to match Spark's TimestampType truncation. */

@@ -356,6 +356,20 @@ object SparkEntry {
     "multimodal_decode_stub" -> ((s, d) =>
       Multimodal.mediaSummary(s, T.documents(s, d)).orderBy("kind")),
 
+    "multimodal_frame_dedup" -> ((s, d) =>
+      // frame-granularity exact dedup: the multimodal analog of
+      // dedup_exact — sampled frames hashed and collapsed to a keeper
+      // (repeated intro/outro frames and black frames are the media
+      // equivalent of boilerplate paragraphs); stub payloads, real shape
+      Multimodal.frameSample(
+          Multimodal.mediaFromDocuments(T.documents(s, d)),
+          frameBytes = 64, stride = 2)
+        .select(col("media_id"), md5(col("frame")).as("frame_hash"))
+        .groupBy("frame_hash")
+        .agg(min(col("media_id")).as("keeper_media_id"),
+             count(lit(1)).as("n_copies"))
+        .orderBy("frame_hash")),
+
     "multimodal_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
           Multimodal.mediaFromDocuments(T.documents(s, d)),
@@ -1450,6 +1464,8 @@ object SparkEntry {
       k = 5, nProbe = 4, centroidEvery = 50),
     "multimodal_decode_stub" -> OracleExt.multimodalDecodeStub,
     "multimodal_frame_sample" -> OracleExt.multimodalFrameSample(
+      frameBytes = 64, stride = 2),
+    "multimodal_frame_dedup" -> OracleExt.multimodalFrameDedup(
       frameBytes = 64, stride = 2),
     "multimodal_select" -> OracleExt.multimodalSelect,
     "events_window_agg" -> OracleExt.eventsWindowAgg,

@@ -42,4 +42,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.count() == 5)
     assert(frames.select("frame_len").as[Int].collect().forall(_ == 100))
   }
+
+  test("frame dedup collapses identical frames across media") {
+    import org.apache.spark.sql.functions.{col, count, lit, md5, min}
+    // constant payload → every sampled frame identical across both media
+    val media = Seq(
+      (1L, "video", "video/mp4", Array.fill[Byte](400)(7)),
+      (2L, "video", "video/mp4", Array.fill[Byte](400)(7)),
+      (3L, "video", "video/mp4", Array.fill[Byte](400)(9))) // different content
+      .toDF("media_id", "kind", "content_type", "payload")
+    val got = Multimodal.frameSample(media, frameBytes = 100, stride = 2)
+      .select(col("media_id"), md5(col("frame")).as("frame_hash"))
+      .groupBy("frame_hash")
+      .agg(min(col("media_id")).as("keeper"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 2 sampled frames per media; media 1+2 share both hashes (keeper 1,
+    // n=4 total per hash... frames within one media are also identical →
+    // ONE hash with n=4 from media 1+2, ONE with n=2 from media 3
+    assert(got.toSet.map((t: (String, Long, Long)) => (t._2, t._3)) ==
+      Set((1L, 4L), (3L, 2L)))
+  }
 }
