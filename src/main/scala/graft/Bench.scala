@@ -45,6 +45,18 @@ object Bench {
         times += (System.nanoTime() - t0) / 1e9
         r += 1
       }
+      // cache hygiene between queries: several operators materialize
+      // intermediate frames (Barriers.materialize → localCheckpoint) whose
+      // blocks outlive the query's action — nobody can release them earlier
+      // because the returned plan still reads them. Left in place, ~432
+      // query executions pin block-manager memory for the JVM's lifetime
+      // and late-alphabet queries (dedup_savings, r8: 16.3 s vs 2.7 s in a
+      // fresh JVM) bench the accumulated pressure, not their plan. Safe
+      // here: queries run sequentially and nothing memoizes frames across
+      // queries (the cross-query caches are all file-staged).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
       err match {
         case Some(e) => name -> Left(e)
         case None =>
@@ -78,16 +90,20 @@ object Bench {
       catch { case t: Throwable =>
         System.err.println(s"[bench] could not write $outPath: ${t.getMessage}") }
     val stdoutLine = if (line.length <= 1800) line else {
-      val entries = results
-        .sortBy { case (_, Right(v)) => (0, -v); case (_, Left(_)) => (-1, 0.0) }
-        .map {
-          case (k, Right(v)) => jstr(k) + ":" + (math.rint(v * 1000) / 1000)
-          case (k, Left(e))  => jstr(k) + ":" + jstr("err: " + e)
-        }
+      // errors first and UNCONDITIONALLY (hard-truncated so a storm of long
+      // messages can't eat the whole line); the "never elided" guarantee
+      // must hold even when errors alone exceed the timing budget
+      val errEntries = results.collect { case (k, Left(e)) =>
+        jstr(k) + ":" + jstr("err: " + e.take(60)) }
+      val timeEntries = results
+        .collect { case (k, Right(v)) => (k, v) }
+        .sortBy { case (_, v) => -v }
+        .map { case (k, v) => jstr(k) + ":" + (math.rint(v * 1000) / 1000) }
       val budget = 1500
       val kept = scala.collection.mutable.ArrayBuffer.empty[String]
       var used = 0
-      entries.foreach { e =>
+      errEntries.foreach { e => kept += e; used += e.length + 1 }
+      timeEntries.foreach { e =>
         if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
       }
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${

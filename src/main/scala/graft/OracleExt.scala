@@ -211,15 +211,20 @@ object OracleExt {
     * para_id = doc_id·2^20 + idx) + paragraphNearDupes: the same banded
     * pair CTE chain keyed by para_id, decomposed on the way out.
     */
-  val dedupNearMinhashPara: String = s"""
+  val dedupNearMinhashPara: String = {
+    // shared with the Spark side: a retune of either constant would
+    // otherwise silently break oracle parity
+    val shift = graft.operators.TextOps.ParaIdShift
+    val ck = graft.operators.TextOps.ParaChunkTokens
+    s"""
     WITH $DocsTokCte,
     base AS (
       SELECT doc_id, toks,
-             greatest(CAST(ceil(len(toks) / 32.0) AS INT), 1) AS n_paras
+             greatest(CAST(ceil(len(toks) / $ck.0) AS INT), 1) AS n_paras
       FROM docs_tok),
     paras AS (
-      SELECT doc_id * 1048576 + i AS para_id,
-             toks[(i*32 + 1):(i*32 + 32)] AS chunk
+      SELECT doc_id * $shift + i AS para_id,
+             toks[(i*$ck + 1):(i*$ck + $ck)] AS chunk
       FROM (SELECT doc_id, toks, unnest(range(0, n_paras)) AS i FROM base)),
     docs_sh AS (
       SELECT para_id AS doc_id,
@@ -228,10 +233,11 @@ object OracleExt {
       FROM paras),
     $minhashPairCtes
     SELECT * FROM (
-      SELECT doc_a // 1048576 AS doc_a, doc_a % 1048576 AS para_a,
-             doc_b // 1048576 AS doc_b, doc_b % 1048576 AS para_b
+      SELECT doc_a // $shift AS doc_a, doc_a % $shift AS para_a,
+             doc_b // $shift AS doc_b, doc_b % $shift AS para_b
       FROM pairs)
     ORDER BY doc_a, para_a, doc_b, para_b"""
+  }
 
   /** Mirrors TextOps.exactSubstringContamination over the doc_id % 11
     * split: distinct md5'd 13-token windows, corpus⋈benchmark, count of
@@ -1457,27 +1463,29 @@ object OracleExt {
   }
 
   /** Mirrors the frame-dedup aggregation over Multimodal.frameSample
-    * (frameBytes=64, stride=2): frame i covers bytes [i·128, i·128+64);
-    * the synthetic payload is UTF-8 of ASCII text, so the char-wise
-    * substr here hashes the same bytes Spark's binary substring does.
+    * (frameBytes=64, stride=2): frame i covers bytes [i·128, i·128+64).
+    * Both sides hash md5(hex(frame)): DuckDB cannot slice a BLOB, but the
+    * hex encoding CAN be sliced char-wise with exact byte alignment
+    * (byte k ↔ hex chars [2k+1, 2k+2]) — parity holds for arbitrary
+    * (non-ASCII) payload bytes, not just ASCII corpora.
     */
   def multimodalFrameDedup(frameBytes: Int, stride: Int): String = {
     val step = frameBytes * stride
     s"""
     WITH m AS (
-      SELECT doc_id AS media_id, text,
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS blen
       FROM documents),
     n AS (
-      SELECT media_id, text,
+      SELECT media_id, hx,
              greatest(CAST(ceil((blen // $frameBytes) / ${stride}.0)
                         AS BIGINT), 1) AS n_frames
       FROM m),
     fr AS (
       SELECT media_id,
-             md5(substr(text, CAST(i * $step + 1 AS BIGINT), $frameBytes))
-               AS frame_hash
-      FROM (SELECT media_id, text, unnest(range(0, n_frames)) AS i FROM n))
+             md5(substr(hx, CAST(i * $step * 2 + 1 AS BIGINT),
+                        ${frameBytes * 2})) AS frame_hash
+      FROM (SELECT media_id, hx, unnest(range(0, n_frames)) AS i FROM n))
     SELECT frame_hash, CAST(min(media_id) AS BIGINT) AS keeper_media_id,
            CAST(count(*) AS BIGINT) AS n_copies
     FROM fr GROUP BY frame_hash ORDER BY frame_hash"""

@@ -364,7 +364,10 @@ object SparkEntry {
       Multimodal.frameSample(
           Multimodal.mediaFromDocuments(T.documents(s, d)),
           frameBytes = 64, stride = 2)
-        .select(col("media_id"), md5(col("frame")).as("frame_hash"))
+        // md5 over hex(frame), not the raw bytes: hex is injective (same
+        // dedup groups) and the oracle can slice hex CHAR-wise with exact
+        // byte alignment — parity no longer rides on the corpus being ASCII
+        .select(col("media_id"), md5(hex(col("frame"))).as("frame_hash"))
         .groupBy("frame_hash")
         .agg(min(col("media_id")).as("keeper_media_id"),
              count(lit(1)).as("n_copies"))

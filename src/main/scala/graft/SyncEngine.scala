@@ -27,17 +27,62 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
                            failed: Long, orphansRemoved: Long)
 
   /** SyncAll (sync.go:32-53): per-mapping isolation — one failed mapping
-    * logs and continues.
+    * logs and continues. One exception: a thread INTERRUPT is not a mapping
+    * failure but the stop/SIGTERM path cancelling the in-flight cycle
+    * (ContinuousSync.stop ≙ main.go:108-113) — it is logged as expected,
+    * the interrupt flag is restored so the streaming engine's own
+    * shutdown check sees it, and the remaining mappings are skipped
+    * (running them against a stopping session would just fail one by one).
     */
-  def syncAll(): Seq[MappingReport] =
-    config.mappings.flatMap { m =>
-      try Some(syncMapping(m))
+  def syncAll(): Seq[MappingReport] = {
+    val out = Seq.newBuilder[MappingReport]
+    val it = config.mappings.iterator
+    var interrupted = false
+    while (!interrupted && it.hasNext) {
+      val m = it.next()
+      try out += syncMapping(m)
       catch {
+        case e: Exception if isInterruption(e) =>
+          System.err.println(s"[sync] mapping ${m.mappingId} cycle " +
+            "interrupted (stop in progress) — expected; interrupted objects " +
+            "re-sync next run via their ledger status")
+          Thread.currentThread().interrupt()
+          interrupted = true
         case e: Exception =>
-          System.err.println(s"[sync] mapping ${m.mappingId} failed: ${e.getMessage}")
-          None
+          // log class + full stack, not just getMessage: an NPE's message is
+          // null and a bare "failed: null" line is undiagnosable (the
+          // reference logs the full error too, sync.go:43-47)
+          System.err.println(
+            s"[sync] mapping ${m.mappingId} failed: ${e.getClass.getName}: " +
+              s"${e.getMessage}")
+          e.printStackTrace()
       }
     }
+    out.result()
+  }
+
+  /** True when the exception is (or wraps) a thread interrupt / job
+    * cancellation — Spark surfaces a stop() interrupt variously as a raw
+    * InterruptedException (AQE's result queue, DAGScheduler awaits) or a
+    * SparkException whose message or cause chain records the cancellation.
+    */
+  private def isInterruption(e: Throwable): Boolean = {
+    var t = e
+    var depth = 0
+    while (t != null && depth < 10) {
+      t match {
+        case _: InterruptedException => return true
+        case s: org.apache.spark.SparkException
+          if s.getMessage != null &&
+            (s.getMessage.contains("CANCELLED") ||
+             s.getMessage.contains("cancelled")) => return true
+        case _ =>
+      }
+      t = t.getCause
+      depth += 1
+    }
+    false
+  }
 
   /** SyncBuckets (sync.go:56-176) as a relational plan + two executors. */
   def syncMapping(m: MappingConf): MappingReport = {

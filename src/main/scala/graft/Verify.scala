@@ -18,6 +18,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a misspelled name filter must fail loudly, not produce an empty run
+    // (an empty oracle_sql.json looks like a zero-query round to the driver)
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(s"[verify] no such queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -26,6 +33,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same per-query cache hygiene as Bench: drop frames a query
+      // materialized but could not release (plan still read them)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

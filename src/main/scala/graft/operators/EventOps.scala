@@ -257,7 +257,13 @@ object EventOps {
     val w = Window.partitionBy("user_id", "event_type", "bucket")
       .orderBy(col("ts"), col("event_id"))
     events
-      .withColumn("bucket", expr(s"unix_micros(ts) div ${bucketUs}L"))
+      // sign-safe FLOOR division (subtract the pmod first): Spark `div`
+      // truncates toward zero while the oracle's `//` floors, so a bare
+      // `div` would misalign windows for pre-epoch timestamps — the exact
+      // ns-to-µs trap Tables.events' normalization comments on
+      .withColumn("bucket", expr(
+        s"(unix_micros(ts) - pmod(unix_micros(ts), ${bucketUs}L)) " +
+          s"div ${bucketUs}L"))
       .withColumn("rk", row_number().over(w))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),

@@ -672,7 +672,11 @@ object TextOps {
     * mirrored in the oracle).
     */
   val ParaIdShift: Long = 1L << 20
-  def chunkParagraphs(docs: DataFrame, chunkTokens: Int = 32): DataFrame = {
+  /** Default paragraph window width — shared with the oracle SQL so a
+    * retune cannot silently break parity. */
+  val ParaChunkTokens: Int = 32
+  def chunkParagraphs(docs: DataFrame,
+                      chunkTokens: Int = ParaChunkTokens): DataFrame = {
     val toks = tokens(col("text"))
     docs
       .select(col("doc_id"), toks.as("toks"),
@@ -854,8 +858,15 @@ object TextOps {
                 .as("sh"))
     sh.groupBy("sh").agg(min(col("bucket")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_new_shingles"))
+      // partitionBy(bucket % 1) = one constant key: the frame is ≤ `buckets`
+      // summary rows, so a single partition is the point — the constant key
+      // (non-foldable, so the optimizer can't strip it the way it strips a
+      // bare literal) only silences WindowExec's no-partition warning,
+      // which would otherwise read as a scale bug in every bench log
       .withColumn("cum_distinct",
-        sum(col("n_new_shingles")).over(Window.orderBy("bucket")
+        sum(col("n_new_shingles")).over(
+          Window.partitionBy(pmod(col("bucket"), lit(1)))
+          .orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 

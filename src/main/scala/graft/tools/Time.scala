@@ -25,6 +25,11 @@ object Time {
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       println(f"[time] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      // same per-rep cache hygiene as Bench, so warm reps measure the plan,
+      // not accumulated pinned blocks
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

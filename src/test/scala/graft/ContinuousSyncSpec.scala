@@ -15,6 +15,7 @@ class ContinuousSyncSpec extends AnyFunSuite {
   }
 
   test("streaming ticker runs sync cycles until stopped") {
+    Spec.sweepCaches()  // deadline-sensitive: measure cycles, not leftovers
     val root = Files.createTempDirectory("graft-stream")
     write(root.resolve("src/a.txt"), "alpha")
     val cfg = SyncConfig(
@@ -41,6 +42,7 @@ class ContinuousSyncSpec extends AnyFunSuite {
   }
 
   test("stop hook mirrors SIGTERM: graceful stop, re-sync next run via ledger") {
+    Spec.sweepCaches()  // deadline-sensitive: measure cycles, not leftovers
     val root = Files.createTempDirectory("graft-sigterm")
     write(root.resolve("src/a.txt"), "alpha")
     val cfg = SyncConfig(

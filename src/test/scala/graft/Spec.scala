@@ -17,4 +17,18 @@ object Spec {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Drop cached blocks left behind by earlier suites. Suites run
+    * sequentially in one forked JVM and several operators materialize
+    * frames (Barriers.materialize → localCheckpoint) that nothing can
+    * release before the action completes; by the time the last suites run,
+    * hundreds of dead pinned blocks are pure memory pressure. Wall-clock-
+    * sensitive suites (the continuous-sync ticker's 30 s deadlines) call
+    * this up front so they measure their own work, not 17 prior suites'.
+    */
+  def sweepCaches(): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
