@@ -511,9 +511,47 @@ object StreamingOps {
     * count, bridges two adjacent intervals into one, or opens a new one —
     * so state stays O(sessions per user) while remaining exactly
     * order-independent (a batch's events may precede state already seen).
+    *
+    * The three scalar counters summarize sessions already CLOSED by
+    * watermark eviction ([[evictClosed]]): without them the interval
+    * arrays grow monotonically — one entry per session a user ever had —
+    * and at 100 TB the state store grows without bound. Closed sessions
+    * contribute only these sufficient statistics to every emission, so
+    * evicting them changes no output.
     */
   case class SessState(starts: Array[Long], ends: Array[Long],
-                       counts: Array[Long])
+                       counts: Array[Long],
+                       nClosed: Long = 0L, closedEvents: Long = 0L,
+                       maxClosedEvents: Long = 0L)
+
+  /** Fold every interval that can no longer change into the closed-session
+    * counters and drop it from the arrays. An interval is immutable once
+    * `end < cutoffUs` where cutoffUs = watermark − gap: a surviving event
+    * has ts ≥ watermark (the watermark filter drops the rest before the
+    * stateful operator), so extending needs ts − end ≤ gap ⇒ end ≥
+    * watermark − gap, and bridging two intervals needs the same of the
+    * earlier one. Intervals are start-sorted and disjoint with gaps > gap,
+    * so ends are increasing — the evictable set is a prefix. Steady-state
+    * size: every interval but the last has end < lastStart − gap, and
+    * lastStart ≤ max event time; once the watermark passes that, only the
+    * most recent (still-open) session survives ⇒ ≤ 1 interval per user
+    * plus three scalars.
+    */
+  private[graft] def evictClosed(st: SessState, cutoffUs: Long): SessState = {
+    var k = 0
+    while (k < st.ends.length && st.ends(k) < cutoffUs) k += 1
+    if (k == 0) st
+    else {
+      var ce = st.closedEvents; var mx = st.maxClosedEvents; var i = 0
+      while (i < k) {
+        ce += st.counts(i)
+        if (st.counts(i) > mx) mx = st.counts(i)
+        i += 1
+      }
+      SessState(st.starts.drop(k), st.ends.drop(k), st.counts.drop(k),
+                st.nClosed + k, ce, mx)
+    }
+  }
 
   /** Merge a batch of event timestamps (sorted) into the session intervals:
     * a single sweep over state intervals and new events in start order,
@@ -543,7 +581,8 @@ object StreamingOps {
           (i < old.starts.length && old.starts(i) <= newTs(j))) {
         push(old.starts(i), old.ends(i), old.counts(i)); i += 1
       } else { push(newTs(j), newTs(j), 1L); j += 1 }
-    SessState(starts.take(out + 1), ends.take(out + 1), counts.take(out + 1))
+    SessState(starts.take(out + 1), ends.take(out + 1), counts.take(out + 1),
+              old.nClosed, old.closedEvents, old.maxClosedEvents)
   }
 
   /** Core of the stateful sessionizer: groupByKey(user) →
@@ -559,23 +598,43 @@ object StreamingOps {
     */
   def sessionizeUpdates(spark: SparkSession,
                         events: org.apache.spark.sql.Dataset[Ev],
-                        gapUs: Long): DataFrame = {
+                        gapUs: Long,
+                        watermarkEviction: Boolean = false): DataFrame = {
     import spark.implicits._
     val sessions = events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Update(), GroupStateTimeout.NoTimeout())(
         (user: Long, arrivals: Iterator[Ev], state: GroupState[SessState]) => {
-          val ts = arrivals.map(_.ts_us).toArray
+          // Eviction mode needs the watermark CONTRACT, not just the value:
+          // flatMapGroupsWithState does NOT auto-drop late rows the way
+          // aggregations do, so the late filter is applied here — an event
+          // below the watermark could otherwise arrive after its session
+          // was folded into the closed counters and be double-counted as a
+          // "new" session. Requires a watermark on the input stream; the
+          // declared no-watermark query keeps the full interval arrays
+          // (its oracle counts every event regardless of arrival order).
+          val wmUs =
+            if (watermarkEviction) state.getCurrentWatermarkMs() * 1000L
+            else Long.MinValue
+          val ts = arrivals.map(_.ts_us).filter(_ >= wmUs).toArray
           java.util.Arrays.sort(ts)
           val merged = mergeSessions(
             if (state.exists) state.get
             else SessState(Array.empty, Array.empty, Array.empty),
             ts, gapUs)
-          state.update(merged)
-          Iterator.single(UserSessions(user, merged.counts.length.toLong,
-            merged.counts.sum, if (merged.counts.isEmpty) 0L
-            else merged.counts.max))
+          // sessions the watermark has passed can never change again —
+          // fold them into the closed counters so state holds ≤ 1 open
+          // interval per user, not the user's full session history
+          val kept =
+            if (watermarkEviction) evictClosed(merged, wmUs - gapUs)
+            else merged
+          state.update(kept)
+          Iterator.single(UserSessions(user,
+            kept.nClosed + kept.counts.length.toLong,
+            kept.closedEvents + kept.counts.sum,
+            math.max(kept.maxClosedEvents,
+              if (kept.counts.isEmpty) 0L else kept.counts.max)))
         })
     sessions.toDF()
   }

@@ -351,4 +351,65 @@ class StreamingOpsSpec extends AnyFunSuite {
           Seq(events(3), events(5)), Seq(events(2))))
     assert(whole == split && whole(5L)._1 == 3L)
   }
+
+  test("evictClosed folds watermark-passed sessions into scalar counters") {
+    val m = 60L * 1000000L
+    val st = StreamingOps.SessState(
+      starts = Array(0L, 10 * m, 100 * m),
+      ends   = Array(m, 11 * m, 101 * m),
+      counts = Array(3L, 5L, 2L))
+    // cutoff past the first two sessions: arrays shrink to the open tail,
+    // counters carry their sufficient statistics
+    val ev = StreamingOps.evictClosed(st, 50 * m)
+    assert(ev.starts.toSeq == Seq(100 * m) && ev.counts.toSeq == Seq(2L))
+    assert(ev.nClosed == 2L && ev.closedEvents == 8L &&
+           ev.maxClosedEvents == 5L)
+    // cumulative emission math is identical before and after eviction
+    assert(ev.nClosed + ev.counts.length == st.counts.length)
+    assert(ev.closedEvents + ev.counts.sum == st.counts.sum)
+    assert(math.max(ev.maxClosedEvents, ev.counts.max) == st.counts.max)
+    // cutoff before everything: no-op; counters accumulate across calls
+    assert(StreamingOps.evictClosed(st, 0L) eq st)
+    val again = StreamingOps.evictClosed(ev, 200 * m)
+    assert(again.starts.isEmpty && again.nClosed == 3L &&
+           again.closedEvents == 10L && again.maxClosedEvents == 5L)
+  }
+
+  test("watermark eviction: emissions stay cumulative after sessions close") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = 60L * 1000000L
+    val mem = MemoryStream[(Long, Long)]
+    // the watermarked column must SURVIVE to the stateful operator (Spark
+    // refuses getCurrentWatermarkMs otherwise); as[Ev] tolerates the extra
+    // ts column
+    val ev = mem.toDF().toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .as[StreamingOps.Ev]
+    val sessions = StreamingOps.sessionizeUpdates(spark, ev, m,
+      watermarkEviction = true)
+    val q = sessions.writeStream.outputMode("update").format("memory")
+      .queryName("sess_evict").start()
+    try {
+      // batch 1: an early session {0, 30s} and a far-future event at 100m
+      // that drives the watermark past the early session's horizon
+      mem.addData((1L, 0L), (1L, 30 * 1000000L), (1L, 100 * m))
+      q.processAllAvailable()
+      // batch 2 (watermark now 100m; the {0,30s} session is closed state):
+      // one in-time event extends the open session; one late event at 50m
+      // is dropped by the watermark filter before the stateful operator
+      mem.addData((1L, 100 * m + 30 * 1000000L), (1L, 50 * m))
+      q.processAllAvailable()
+      val last = spark.table("sess_evict")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .maxBy(_._2)
+      // cumulative across the evicted session: 2 sessions, 4 events
+      // (late 50m event excluded), max session size 2 — the first
+      // session's contribution can only come from the closed counters
+      assert(last == ((2L, 4L, 2L)))
+    } finally { q.stop(); spark.catalog.dropTempView("sess_evict") }
+  }
 }
