@@ -1491,6 +1491,69 @@ object OracleExt {
     FROM fr GROUP BY frame_hash ORDER BY frame_hash"""
   }
 
+  /** Mirrors the frame NEAR-dedup chain: frames from hex slicing (as in
+    * [[multimodalFrameDedup]]), bytes parsed from hex pairs, `dim`
+    * mean-centered integer position sums as the feature vector, then the
+    * shared banded-cosine pair machinery ([[bandExprsSql]] — the same
+    * generated plane literals as the Spark side) with the composite
+    * frame id decomposed on the way out.
+    */
+  def multimodalFrameNearDedup(frameBytes: Int, stride: Int,
+                               threshold: Double, dim: Int,
+                               bands: Int, rowsPerBand: Int): String = {
+    val step = frameBytes * stride
+    val shift = graft.operators.Multimodal.FrameIdShift
+    val bandExprs = bandExprsSql(dim, bands, rowsPerBand)
+    s"""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS blen
+      FROM documents),
+    n AS (
+      SELECT media_id, hx,
+             greatest(CAST(ceil((blen // $frameBytes) / ${stride}.0)
+                        AS BIGINT), 1) AS n_frames
+      FROM m),
+    fr AS (
+      SELECT media_id, i AS frame_idx,
+             substr(hx, CAST(i * $step * 2 + 1 AS BIGINT),
+                    ${frameBytes * 2}) AS fhx
+      FROM (SELECT media_id, hx, unnest(range(0, n_frames)) AS i FROM n)),
+    fb AS (
+      SELECT media_id, frame_idx,
+             [ (strpos('0123456789ABCDEF', substr(fhx, k*2-1, 1))-1)*16
+               + (strpos('0123456789ABCDEF', substr(fhx, k*2, 1))-1)
+               for k in range(1, CAST(len(fhx)//2 AS BIGINT) + 1) ] AS bytes
+      FROM fr WHERE len(fhx) > 0),
+    feats AS (
+      SELECT media_id * $shift + frame_idx AS vec_id,
+             [ CAST($dim * coalesce(
+                      list_sum(list_filter(bytes,
+                        (x, i) -> (i-1) % $dim = j)), 0)
+                    - coalesce(list_sum(bytes), 0) AS DOUBLE)
+               for j in range(0, $dim) ] AS v
+      FROM fb),
+    emb AS (SELECT vec_id, v FROM feats WHERE list_dot_product(v, v) > 0),
+    banded AS (
+      SELECT vec_id, unnest([$bandExprs]) AS band FROM emb),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT vec_a, vec_b, sim FROM (
+        SELECT c.vec_a, c.vec_b,
+               round(list_dot_product(va.v, vb.v)
+                 / (sqrt(list_dot_product(va.v, va.v))
+                    * sqrt(list_dot_product(vb.v, vb.v))), 6) AS sim
+        FROM cand c
+        JOIN emb va ON va.vec_id = c.vec_a
+        JOIN emb vb ON vb.vec_id = c.vec_b)
+      WHERE sim >= $threshold)
+    SELECT vec_a // $shift AS media_a, vec_a % $shift AS frame_a,
+           vec_b // $shift AS media_b, vec_b % $shift AS frame_b, sim
+    FROM pairs ORDER BY media_a, frame_a, media_b, frame_b"""
+  }
+
   // ---- events ----------------------------------------------------------
 
   /** Normalize ns → µs to match Spark's TimestampType truncation. */

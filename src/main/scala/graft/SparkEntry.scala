@@ -382,6 +382,31 @@ object SparkEntry {
              sum(col("frame_len")).cast("long").as("sampled_bytes"))
         .orderBy("media_id")),
 
+    "multimodal_frame_near_dedup" -> ((s, d) => {
+      // frame-granularity NEAR dedup — the media analog of paragraph
+      // near-dup: banded cosine over integer byte-statistics frame
+      // features (same direction as StubCodec.features, exact cross-
+      // engine arithmetic). Catches near-identical boilerplate frames
+      // (intro/outro cards differing in a few bytes) that exact hashing
+      // misses. 16 sign bits per band: text-frame features are heavily
+      // direction-correlated, so short bands barely prune (measured at
+      // sf0.1: 19.9M candidates at 4×4 vs 0.42M at 4×16 for the same
+      // 0.99+ pair yield — SCALE.md)
+      val frames = Multimodal.frameSample(
+        Multimodal.mediaFromDocuments(T.documents(s, d)),
+        frameBytes = 64, stride = 2)
+      val sh = Multimodal.FrameIdShift
+      VectorOps.nearDupCosine(Multimodal.frameFeatures(frames), 0.99,
+          dim = 8, bands = 4, rowsPerBand = 16)
+        .select(
+          expr(s"vec_a div ${sh}L").as("media_a"),
+          pmod(col("vec_a"), lit(sh)).as("frame_a"),
+          expr(s"vec_b div ${sh}L").as("media_b"),
+          pmod(col("vec_b"), lit(sh)).as("frame_b"),
+          col("sim"))
+        .orderBy("media_a", "frame_a", "media_b", "frame_b")
+    }),
+
     // side-effecting operators over scratch buckets (§2.2) --------------
     "object_put" -> ((s, d) => {
       val src = IoFixtures.freshDir("put/src"); val dst = IoFixtures.freshDir("put/dst")
@@ -1470,6 +1495,9 @@ object SparkEntry {
       frameBytes = 64, stride = 2),
     "multimodal_frame_dedup" -> OracleExt.multimodalFrameDedup(
       frameBytes = 64, stride = 2),
+    "multimodal_frame_near_dedup" -> OracleExt.multimodalFrameNearDedup(
+      frameBytes = 64, stride = 2, threshold = 0.99, dim = 8,
+      bands = 4, rowsPerBand = 16),
     "multimodal_select" -> OracleExt.multimodalSelect,
     "events_window_agg" -> OracleExt.eventsWindowAgg,
     "events_sliding_window" -> OracleExt.eventsSlidingWindow,

@@ -99,17 +99,64 @@ object Multimodal {
 
   /** Frame sampling: every `stride`-th fixed-size chunk of the payload —
     * the plan shape of video frame extraction (binary in, array of binary
-    * out, exploded downstream).
+    * out, exploded downstream). `frame_idx` is the sample ordinal (the
+    * i-th sampled frame), so downstream frame-level ids are stable.
     */
   def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     val nFrames = floor(octet_length(col("payload")).cast("long") / frameBytes)
     media.select(
       col("media_id"),
-      explode(transform(
+      posexplode(transform(
         sequence(lit(0L), greatest(ceil(nFrames / stride) - 1, lit(0L))),
         i => substring(col("payload"), (i * stride * frameBytes + 1).cast("int"),
-                       lit(frameBytes)))).as("frame"))
+                       lit(frameBytes)))))
+      .select(col("media_id"), col("pos").cast("long").as("frame_idx"),
+              col("col").as("frame"))
       .withColumn("frame_len", octet_length(col("frame")))
+  }
+
+  /** Composite frame id = media_id·2^20 + frame_idx (the para_id trick,
+    * TextOps.ParaIdShift): one long key per sampled frame for the pair
+    * machinery. Valid while payloads stay under 2^20 sampled frames
+    * (= 128 MB at the 64-byte/stride-2 default) and media_id < 2^43.
+    */
+  val FrameIdShift: Long = 1L << 20
+
+  /** Per-frame feature vector for NEAR-dup detection: `dim` mean-centered
+    * integer sums of byte values by position mod `dim` —
+    * `v[j] = dim·Σ(bytes at positions ≡ j) − Σ(all bytes)`. Same
+    * DIRECTION as [[StubCodec.features]] up to a positive scalar (that
+    * one scales by dim/len/255 and this one mean-centers — cosine is
+    * scale-invariant, centering only removes the all-ones component every
+    * text frame shares), but computed in exact INTEGER arithmetic, so the
+    * DuckDB oracle reproduces it bit-for-bit where float accumulation
+    * order would diverge. Zero-length frames and zero-norm (constant-
+    * byte) frames are dropped: their cosine is 0/0, and NaN orders
+    * ABOVE any threshold in Spark but below it in DuckDB.
+    *
+    * Output: (vec_id, embedding) — the contract of
+    * [[graft.operators.VectorOps.nearDupCosine]].
+    */
+  def frameFeatures(frames: DataFrame, dim: Int = 8): DataFrame = {
+    val hx = hex(col("frame"))
+    frames
+      .filter(col("frame_len") > 0)
+      .withColumn("bytes",
+        transform(sequence(lit(1), col("frame_len").cast("int")),
+          i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long")))
+      .withColumn("total",
+        aggregate(col("bytes"), lit(0L), (a, b) => a + b))
+      .select(
+        (col("media_id") * FrameIdShift + col("frame_idx")).as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          (lit(dim) * aggregate(
+            filter(sequence(lit(1), size(col("bytes"))),
+                   i => pmod(i - 1, lit(dim)) === j),
+            lit(0L),
+            (acc, i) => acc + element_at(col("bytes"), i))
+            - col("total")).cast("double")).as("embedding"))
+      .filter(graft.functions.ArrayMath
+        .dot_product(col("embedding"), col("embedding")) > 0)
   }
 
   /** Metadata-only projection over media + decoded features + documents —

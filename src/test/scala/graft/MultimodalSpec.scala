@@ -62,4 +62,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.toSet.map((t: (String, Long, Long)) => (t._2, t._3)) ==
       Set((1L, 4L), (3L, 2L)))
   }
+
+  test("frame features: exact integer byte-position sums, mean-centered") {
+    // payload bytes 0,1,2,...,15 in one 16-byte frame: position-class j
+    // holds bytes {j, j+8}, so sum_j = 2j+8; centered: 8*(2j+8) - 120
+    val media = Seq((1L, "video", "video/mp4",
+        Array.tabulate[Byte](16)(_.toByte)))
+      .toDF("media_id", "kind", "content_type", "payload")
+    val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 1)
+    val got = Multimodal.frameFeatures(frames).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 1L * Multimodal.FrameIdShift)
+    val v = got(0).getSeq[Double](1)
+    assert(v == (0 until 8).map(j => (8.0 * (2 * j + 8)) - 120.0))
+  }
+
+  test("frame features drop zero-norm (constant-byte) frames") {
+    // constant bytes → all position sums equal → centered vector is all
+    // zeros → cosine would be 0/0 (NaN orders differently across engines)
+    val media = Seq(
+      (1L, "video", "video/mp4", Array.fill[Byte](64)(7)),
+      (2L, "video", "video/mp4", Array.tabulate[Byte](64)(_.toByte)))
+      .toDF("media_id", "kind", "content_type", "payload")
+    val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 1)
+    val ids = Multimodal.frameFeatures(frames)
+      .select("vec_id").as[Long].collect()
+    assert(ids.toSeq == Seq(2L * Multimodal.FrameIdShift))
+  }
+
+  test("frame near-dedup: few-byte edits stay candidates, distinct content does not") {
+    import org.apache.spark.sql.functions.col
+    // base: a varied 64-byte frame; near: same with ONE byte changed;
+    // far: reversed ordering (same byte multiset, different positions)
+    val base = Array.tabulate[Byte](64)(i => ((i * 37 + 11) % 97).toByte)
+    val near = base.clone(); near(5) = (near(5) + 1).toByte
+    val far = base.reverse
+    val media = Seq(
+      (1L, "image", "image/png", base),
+      (2L, "image", "image/png", near),
+      (3L, "image", "image/png", far))
+      .toDF("media_id", "kind", "content_type", "payload")
+    val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 1)
+    val pairs = graft.operators.VectorOps.nearDupCosine(
+        Multimodal.frameFeatures(frames), 0.99, dim = 8,
+        bands = 4, rowsPerBand = 16)
+      .select(col("vec_a"), col("vec_b")).as[(Long, Long)].collect().toSet
+    val sh = Multimodal.FrameIdShift
+    assert(pairs.contains((1L * sh, 2L * sh)))   // one-byte edit: near-dup
+    assert(!pairs.exists { case (a, b) =>        // reversal: not near
+      (a == 3L * sh) != (b == 3L * sh) && (a == 1L * sh || b == 1L * sh) })
+  }
 }
