@@ -1763,6 +1763,55 @@ object OracleExt {
       AND l_discount BETWEEN 0.03 AND 0.07
       AND l_quantity < 24"""
 
+  /** TPC-H Q12 shape adapted (l_returnflag grouping): two-class
+    * conditional counts over the date-ranged lineitem⋈orders join.
+    */
+  val q12PriorityByFlag: String = """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** TPC-H Q19 shape: disjunction of brand/size/quantity conjunct groups
+    * over lineitem⋈part, one decimal revenue sum.
+    */
+  val q19DisjunctiveRevenue: String = """
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)"""
+
+  /** TPC-H Q22 shape adapted (c_mktsegment as the code; anti join
+    * excludes urgent/high-priority order holders — every synthetic
+    * customer has SOME order): above-average balance via bal·n > Σbal
+    * (exact decimal Σ — no double avg), anti join, per-code count/sum.
+    */
+  val q22IdleCustomers: String = """
+    WITH t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pos,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS tot_pos
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE)
+             AS totacctbal
+    FROM customer, t
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+      AND c_acctbal * n_pos > tot_pos
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   /** TPC-H Q14 shape: promo revenue share over one month. */
   val q14PromoRevenue: String = """
     WITH f AS (

@@ -396,7 +396,13 @@ object SparkEntry {
         Multimodal.mediaFromDocuments(T.documents(s, d)),
         frameBytes = 64, stride = 2)
       val sh = Multimodal.FrameIdShift
-      VectorOps.nearDupCosine(Multimodal.frameFeatures(frames), 0.99,
+      // barrier: the pair machinery evaluates its input 3× (band keys +
+      // both join sides) and each of the 64 plane projections references
+      // the embedding expression — unmaterialized, the nested byte-parse
+      // recomputes ~64× per frame (measured 50 s vs 1.4 s at sf0.1)
+      val feats = graft.operators.Barriers.materialize(
+        Multimodal.frameFeatures(frames))
+      VectorOps.nearDupCosine(feats, 0.99,
           dim = 8, bands = 4, rowsPerBand = 16)
         .select(
           expr(s"vec_a div ${sh}L").as("media_a"),
@@ -787,6 +793,68 @@ object SparkEntry {
         .select(col("promo_revenue"), col("total_revenue"),
           round(col("promo_revenue") / col("total_revenue") * 100.0, 6)
             .as("promo_share_pct"))
+    }),
+
+    "q12_priority_by_flag" -> ((s, d) => {
+      // TPC-H Q12 shape (l_shipmode absent — l_returnflag carries the
+      // grouping): date-ranged lineitem joined to orders, per-group
+      // two-class conditional counts (the CASE-sum shape). The join key
+      // is high-cardinality; the date filter must reach the scan
+      val li = T.lineitem(s, d).filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+             sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q19_disjunctive_revenue" -> ((s, d) => {
+      // TPC-H Q19 shape: a DISJUNCTION of conjunct groups across the
+      // lineitem⋈part join — the case where the optimizer must extract
+      // the common p_partkey equi-key and the shared quantity/size bounds
+      // instead of degenerating to a nested-loop over the OR
+      val li = T.lineitem(s, d)
+      val p = T.part(s, d)
+      val j = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val clause =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+         col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+         col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+         col("l_quantity").between(20, 30))
+      j.filter(clause)
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+    }),
+
+    "q22_idle_customers" -> ((s, d) => {
+      // TPC-H Q22 shape (c_phone absent — c_mktsegment is the code;
+      // the synthetic data gives every customer SOME order, so the anti
+      // join excludes urgent/high-priority order holders instead — same
+      // plan shape, non-empty result at every SF): scalar-subquery
+      // threshold (avg positive balance, broadcast back) + anti join +
+      // per-code count/sum. The "above average" test is bal·n > Σbal
+      // with an exact decimal Σ — a double avg() is accumulation-order-
+      // dependent and the comparison sits right on it (SURVEY §7.4)
+      val c = T.customer(s, d)
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(count(lit(1)).as("n_pos"),
+             dsum(col("c_acctbal")).as("tot_pos"))
+      val urgent = T.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      c.filter(col("c_mktsegment")
+          .isin("AUTOMOBILE", "BUILDING", "MACHINERY"))
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") * col("n_pos") > col("tot_pos"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+             dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_mktsegment")
     }),
 
     "length_quantiles" -> ((s, d) =>
@@ -1458,6 +1526,9 @@ object SparkEntry {
     "q14_promo_revenue" -> OracleExt.q14PromoRevenue,
     "q13_custdist" -> OracleExt.q13Custdist,
     "q4_order_priority" -> OracleExt.q4OrderPriority,
+    "q12_priority_by_flag" -> OracleExt.q12PriorityByFlag,
+    "q19_disjunctive_revenue" -> OracleExt.q19DisjunctiveRevenue,
+    "q22_idle_customers" -> OracleExt.q22IdleCustomers,
     "domain_blocklist" -> OracleExt.domainBlocklist(DemoBlocklist),
     "dedup_clusters" -> OracleExt.dedupClusters,
     "dedup_drop_list" -> OracleExt.dedupDropList,

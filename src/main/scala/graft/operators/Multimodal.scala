@@ -139,15 +139,25 @@ object Multimodal {
     */
   def frameFeatures(frames: DataFrame, dim: Int = 8): DataFrame = {
     val hx = hex(col("frame"))
-    frames
-      .filter(col("frame_len") > 0)
-      .withColumn("bytes",
-        transform(sequence(lit(1), col("frame_len").cast("int")),
-          i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long")))
+    // BARRIER between parsing and summing: CollapseProject inlines a
+    // projected column into every reference, so without it each of the
+    // `dim` aggregates' every accumulation step would re-run the full
+    // 64-element hex-parse transform — a ~dim² per-byte blowup measured
+    // at 50 s vs 1.5 s for the declared query at sf0.1. Materializing the
+    // parsed byte arrays makes element_at an O(1) array read.
+    val parsed = Barriers.materialize(
+      frames
+        .filter(col("frame_len") > 0)
+        .select(
+          (col("media_id") * FrameIdShift + col("frame_idx")).as("vec_id"),
+          transform(sequence(lit(1), col("frame_len").cast("int")),
+            i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
+            .as("bytes")))
+    parsed
       .withColumn("total",
         aggregate(col("bytes"), lit(0L), (a, b) => a + b))
       .select(
-        (col("media_id") * FrameIdShift + col("frame_idx")).as("vec_id"),
+        col("vec_id"),
         transform(sequence(lit(0), lit(dim - 1)), j =>
           (lit(dim) * aggregate(
             filter(sequence(lit(1), size(col("bytes"))),
