@@ -1784,12 +1784,12 @@ object OracleExt {
     SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
                       AS DECIMAL(25,4))) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-           AND l_quantity BETWEEN 1 AND 11)
-       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-           AND l_quantity BETWEEN 10 AND 20)
-       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-           AND l_quantity BETWEEN 20 AND 30)"""
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 24)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)"""
 
   /** TPC-H Q22 shape adapted (c_mktsegment as the code; anti join
     * excludes urgent/high-priority order holders — every synthetic

@@ -382,6 +382,12 @@ object SparkEntry {
              sum(col("frame_len")).cast("long").as("sampled_bytes"))
         .orderBy("media_id")),
 
+    "multimodal_stream_frame_dedup" -> ((s, d) =>
+      // media landing dir: frames sampled from binary payloads and
+      // deduplicated as files land — shares the batch frame-dedup oracle
+      graft.streaming.StreamingOps.frameDedupStream(s, d)
+        .orderBy("frame_hash")),
+
     "multimodal_frame_near_dedup" -> ((s, d) => {
       // frame-granularity NEAR dedup — the media analog of paragraph
       // near-dup: banded cosine over integer byte-statistics frame
@@ -820,12 +826,12 @@ object SparkEntry {
       val p = T.part(s, d)
       val j = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       val clause =
-        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
-         col("l_quantity").between(1, 11)) ||
-        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
-         col("l_quantity").between(10, 20)) ||
-        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
-         col("l_quantity").between(20, 30))
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+         col("l_quantity").between(1, 24)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+         col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+         col("l_quantity").between(20, 40))
       j.filter(clause)
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
@@ -1565,6 +1571,8 @@ object SparkEntry {
     "multimodal_frame_sample" -> OracleExt.multimodalFrameSample(
       frameBytes = 64, stride = 2),
     "multimodal_frame_dedup" -> OracleExt.multimodalFrameDedup(
+      frameBytes = 64, stride = 2),
+    "multimodal_stream_frame_dedup" -> OracleExt.multimodalFrameDedup(
       frameBytes = 64, stride = 2),
     "multimodal_frame_near_dedup" -> OracleExt.multimodalFrameNearDedup(
       frameBytes = 64, stride = 2, threshold = 0.99, dim = 8,

@@ -44,7 +44,7 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
       catch {
         case e: Exception if isInterruption(e) =>
           System.err.println(s"[sync] mapping ${m.mappingId} cycle " +
-            "interrupted (stop in progress) — expected; interrupted objects " +
+            "interrupted (stop in progress) - expected; interrupted objects " +
             "re-sync next run via their ledger status")
           Thread.currentThread().interrupt()
           interrupted = true

@@ -187,6 +187,28 @@ object StreamingOps {
     runToTable(spark, agg, OutputMode.Complete())
   }
 
+  /** Streaming frame-level media dedup: the multimodal landing-dir shape —
+    * media files arrive, frames are sampled from the binary payload and
+    * deduplicated AS THEY LAND (repeated intro/outro/black frames are the
+    * media analog of boilerplate paragraphs). Same frame hashing as the
+    * batch `multimodal_frame_dedup` (md5 over hex(frame)), same keeper
+    * aggregation, so the batch DuckDB oracle asserts the drained result.
+    * State is keyed by frame hash — bounded by distinct frame content,
+    * not stream length, same discipline as [[dedupExactStream]].
+    */
+  def frameDedupStream(spark: SparkSession, dir: String,
+                       frameBytes: Int = 64, stride: Int = 2): DataFrame = {
+    import graft.operators.Multimodal
+    val media = Multimodal.mediaFromDocuments(docsStream(spark, dir))
+    val frames = Multimodal.frameSample(media, frameBytes, stride)
+    val agg = frames
+      .select(col("media_id"), md5(hex(col("frame"))).as("frame_hash"))
+      .groupBy("frame_hash")
+      .agg(min(col("media_id")).as("keeper_media_id"),
+           count(lit(1)).as("n_copies"))
+    runToTable(spark, agg, OutputMode.Complete())
+  }
+
   /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
     * keeps a key's state only until the watermark passes its event time
     * plus the delay, so state volume is bounded by the duplicate-arrival

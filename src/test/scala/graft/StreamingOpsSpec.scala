@@ -31,6 +31,21 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming frame dedup equals the batch frame-dedup aggregation") {
+    import org.apache.spark.sql.functions.{col, count, hex, lit, md5, min}
+    val streamed = StreamingOps.frameDedupStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Multimodal.frameSample(
+        graft.operators.Multimodal.mediaFromDocuments(
+          Tables.documents(spark, dir)), frameBytes = 64, stride = 2)
+      .select(col("media_id"), md5(hex(col("frame"))).as("frame_hash"))
+      .groupBy("frame_hash")
+      .agg(min(col("media_id")).as("keeper_media_id"),
+           count(lit(1)).as("n_copies"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming dedup under the RocksDB state store matches batch") {
     // The scale-path state backend (StreamingOps scale note): HDFS-backed
     // in-memory state OOMs once distinct-key state outgrows executor heap;
