@@ -256,6 +256,69 @@ object OracleExt {
     JOIN bench USING (wh)
     GROUP BY c.doc_id ORDER BY doc_id""")
 
+  /** Shared chunk-hash CTE chain for the boilerplate queries: mirrors
+    * TextOps.chunkParagraphs' fixed-token windows + md5, with the chunk's
+    * own token count carried for the scrub's kept-token sum. Constants
+    * interpolated from the Spark side so a retune cannot break parity.
+    */
+  private val boilerChunkCtes: String = {
+    val ck = graft.operators.TextOps.ParaChunkTokens
+    s"""
+    base AS (
+      SELECT doc_id, toks,
+             greatest(CAST(ceil(len(toks) / $ck.0) AS INT), 1) AS n_paras
+      FROM docs_tok),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[(i*$ck + 1):(i*$ck + $ck)], ' '))
+               AS chunk_hash,
+             len(toks[(i*$ck + 1):(i*$ck + $ck)]) AS chunk_tokens
+      FROM (SELECT doc_id, toks, unnest(range(0, n_paras)) AS i FROM base))"""
+  }
+
+  /** Mirrors TextOps.boilerplateChunks (minDocs=2). */
+  val boilerplateChunks: String = docQ(s"""
+    , $boilerChunkCtes
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(doc_id) AS BIGINT) AS example_doc_id
+    FROM ch GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY chunk_hash""")
+
+  /** Mirrors TextOps.boilerplateScrub (minDocs=2). */
+  val boilerplateScrub: String = docQ(s"""
+    , $boilerChunkCtes,
+    g AS (SELECT chunk_hash, count(DISTINCT doc_id) AS nd
+          FROM ch GROUP BY chunk_hash)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler_chunks,
+           CAST(sum(CASE WHEN nd >= 2 THEN 0 ELSE chunk_tokens END)
+             AS BIGINT) AS tokens_kept
+    FROM ch JOIN g USING (chunk_hash)
+    GROUP BY doc_id ORDER BY doc_id""")
+
+  /** Mirrors TextOps.docLmScore: corpus bigram MLE in integer fixed-point
+    * (⌊1e9·c2/c1⌋ per bigram, floored per-doc average) — `//` floors and
+    * Spark `div` truncates, identical on the all-positive counts here.
+    */
+  val docLmScore: String = docQ("""
+    , bg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS w1
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+            FROM docs_tok)),
+    uni AS (SELECT t AS w1, count(*) AS c1
+            FROM (SELECT unnest(toks) AS t FROM docs_tok) GROUP BY 1),
+    bi AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum((1000000000 * c2) // c1) // count(*) AS BIGINT)
+             AS lm_score
+    FROM bg JOIN bi USING (bg) JOIN uni USING (w1)
+    GROUP BY doc_id ORDER BY doc_id""")
+
   /** Mirrors TextOps.duplicatedSpans (n=13): duplicated window hashes →
     * per-doc gaps-and-islands fuse (starts ≤ 13 apart overlap) → maximal
     * span coordinates.

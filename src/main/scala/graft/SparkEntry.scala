@@ -910,6 +910,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "decontaminate_bloom" -> ((s, d) => {
+      // same leakage check, 100 TB plan: the benchmark's window hashes
+      // compress to a 16 KB Bloom bitset probed before the exact join —
+      // the shape that survives a benchmark too big to broadcast as
+      // strings; output is bit-identical to decontaminate_exact
+      val docs = T.documents(s, d)
+      TextOps.exactContaminationBloom(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          docs.filter(col("doc_id") % 11 === 0))
+        .orderBy("doc_id")
+    }),
+
+    "boilerplate_chunks" -> ((s, d) =>
+      // C4-style line dedup, part 1: the boilerplate table itself —
+      // chunks carried by ≥2 distinct docs (template furniture)
+      TextOps.boilerplateChunks(T.documents(s, d))
+        .orderBy("chunk_hash")),
+
+    "boilerplate_scrub" -> ((s, d) =>
+      // C4-style line dedup, part 2: the per-doc scrub report — chunks
+      // removed and tokens surviving, the post-scrub corpus-size signal
+      TextOps.boilerplateScrub(T.documents(s, d))
+        .orderBy("doc_id")),
+
+    "doc_lm_score" -> ((s, d) =>
+      // cheap LM-based quality score: corpus-bigram MLE surprisal proxy
+      // in integer fixed-point (floor(1e9·c2/c1), floored average)
+      TextOps.docLmScore(T.documents(s, d))
+        .orderBy("doc_id")),
+
     "domain_blocklist" -> ((s, d) => {
       // corpus-prep gate: registrable-domain blocklist over a synthesized
       // url column (the testdata has none) — subdomain/port/path/query
@@ -1516,7 +1546,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleExt.dedupNgramJaccard(0.5),
     "decontaminate" -> OracleExt.decontaminate,
     "decontaminate_exact" -> OracleExt.decontaminateExact,
+    "decontaminate_bloom" -> OracleExt.decontaminateExact,
     "docs_stream_decontaminate_exact" -> OracleExt.decontaminateExact,
+    "boilerplate_chunks" -> OracleExt.boilerplateChunks,
+    "boilerplate_scrub" -> OracleExt.boilerplateScrub,
+    "doc_lm_score" -> OracleExt.docLmScore,
     "decontaminate_fraction" -> OracleExt.decontaminateFraction,
     "dedup_near_minhash_para" -> OracleExt.dedupNearMinhashPara,
     "dedup_exact_spans" -> OracleExt.dedupExactSpans,

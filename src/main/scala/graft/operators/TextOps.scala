@@ -966,4 +966,145 @@ object TextOps {
       .withColumn("pair_share_ppm", expr("n_pairs * 1000000 div t"))
       .select("source_x", "source_y", "n_pairs", "pair_share_ppm")
   }
+
+  // ---- cross-document boilerplate (C4-style line dedup, chunk-adapted) --
+
+  /** Per-chunk corpus frequency — the shared frame behind the boilerplate
+    * table and the scrub report. Chunks are the [[chunkParagraphs]]
+    * windows (the corpus has no newline structure); `n_docs` counts
+    * DISTINCT carrier documents, the C4 notion of a repeated line.
+    */
+  private def chunkFrequencies(docs: DataFrame): DataFrame =
+    chunkParagraphs(docs)
+      .select(col("doc_id"), md5(col("para_text")).as("chunk_hash"))
+      .groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occurrences"),
+           min(col("doc_id")).as("example_doc_id"))
+
+  /** Cross-document boilerplate chunks — the C4/RefinedWeb "line appears
+    * in ≥K documents ⇒ it is template furniture, not content" rule,
+    * adapted to the fixed-token chunk frame (the synthetic corpus is
+    * single-line; real corpora would feed [[explodeParagraphs]] output).
+    * Emits the boilerplate table itself: chunk hash, carrier-doc count,
+    * occurrence count, lowest carrier as the inspectable example.
+    *
+    * Scale shape: one partial-agg'd groupBy on the chunk hash — the same
+    * cardinality class as exact dedup; no windows, no joins, nothing
+    * pairwise. The distinct-doc count rides the same shuffle (Spark
+    * plans count(distinct) as a two-phase expand over the one key).
+    */
+  def boilerplateChunks(docs: DataFrame, minDocs: Int = 2): DataFrame =
+    chunkFrequencies(docs).filter(col("n_docs") >= minDocs)
+
+  /** Boilerplate scrub report: what a C4-style line-dedup pass would do
+    * to each document — chunks inspected, chunks removed as boilerplate
+    * (carried by ≥`minDocs` docs), and the token count that survives.
+    * The kept-token sum is the post-scrub corpus size, the number that
+    * decides whether the rule is too aggressive for a source.
+    *
+    * Scale shape: chunk frame → frequency agg → join back on the chunk
+    * hash → per-doc groupBy. Both join sides arrive partitioned by
+    * `chunk_hash` (the agg output already is), so the join adds no third
+    * shuffle, and the boilerplate side is corpus-frequency-bounded —
+    * AQE will broadcast it when small.
+    */
+  def boilerplateScrub(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+    val chunks = chunkParagraphs(docs).select(
+      col("doc_id"),
+      md5(col("para_text")).as("chunk_hash"),
+      size(tokens(col("para_text"))).cast("long").as("chunk_tokens"))
+    val boiler = chunkFrequencies(docs)
+      .filter(col("n_docs") >= minDocs)
+      .select(col("chunk_hash"), lit(1L).as("is_boiler"))
+    chunks.join(boiler, Seq("chunk_hash"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L))
+             .as("n_boiler_chunks"),
+           sum(when(col("is_boiler").isNotNull, 0L)
+             .otherwise(col("chunk_tokens"))).as("tokens_kept"))
+  }
+
+  // ---- corpus language-model scoring -----------------------------------
+
+  /** Per-document bigram-LM surprisal proxy — the classic cheap quality
+    * signal (docs whose bigrams are corpus-typical score high; gibberish
+    * and boilerplate-free noise score low). The model is the corpus's own
+    * bigram MLE, P(w2|w1) = c(w1 w2)/c(w1), kept in integer fixed-point
+    * (⌊1e9·c2/c1⌋ per bigram, floored average per doc) so Spark and the
+    * oracle agree bit-for-bit — a float log-prob would be accumulation-
+    * order-dependent (SURVEY §7.4 determinism rules).
+    *
+    * Scale shape: unigram and bigram count tables are vocabulary-bounded
+    * (≪ corpus; ~10M rows even at web scale), broadcast onto the exploded
+    * bigram stream; one partial-agg'd per-doc groupBy. Nothing here is
+    * corpus × corpus.
+    */
+  def docLmScore(docs: DataFrame): DataFrame = {
+    val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bg = toksDf
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val uni = toksDf.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    bg.join(broadcast(bi), Seq("bg"))
+      .join(broadcast(uni), Seq("w1"))
+      .withColumn("s", expr("1000000000L * c2 div c1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           expr("sum(s) div count(1)").as("lm_score"))
+  }
+
+  // ---- bloom-prefiltered decontamination --------------------------------
+
+  /** [[exactSubstringContamination]] with a Bloom prefilter — the plan a
+    * 100 TB run wants. The benchmark's window-hash set can outgrow a
+    * comfortable string-set broadcast (1e8 windows ≈ 3 GB of md5s); its
+    * Bloom bitset is two orders smaller (`mBits`/8 bytes — 16 KB at the
+    * default here, ~100 MB for a 1e8-window benchmark at the same false-
+    * positive rate). Corpus windows probe the bitset first (k=2 seeded
+    * xxhash64 bits, both set ⇒ candidate) and only survivors reach the
+    * exact hash join, which then runs over a tiny fraction of the corpus
+    * — and may shuffle rather than broadcast when the benchmark is truly
+    * huge. False positives are removed by the exact join; false negatives
+    * cannot occur (every true member set both its bits), so the output is
+    * bit-identical to the exact operator and shares its oracle.
+    *
+    * Spark has an internal bloom_filter_agg but does not register it for
+    * SQL/DataFrame use, so the bitset is built natively: positions →
+    * 64-bit words via bit_or, probed through two broadcast hash joins
+    * (codegen'd O(1) probes) + bit tests.
+    */
+  def exactContaminationBloom(corpus: DataFrame, benchmark: DataFrame,
+                              n: Int = 13, mBits: Int = 1 << 17): DataFrame = {
+    require((mBits & (mBits - 1)) == 0, s"mBits must be a power of two: $mBits")
+    def windows(d: DataFrame) = d
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), n))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("wh"))
+    def pos(c: Column, seed: Int) =
+      pmod(xxhash64(c, lit(seed)), lit(mBits.toLong))
+    val benchSet = windows(benchmark).select("wh").distinct()
+    val words = benchSet
+      .select(explode(array(pos(col("wh"), 1), pos(col("wh"), 2))).as("p"))
+      .select(expr("p div 64").as("widx"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").as("bit"))
+      .groupBy("widx").agg(expr("bit_or(bit)").as("word"))
+    val cand = windows(corpus)
+      .withColumn("p1", pos(col("wh"), 1))
+      .withColumn("p2", pos(col("wh"), 2))
+      .join(broadcast(words.select(col("widx").as("widx1"),
+        col("word").as("word1"))), expr("p1 div 64") === col("widx1"))
+      .filter(expr(
+        "(word1 & shiftleft(cast(1 as bigint), cast(p1 % 64 as int))) != 0"))
+      .join(broadcast(words.select(col("widx").as("widx2"),
+        col("word").as("word2"))), expr("p2 div 64") === col("widx2"))
+      .filter(expr(
+        "(word2 & shiftleft(cast(1 as bigint), cast(p2 % 64 as int))) != 0"))
+    cand.join(broadcast(benchSet), Seq("wh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched_windows"))
+  }
 }

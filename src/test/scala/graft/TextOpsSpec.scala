@@ -388,4 +388,53 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, (wCommon + 1000000L) / 2)))
     assert(got(3L) == ((1L, wCommon)))
   }
+
+  test("boilerplate chunks flag cross-doc repeats and scrub keeps the rest") {
+    // one full 32-token chunk shared by docs 1 and 2 (their second chunks
+    // differ); doc 3 is all-unique and must survive the scrub untouched
+    val shared = (1 to 32).map("t" + _).mkString(" ")
+    val docs = Seq(
+      (1L, shared + " ua1 ua2 ua3 ua4 ua5"),
+      (2L, shared + " ub1 ub2 ub3"),
+      (3L, (1 to 40).map("u" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val boiler = TextOps.boilerplateChunks(docs).collect()
+    assert(boiler.length == 1)
+    val b = boiler.head
+    assert(b.getLong(b.fieldIndex("n_docs")) == 2L &&
+           b.getLong(b.fieldIndex("n_occurrences")) == 2L &&
+           b.getLong(b.fieldIndex("example_doc_id")) == 1L)
+    val scrub = TextOps.boilerplateScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(scrub(1L) == ((2L, 1L, 5L)))   // boiler chunk gone, 5 uniques kept
+    assert(scrub(2L) == ((2L, 1L, 3L)))
+    assert(scrub(3L) == ((2L, 0L, 40L)))  // nothing repeated, all 40 kept
+  }
+
+  test("doc lm score is the floored fixed-point bigram MLE average") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    // unigrams a:3 b:2 c:1; bigrams "a b":2 "a c":1
+    val got = TextOps.docLmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((1L, 2000000000L / 3)))
+    assert(got(2L) == ((1L, 2000000000L / 3)))
+    assert(got(3L) == ((1L, 1000000000L / 3)))
+  }
+
+  test("bloom-prefiltered decontamination is bit-identical to exact") {
+    // 9-token docs → n=3 windows exist; a deliberately tiny 64-bit bloom
+    // forces heavy false-positive collisions, which the exact verify join
+    // must remove — outputs stay identical to the exact operator
+    val corpus = docs.filter(col("doc_id") % 2 =!= 0)
+    val bench = docs.filter(col("doc_id") % 2 === 0)
+    val exact = TextOps.exactSubstringContamination(corpus, bench, n = 3)
+      .as[(Long, Long)].collect().toSet
+    val viaBloom = TextOps.exactContaminationBloom(corpus, bench, n = 3,
+        mBits = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)                // fixture shares 3-token runs
+    assert(viaBloom == exact)
+  }
 }
