@@ -1891,4 +1891,207 @@ object OracleExt {
     SELECT promo_revenue, total_revenue,
            round(promo_revenue / total_revenue * 100.0, 6) AS promo_share_pct
     FROM a"""
+
+  /** TPC-H Q2 shape (lineitem as partsupp): per-part min unit cost among
+    * EUROPE suppliers, winners joined back on the exact min.
+    */
+  val q2MinCostSupplier: String = """
+    WITH su AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+    ps AS (
+      SELECT p_partkey, p_name, su.s_suppkey, s_name, n_name,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      JOIN su ON l_suppkey = su.s_suppkey
+      WHERE p_type = 'STANDARD' AND p_size <= 25
+      GROUP BY 1, 2, 3, 4, 5),
+    m AS (SELECT p_partkey, min(unit_cost) AS min_cost FROM ps GROUP BY 1)
+    SELECT ps.p_partkey, p_name, s_suppkey, s_name, n_name, min_cost
+    FROM ps JOIN m ON ps.p_partkey = m.p_partkey AND unit_cost = min_cost
+    ORDER BY 1, 3"""
+
+  /** TPC-H Q7 shape: two-nation volume by ship year, either direction. */
+  val q7NationVolume: String = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** TPC-H Q8 shape: NATION_3's share of PROMO revenue to ASIA customers
+    * per order year, in floored integer ppm.
+    */
+  val q8MarketShare: String = """
+    WITH a AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_3'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                      AS DECIMAL(25,4))) AS DOUBLE) AS nation_revenue,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(25,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1)
+    SELECT o_year, nation_revenue, total_revenue,
+           CAST(floor(nation_revenue * 1000000.0 / total_revenue) AS BIGINT)
+             AS mkt_share_ppm
+    FROM a ORDER BY o_year"""
+
+  /** TPC-H Q9 shape: widget-part profit per supplier nation per order
+    * year; supply cost stands in as half the part list price.
+    */
+  val q9ProductProfit: String = """
+    SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.5 * p_retailprice * l_quantity
+                      AS DECIMAL(25,4))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** TPC-H Q11 shape: per-part value among AFRICA suppliers above a
+    * fraction-of-total threshold; both sums are exact decimal Σ over the
+    * base rows.
+    */
+  val q11ImportantParts: String = """
+    WITH base AS (
+      SELECT l_partkey, l_extendedprice
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AFRICA'),
+    v AS (
+      SELECT l_partkey AS p_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
+               AS value
+      FROM base GROUP BY 1),
+    t AS (
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
+               AS total_value
+      FROM base)
+    SELECT p_partkey, value FROM v, t
+    WHERE value * 1000.0 > total_value
+    ORDER BY value DESC, p_partkey"""
+
+  /** TPC-H Q15 shape: quarterly top supplier(s) by revenue — rows equal
+    * to the max of the revenue view.
+    */
+  val q15TopSupplier: String = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(25,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1),
+    m AS (SELECT max(total_revenue) AS mx FROM rev)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev, m
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = mx
+    ORDER BY s_suppkey"""
+
+  /** TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    * with NOT-IN exclusions; lineitem as the part-supplier relation.
+    */
+  val q16PartSupplierCounts: String = """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** TPC-H Q17 shape: lines under 20% of their part's average quantity —
+    * qty·5·n < Σqty with an exact decimal Σ, never a double avg.
+    */
+  val q17SmallQuantityRevenue: String = """
+    WITH pq AS (
+      SELECT p_partkey FROM part
+      WHERE p_brand = 'Brand#3' AND p_type = 'ECONOMY'),
+    fl AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN pq ON l_partkey = p_partkey),
+    st AS (
+      SELECT l_partkey AS ak, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+               AS sum_qty
+      FROM fl GROUP BY 1),
+    q AS (
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
+               AS total_eprice
+      FROM fl JOIN st ON l_partkey = ak
+      WHERE l_quantity * 5.0 * cnt < sum_qty)
+    SELECT total_eprice, total_eprice / 7.0 AS avg_yearly FROM q"""
+
+  /** TPC-H Q20 shape: AMERICA suppliers who shipped more of some red part
+    * in 1996 than all other years combined (agg → threshold → semi join).
+    */
+  val q20ExcessShippers: String = """
+    WITH pq AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    per AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(sum(CAST(CASE WHEN year(l_shipdate) = 1996
+                       THEN l_quantity ELSE 0.0 END
+                      AS DECIMAL(25,4))) AS DOUBLE) AS q96,
+             CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qall
+      FROM lineitem JOIN pq ON l_partkey = p_partkey
+      GROUP BY 1, 2),
+    s AS (SELECT DISTINCT l_suppkey FROM per WHERE q96 * 2.0 > qall)
+    SELECT s_suppkey, s_name, n_name
+    FROM s JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+    ORDER BY s_suppkey"""
+
+  /** TPC-H Q21 shape: the sole late supplier on multi-supplier orders,
+    * via per-order supplier facts (no four-way self-join).
+    */
+  val q21WaitingSuppliers: String = """
+    WITH j AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                 THEN 1 ELSE 0 END) AS supp_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    f AS (
+      SELECT l_orderkey, count(*) AS n_supps, sum(supp_late) AS n_late,
+             max(CASE WHEN supp_late = 1 THEN l_suppkey END) AS late_supp
+      FROM j GROUP BY 1),
+    w AS (
+      SELECT late_supp, CAST(count(*) AS BIGINT) AS numwait
+      FROM f WHERE n_supps >= 2 AND n_late = 1 GROUP BY 1)
+    SELECT s_suppkey, s_name, numwait
+    FROM w JOIN supplier ON late_supp = s_suppkey
+    ORDER BY numwait DESC, s_suppkey"""
 }

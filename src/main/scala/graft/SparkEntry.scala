@@ -863,6 +863,257 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    "q2_min_cost_supplier" -> ((s, d) => {
+      // TPC-H Q2 shape (lineitem stands in for partsupp): per-part minimum
+      // unit cost among EUROPE suppliers, winners joined back on the exact
+      // min. unit_cost = min of identical IEEE divisions, so the equality
+      // join-back is deterministic; part/supplier/nation dims broadcast
+      val su = T.supplier(s, d)
+        .join(broadcast(T.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val pq = T.part(s, d)
+        .filter(col("p_type") === "STANDARD" && col("p_size") <= 25)
+        .select(col("p_partkey"), col("p_name"))
+      val ps = T.lineitem(s, d)
+        .join(broadcast(pq), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+                 col("s_name"), col("n_name"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      val minc = ps.groupBy(col("p_partkey").as("mk"))
+        .agg(min(col("unit_cost")).as("min_cost"))
+      ps.join(minc, col("p_partkey") === col("mk") &&
+                    col("unit_cost") === col("min_cost"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+                col("s_name"), col("n_name"), col("min_cost"))
+        .orderBy("p_partkey", "s_suppkey")
+    }),
+
+    "q7_nation_volume" -> ((s, d) => {
+      // TPC-H Q7 shape: revenue flowing between two nations in either
+      // direction, by ship year. The nation pair filter pre-prunes BOTH
+      // dim sides (supplier + customer semi-filters) before the fact
+      // joins; only the direction disjunction stays as a residual
+      val nats = Seq("NATION_1", "NATION_2")
+      val su = T.supplier(s, d)
+        .join(broadcast(T.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(nats: _*))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cu = T.customer(s, d)
+        .join(broadcast(T.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(nats: _*))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+                 year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    "q8_market_share" -> ((s, d) => {
+      // TPC-H Q8 shape: one nation's share of PROMO-part revenue sold to
+      // ASIA customers, per order year. Share in integer ppm (floored
+      // double division — identical IEEE both sides; a round(x,6) would
+      // HALF_UP vs std::round diverge, SURVEY §7.4)
+      val cu = T.customer(s, d)
+        .join(broadcast(T.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("c_custkey"))
+      val su = T.supplier(s, d)
+        .join(broadcast(T.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val pq = T.part(s, d).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      T.lineitem(s, d)
+        .join(broadcast(pq), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(T.orders(s, d).filter(
+            col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(when(col("supp_nation") === "NATION_3", rev)
+               .otherwise(0.0)).as("nation_revenue"),
+             dsum(rev).as("total_revenue"))
+        .withColumn("mkt_share_ppm",
+          floor(col("nation_revenue") * 1000000.0 / col("total_revenue"))
+            .cast("long"))
+        .orderBy("o_year")
+    }),
+
+    "q9_product_profit" -> ((s, d) => {
+      // TPC-H Q9 shape: per supplier-nation per order-year profit on
+      // widget parts; supply cost stands in as half the part list price
+      // (no partsupp table). The whole per-row profit expression enters
+      // ONE decimal sum — exact at any partitioning
+      val pq = T.part(s, d).filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val su = T.supplier(s, d)
+        .join(broadcast(T.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      T.lineitem(s, d)
+        .join(broadcast(pq), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+               lit(0.5) * col("p_retailprice") * col("l_quantity"))
+          .as("profit"))
+        .orderBy("n_name", "o_year")
+    }),
+
+    "q11_important_parts" -> ((s, d) => {
+      // TPC-H Q11 shape: per-part inventory value among AFRICA suppliers
+      // vs a fraction-of-total threshold. BOTH the per-part values and
+      // the grand total are decimal sums over the base rows (a double
+      // re-sum of per-part values would be accumulation-order-dependent)
+      val su = T.supplier(s, d)
+        .join(broadcast(T.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AFRICA")
+        .select(col("s_suppkey"))
+      val base = T.lineitem(s, d)
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      val v = base.groupBy(col("l_partkey").as("p_partkey"))
+        .agg(dsum(col("l_extendedprice")).as("value"))
+      val tot = base.agg(dsum(col("l_extendedprice")).as("total_value"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("value") * 1000.0 > col("total_value"))
+        .select(col("p_partkey"), col("value"))
+        .orderBy(desc("value"), col("p_partkey"))
+    }),
+
+    "q15_top_supplier" -> ((s, d) => {
+      // TPC-H Q15 shape: quarterly revenue per supplier, winners = rows
+      // equal to the max (the view + max-of-view formulation; ties all
+      // surface). Revenue is a decimal sum → the double equality against
+      // its own max is exact
+      val rev = T.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(T.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    "q16_part_supplier_counts" -> ((s, d) => {
+      // TPC-H Q16 shape: NOT-IN brand exclusion + distinct-supplier
+      // counts per (brand, type, size) — lineitem as the part-supplier
+      // relation; count(distinct) plans as the two-phase expand over the
+      // one grouping shuffle
+      val pq = T.part(s, d).filter(
+        !col("p_brand").isin("Brand#1", "Brand#2") &&
+        !col("p_type").startsWith("PROMO") &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      T.lineitem(s, d)
+        .join(broadcast(pq), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+                 col("p_size"))
+    }),
+
+    "q17_small_quantity_revenue" -> ((s, d) => {
+      // TPC-H Q17 shape: lines under 20% of their part's average quantity.
+      // The correlated avg becomes a per-part (count, Σqty) broadcast
+      // joined back; the comparison is qty·5·n < Σqty — all-integer
+      // quantities and an exact decimal Σ, so no double avg is ever formed
+      val pq = T.part(s, d)
+        .filter(col("p_brand") === "Brand#3" && col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val fl = T.lineitem(s, d)
+        .join(broadcast(pq), col("l_partkey") === col("p_partkey"))
+      val st = fl.groupBy(col("l_partkey").as("ak"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+      fl.join(broadcast(st), col("l_partkey") === col("ak"))
+        .filter(col("l_quantity") * 5.0 * col("cnt") < col("sum_qty"))
+        .agg(dsum(col("l_extendedprice")).as("total_eprice"))
+        .withColumn("avg_yearly", col("total_eprice") / 7.0)
+    }),
+
+    "q20_excess_shippers" -> ((s, d) => {
+      // TPC-H Q20 shape: AMERICA suppliers who front-loaded red parts —
+      // shipped more of some part in 1996 than all other years combined.
+      // The nested IN chain becomes agg → threshold → distinct → semi
+      // join; both quantity sums are exact decimal Σ, doubled exactly
+      val pq = T.part(s, d).filter(col("p_name").startsWith("red"))
+        .select(col("p_partkey"))
+      val qualified = T.lineitem(s, d)
+        .join(broadcast(pq), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(dsum(when(year(col("l_shipdate")) === 1996, col("l_quantity"))
+               .otherwise(0.0)).as("q96"),
+             dsum(col("l_quantity")).as("qall"))
+        .filter(col("q96") * 2.0 > col("qall"))
+        .select(col("l_suppkey")).distinct()
+      qualified
+        .join(broadcast(T.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(T.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy("s_suppkey")
+    }),
+
+    "q21_waiting_suppliers" -> ((s, d) => {
+      // TPC-H Q21 shape: the sole late supplier on multi-supplier orders.
+      // The EXISTS/NOT-EXISTS pair collapses into per-order supplier
+      // facts from ONE groupBy chain (n_supps ≥ 2, exactly one late) —
+      // no four-way self-join of lineitem
+      val j = T.lineitem(s, d)
+        .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .cast("int"))
+      val perSupp = j.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("supp_late"))
+      val waits = perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supps"),
+             sum(col("supp_late")).as("n_late"),
+             max(when(col("supp_late") === 1, col("l_suppkey")))
+               .as("late_supp"))
+        .filter(col("n_supps") >= 2 && col("n_late") === 1)
+        .groupBy(col("late_supp"))
+        .agg(count(lit(1)).as("numwait"))
+      waits
+        .join(broadcast(T.supplier(s, d)),
+          col("late_supp") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(desc("numwait"), col("s_suppkey"))
+    }),
+
     "length_quantiles" -> ((s, d) =>
       // dataset-card length profile: exact integer-rank p50/p90/p99 token
       // lengths per source — no approximate-percentile sketch, so it
@@ -1569,6 +1820,16 @@ object SparkEntry {
     "q12_priority_by_flag" -> OracleExt.q12PriorityByFlag,
     "q19_disjunctive_revenue" -> OracleExt.q19DisjunctiveRevenue,
     "q22_idle_customers" -> OracleExt.q22IdleCustomers,
+    "q2_min_cost_supplier" -> OracleExt.q2MinCostSupplier,
+    "q7_nation_volume" -> OracleExt.q7NationVolume,
+    "q8_market_share" -> OracleExt.q8MarketShare,
+    "q9_product_profit" -> OracleExt.q9ProductProfit,
+    "q11_important_parts" -> OracleExt.q11ImportantParts,
+    "q15_top_supplier" -> OracleExt.q15TopSupplier,
+    "q16_part_supplier_counts" -> OracleExt.q16PartSupplierCounts,
+    "q17_small_quantity_revenue" -> OracleExt.q17SmallQuantityRevenue,
+    "q20_excess_shippers" -> OracleExt.q20ExcessShippers,
+    "q21_waiting_suppliers" -> OracleExt.q21WaitingSuppliers,
     "domain_blocklist" -> OracleExt.domainBlocklist(DemoBlocklist),
     "dedup_clusters" -> OracleExt.dedupClusters,
     "dedup_drop_list" -> OracleExt.dedupDropList,
