@@ -23,13 +23,18 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events.ts` is nanosecond-precision parquet; Spark's TimestampType is
-    * microseconds. Read it defensively and normalize `ts` to TimestampType
-    * so downstream window/sessionize operators are precision-stable.
+  /** Normalize an `events`-shaped frame so `ts` is always TimestampType.
+    *
+    * The driver has regenerated the testdata with a different `ts` encoding
+    * more than once (long nanos under the legacy parquet flag, then
+    * `timestamp[us] isAdjustedToUTC=false` which Spark reads as
+    * TIMESTAMP_NTZ), so the reader is defensive across all three shapes.
+    * Shared by the batch reader below and the streaming reader
+    * (StreamingOps) so both stay in lockstep; SmokeGateSpec asserts the
+    * post-normalization type.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val df = table(spark, dir, "events")
     df.schema("ts").dataType.typeName match {
       case "long" => // read as raw nanos (legacy nanosAsLong); convert.
         // MUST be integer FLOOR division: `/` promotes to double (rounds
@@ -39,7 +44,18 @@ object Tables {
         // makes div floor for any sign.
         df.withColumn("ts", timestamp_micros(
           expr("(ts - (((ts % 1000) + 1000) % 1000)) div 1000")))
-      case _ => df
+      case "timestamp_ntz" =>
+        // Session TZ is pinned to UTC in every entry point, so the NTZ→LTZ
+        // cast relabels the same micros value — exact, and identical to how
+        // DuckDB (no TZ concept on plain TIMESTAMP) sees the column.
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case "timestamp" => df
+      case other => sys.error(
+        s"events.ts arrived as unsupported type '$other'; extend Tables.normalizeEventTs")
     }
   }
+
+  /** `events.ts` normalized to TimestampType regardless of on-disk encoding. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(table(spark, dir, "events"))
 }

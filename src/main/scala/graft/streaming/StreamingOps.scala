@@ -118,14 +118,11 @@ object StreamingOps {
       spark.read.parquet(stage.toString)
     }
 
-  // ts arrives as LONG nanos under the legacy parquet flag; floor-div
-  // (not `/` through double, not truncating `div`) keeps parity with the
-  // batch reader and DuckDB's ns→µs floor — see Tables.events
+  // Delegate to the single shared normalizer so batch and stream readers
+  // can never disagree on the ts encoding (long nanos / TIMESTAMP_NTZ /
+  // TimestampType — see Tables.normalizeEventTs).
   private def normalizeEventTs(raw: DataFrame): DataFrame =
-    if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", timestamp_micros(
-        expr("(ts - (((ts % 1000) + 1000) % 1000)) div 1000")))
-    else raw
+    graft.sources.Tables.normalizeEventTs(raw)
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame =
     normalizeEventTs(stagedStream(spark, dir, "events"))

@@ -52,4 +52,14 @@ class SmokeGateSpec extends AnyFunSuite {
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
   }
+
+  // The driver has changed the on-disk encoding of events.ts twice (long
+  // nanos, then timestamp[us] NTZ). Every event-time operator assumes the
+  // normalized reader yields TimestampType; pin that contract here so the
+  // next regeneration fails THIS test loudly instead of 8 operators.
+  test("Tables.events normalizes ts to TimestampType for any disk encoding") {
+    import org.apache.spark.sql.types.TimestampType
+    val dt = graft.sources.Tables.events(spark, sfDir).schema("ts").dataType
+    assert(dt == TimestampType, s"events.ts normalized to $dt, expected TimestampType")
+  }
 }
