@@ -24,11 +24,21 @@ object Bench {
     // machine contention (r2's phantom 6× regressions) — the median is
     // robust to one contended run while still reporting cold-ish cost
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries — for
+    // adjudicating individual regressions without paying the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_PURGE=0 disables the between-query cache purge, to A/B
+    // whether purge teardown (localCheckpoint block eviction) is what a
+    // suspect query is actually paying for.
+    val purge = !sys.env.get("SPARK_GRAFT_PURGE").contains("0")
     // The measured pass does NOT swallow errors: a broken query must bench
     // as an error, not as a fast "success" (a prior round timed an instant
     // AnalysisException as a 0.2s win). Each query reports either its
     // median-of-reps seconds or an "err:" string.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var err = Option.empty[String]
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var r = 0
@@ -54,9 +64,11 @@ object Bench {
       // fresh JVM) bench the accumulated pressure, not their plan. Safe
       // here: queries run sequentially and nothing memoizes frames across
       // queries (the cross-query caches are all file-staged).
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      spark.sharedState.cacheManager.clearCache()
+      if (purge) {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.sharedState.cacheManager.clearCache()
+      }
       err match {
         case Some(e) => name -> Left(e)
         case None =>

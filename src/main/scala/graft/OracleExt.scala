@@ -1449,6 +1449,47 @@ object OracleExt {
       WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** Recall-stable IVF oracle (mirrors VectorOps.topkCosineIvfAuto):
+    * identical to [[similarityTopkIvf]] except nProbe is not a literal —
+    * it is computed from the data as max(1, ceil(probeFraction · #cent)),
+    * restated here as a scalar subquery so the oracle tracks the Spark
+    * side's driver-side count at ANY scale factor the driver runs.
+    */
+  def similarityTopkIvfAuto(k: Int, probeFraction: Double,
+                            centroidEvery: Int): String = {
+    def assign(alias: String, idAs: String, vAs: String, keepSql: String) = s"""
+      $alias AS (
+        SELECT $idAs, $vAs, centroid_id FROM (
+          SELECT e.vec_id AS $idAs, e.v AS $vAs, c.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.v, c.centv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+                   c.centroid_id) AS crank
+          FROM emb e CROSS JOIN cent c)
+        WHERE crank <= $keepSql)"""
+    s"""
+      WITH $EmbCte,
+      cent AS (SELECT vec_id AS centroid_id, v AS centv FROM emb
+               WHERE vec_id % $centroidEvery = 0),
+      np AS (SELECT greatest(1, CAST(ceil($probeFraction * count(*)) AS INT))
+               AS nprobe FROM cent),
+      ${assign("ca", "neighbor_id", "cv", "1")},
+      ${assign("qa", "query_id", "qv", "(SELECT nprobe FROM np)")},
+      scored AS (
+        SELECT q.query_id, n.neighbor_id,
+               round(list_dot_product(q.qv, n.cv)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(n.cv, n.cv))), 6) AS sim
+        FROM qa q JOIN ca n ON q.centroid_id = n.centroid_id
+        WHERE q.query_id <> n.neighbor_id)
+      SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   val similarityTopk: String = s"""
     WITH $EmbCte,
     scored AS (

@@ -274,6 +274,13 @@ object SparkEntry {
       graft.streaming.StreamingOps.sessionizeStateful(s, d, gapMinutes = 30)
         .orderBy("user_id")),
 
+    "events_stream_gap_hist" -> ((s, d) =>
+      // live-ingest pairing of events_gap_hist: per-user sorted-multiset
+      // state across split-file triggers, closed-bucket eviction path
+      // exercised in StreamingOpsSpec; shares the batch DuckDB oracle
+      graft.streaming.StreamingOps.gapHistStream(s, d)
+        .orderBy("gap_digits")),
+
     "docs_stream_dedup" -> ((s, d) =>
       graft.streaming.StreamingOps.dedupExactStream(s, d)
         .orderBy("content_hash")),
@@ -1246,6 +1253,15 @@ object SparkEntry {
       VectorOps.topkCosineIvf(T.embeddings(s, d), k = 5)
         .orderBy("query_id", "rank")),
 
+    "similarity_topk_ivf_auto" -> ((s, d) =>
+      // the recall-stable scale path: probe a constant FRACTION of the
+      // centroid lists (fixed nProbe loses recall as centroids grow with
+      // n — measured 0.61 → 0.32 across 4× n, tools.Recall); nProbe is
+      // derived from the data by one tiny driver count, and the oracle
+      // restates the same derivation as a scalar subquery
+      VectorOps.topkCosineIvfAuto(T.embeddings(s, d), k = 5)
+        .orderBy("query_id", "rank")),
+
     "similarity_topk_agg" -> ((s, d) => {
       val emb = T.embeddings(s, d)
       VectorOps.topkCosineAgg(emb.filter(col("vec_id") < 5), emb, 5)
@@ -1862,6 +1878,8 @@ object SparkEntry {
       dim = 64, centroidEvery = 50, iters = 2, pct = 10),
     "similarity_topk_ivf" -> OracleExt.similarityTopkIvf(
       k = 5, nProbe = 4, centroidEvery = 50),
+    "similarity_topk_ivf_auto" -> OracleExt.similarityTopkIvfAuto(
+      k = 5, probeFraction = 0.4, centroidEvery = 50),
     "multimodal_decode_stub" -> OracleExt.multimodalDecodeStub,
     "multimodal_frame_sample" -> OracleExt.multimodalFrameSample(
       frameBytes = 64, stride = 2),
@@ -1901,6 +1919,7 @@ object SparkEntry {
 
     "events_stream_window" -> OracleExt.eventsWindowAgg,
     "events_stream_sessionize" -> OracleExt.eventsSessionize,
+    "events_stream_gap_hist" -> OracleExt.eventsGapHist,
     "docs_stream_dedup" -> OracleExt.dedupExact,
     "docs_stream_dedup_watermark" ->
       """SELECT DISTINCT md5(text) AS content_hash,

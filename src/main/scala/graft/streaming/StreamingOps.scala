@@ -658,6 +658,136 @@ object StreamingOps {
     sessions.toDF()
   }
 
+  case class GapRow(user_id: Long, n_gaps: Long,
+                    digits: Array[Long], counts: Array[Long])
+
+  /** Per-user gap-histogram state: the user's absorbed event timestamps
+    * (sorted multiset) plus 20 closed-bucket counters, one per decimal
+    * digit count of a µs gap. The timestamp array is what exactness
+    * requires — a late event INSERTS between two old ones and splits
+    * their gap in two, so consecutive-gap counts are not incrementally
+    * maintainable from counters alone. The closed buckets are what makes
+    * the state bounded: once the watermark passes a pair of adjacent
+    * timestamps, nothing can ever land between them (the watermark filter
+    * drops later-than-that arrivals), so their gap is folded into its
+    * bucket and the earlier timestamp dropped — steady-state is the
+    * in-horizon suffix plus one boundary element plus 20 longs per user,
+    * not the user's full event history.
+    */
+  case class GapState(tsSorted: Array[Long], closed: Array[Long])
+
+  /** Decimal digit count of a non-negative µs gap — the batch operator's
+    * `length(cast(gap_us as string))` bucket (EventOps.gapHistogram).
+    */
+  private def gapDigits(g: Long): Int = g.toString.length
+
+  /** Fold every gap whose BOTH endpoints are below the watermark into the
+    * closed buckets and drop the evictable prefix, keeping the last
+    * below-watermark timestamp as the boundary: its gap to the first
+    * retained event is still live (an arrival ≥ wm but < that event can
+    * split it).
+    */
+  private[graft] def evictGaps(st: GapState, wmUs: Long): GapState = {
+    var k = 0
+    while (k < st.tsSorted.length && st.tsSorted(k) < wmUs) k += 1
+    if (k <= 1) st
+    else {
+      val closed = st.closed.clone()
+      var i = 1
+      while (i < k) {
+        closed(gapDigits(st.tsSorted(i) - st.tsSorted(i - 1)) - 1) += 1
+        i += 1
+      }
+      GapState(st.tsSorted.drop(k - 1), closed)
+    }
+  }
+
+  /** Stateful per-user gap histogram: groupByKey(user) →
+    * flatMapGroupsWithState merging each trigger's arrivals into the
+    * sorted timestamp multiset and emitting the user's CUMULATIVE
+    * (n_gaps, digit buckets) — closed buckets plus a sweep over the live
+    * suffix. Update discipline as [[sessionizeUpdates]]: n_gaps grows
+    * with every absorbed event, so the drained sink's max-n_gaps row per
+    * user is the answer. Order-independent by construction — the gap
+    * multiset is the consecutive differences of a sorted multiset, which
+    * depends only on WHAT arrived, never on when.
+    */
+  def gapHistUpdates(spark: SparkSession,
+                     events: org.apache.spark.sql.Dataset[Ev],
+                     watermarkEviction: Boolean = false): DataFrame = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (user: Long, arrivals: Iterator[Ev], state: GroupState[GapState]) => {
+          // same watermark CONTRACT as sessionizeUpdates: the late filter
+          // must be explicit here — a below-watermark arrival after its
+          // neighborhood was folded into the closed buckets would split a
+          // gap that was already counted as final
+          val wmUs =
+            if (watermarkEviction) state.getCurrentWatermarkMs() * 1000L
+            else Long.MinValue
+          val ts = arrivals.map(_.ts_us).filter(_ >= wmUs).toArray
+          java.util.Arrays.sort(ts)
+          val old = if (state.exists) state.get
+                    else GapState(Array.empty, new Array[Long](20))
+          // merge two sorted runs (state is sorted; arrivals just sorted)
+          val merged = new Array[Long](old.tsSorted.length + ts.length)
+          var i = 0; var j = 0; var o = 0
+          while (i < old.tsSorted.length || j < ts.length) {
+            if (j >= ts.length ||
+                (i < old.tsSorted.length && old.tsSorted(i) <= ts(j))) {
+              merged(o) = old.tsSorted(i); i += 1
+            } else { merged(o) = ts(j); j += 1 }
+            o += 1
+          }
+          val kept =
+            if (watermarkEviction) evictGaps(GapState(merged, old.closed), wmUs)
+            else GapState(merged, old.closed)
+          state.update(kept)
+          val buckets = kept.closed.clone()
+          var p = 1
+          while (p < kept.tsSorted.length) {
+            buckets(gapDigits(kept.tsSorted(p) - kept.tsSorted(p - 1)) - 1) += 1
+            p += 1
+          }
+          val nz = buckets.zipWithIndex.filter(_._1 > 0)
+          Iterator.single(GapRow(user, buckets.sum,
+            nz.map(_._2 + 1L), nz.map(_._1)))
+        })
+      .toDF()
+  }
+
+  /** Streaming inter-event gap histogram: the live-ingest pairing of the
+    * batch `events_gap_hist` view — per-user gap buckets maintained
+    * across micro-batches by [[gapHistUpdates]], globally aggregated
+    * after the drain (per-user decomposition is exact: every gap is
+    * between two events of ONE user). Declared through the split-file
+    * multi-trigger source so a user's events genuinely span triggers in
+    * arbitrary time order; shares the batch operator's DuckDB oracle.
+    */
+  def gapHistStream(spark: SparkSession, dir: String,
+                    nFiles: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStreamSplit(spark, dir, nFiles)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[Ev]
+    val drained = runToTable(spark, gapHistUpdates(spark, ev),
+      OutputMode.Update())
+    val perUser = drained
+      .groupBy("user_id")
+      .agg(max(struct(col("n_gaps"), col("digits"), col("counts"))).as("s"))
+      .select(explode(arrays_zip(col("s.digits"), col("s.counts"))).as("z"))
+      .select(col("z.digits").cast("long").as("gap_digits"),
+              col("z.counts").cast("long").as("n"))
+    val hist = perUser.groupBy("gap_digits")
+      .agg(sum(col("n")).as("n_gaps"))
+    val tot = hist.agg(sum(col("n_gaps")).as("t"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("ppm", expr("n_gaps * 1000000 div t"))
+      .select("gap_digits", "n_gaps", "ppm")
+  }
+
   /** Custom-state sessionization via flatMapGroupsWithState — the
     * KeyValueGroupedDataset stateful path (guide §Structured Streaming).
     * Gap semantics identical to EventOps.sessionize (strict > gap, µs) so

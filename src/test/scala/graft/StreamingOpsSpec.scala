@@ -427,4 +427,70 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(last == ((2L, 4L, 2L)))
     } finally { q.stop(); spark.catalog.dropTempView("sess_evict") }
   }
+
+  test("streaming gap histogram equals batch gap histogram") {
+    val streamed = StreamingOps.gapHistStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps.gapHistogram(Tables.events(spark, dir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("gap state: late arrival across triggers splits a live gap exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val rows = StreamingOps.gapHistUpdates(spark,
+      mem.toDF().toDF("user_id", "ts_us").as[StreamingOps.Ev])
+    val q = rows.writeStream.outputMode("update").format("memory")
+      .queryName("gap_state").start()
+    try {
+      // batch 1: gap of 1_000_000 µs (7 digits)
+      mem.addData((1L, 0L), (1L, 1000000L))
+      q.processAllAvailable()
+      // batch 2: a LATE event at 500_000 splits the 7-digit gap into two
+      // 6-digit gaps — the case counters alone cannot maintain
+      mem.addData((1L, 500000L))
+      q.processAllAvailable()
+      val last = spark.table("gap_state").collect()
+        .map(r => (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3)))
+        .maxBy(_._1)
+      assert(last == ((2L, Seq(6L), Seq(2L))))
+    } finally { q.stop(); spark.catalog.dropTempView("gap_state") }
+  }
+
+  test("gap state: watermark eviction folds closed gaps, drops late rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = 60L * 1000000L
+    val mem = MemoryStream[(Long, Long)]
+    // the watermarked column must SURVIVE to the stateful operator (Spark
+    // refuses getCurrentWatermarkMs otherwise); as[Ev] tolerates it
+    val rows = StreamingOps.gapHistUpdates(spark,
+      mem.toDF().toDF("user_id", "ts_us")
+        .withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.col("ts_us")))
+        .withWatermark("ts", "1 minute")
+        .as[StreamingOps.Ev],
+      watermarkEviction = true)
+    val q = rows.writeStream.outputMode("update").format("memory")
+      .queryName("gap_evict").start()
+    try {
+      // batch 1: gaps 30s (8 digits) and ~99.5m; watermark advances to 99m
+      mem.addData((1L, 0L), (1L, 30 * 1000000L), (1L, 100 * m))
+      q.processAllAvailable()
+      // batch 2: in-time event adds a 30s gap; the 50m event is below the
+      // watermark and must be DROPPED (its insertion would split the
+      // already-folded 99.5m gap)
+      mem.addData((1L, 100 * m + 30 * 1000000L), (1L, 50 * m))
+      q.processAllAvailable()
+      val last = spark.table("gap_evict").collect()
+        .map(r => (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3)))
+        .maxBy(_._1)
+      // gaps: 30s (8 digits) ×2 and 99.5m (10 digits) ×1
+      assert(last == ((3L, Seq(8L, 10L), Seq(2L, 1L))))
+    } finally { q.stop(); spark.catalog.dropTempView("gap_evict") }
+  }
 }
