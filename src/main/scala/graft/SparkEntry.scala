@@ -274,6 +274,14 @@ object SparkEntry {
       graft.streaming.StreamingOps.sessionizeStateful(s, d, gapMinutes = 30)
         .orderBy("user_id")),
 
+    "events_stream_session_length_hist" -> ((s, d) =>
+      // live-ingest pairing of events_session_length_hist: shared interval
+      // merge with the stream sessionizer, per-user sparse size histograms
+      // summed after the drain; shares the batch DuckDB oracle
+      graft.streaming.StreamingOps
+        .sessionLengthHistStream(s, d, gapMinutes = 30)
+        .orderBy("n_events")),
+
     "events_stream_gap_hist" -> ((s, d) =>
       // live-ingest pairing of events_gap_hist: per-user sorted-multiset
       // state across split-file triggers, closed-bucket eviction path
@@ -1920,6 +1928,7 @@ object SparkEntry {
     "events_stream_window" -> OracleExt.eventsWindowAgg,
     "events_stream_sessionize" -> OracleExt.eventsSessionize,
     "events_stream_gap_hist" -> OracleExt.eventsGapHist,
+    "events_stream_session_length_hist" -> OracleExt.eventsSessionLengthHist,
     "docs_stream_dedup" -> OracleExt.dedupExact,
     "docs_stream_dedup_watermark" ->
       """SELECT DISTINCT md5(text) AS content_hash,

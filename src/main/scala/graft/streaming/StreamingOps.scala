@@ -788,6 +788,119 @@ object StreamingOps {
       .select("gap_digits", "n_gaps", "ppm")
   }
 
+  case class SessHistRow(user_id: Long, n_total: Long,
+                         sizes: Array[Long], counts: Array[Long])
+
+  /** Per-user session-length-histogram state: the open session intervals
+    * (same sufficient statistic as [[SessState]] — an arriving event can
+    * only extend, bridge, or open an interval) plus a sparse
+    * (size → count) histogram of sessions already CLOSED by watermark
+    * eviction. Unlike [[SessState]]'s three scalars, the size DISTRIBUTION
+    * must survive closing — that is the whole output — and it is bounded
+    * by the number of DISTINCT session sizes (≤ max session length), not
+    * by session count, so eviction still caps state at the open suffix
+    * plus a small histogram per user.
+    */
+  case class SessHistState(starts: Array[Long], ends: Array[Long],
+                           cnts: Array[Long],
+                           histSizes: Array[Long], histCounts: Array[Long],
+                           totalEvents: Long)
+
+  /** Stateful per-user session-size histogram: interval merge identical to
+    * [[sessionizeUpdates]] (shared [[mergeSessions]]), emission = closed
+    * histogram + live interval sizes, cumulative per trigger. The drain
+    * selector is totalEvents (strictly increasing per absorbed event) —
+    * session COUNT can shrink when a late event bridges two intervals, so
+    * it cannot order emissions.
+    */
+  def sessionLengthUpdates(spark: SparkSession,
+                           events: org.apache.spark.sql.Dataset[Ev],
+                           gapUs: Long,
+                           watermarkEviction: Boolean = false): DataFrame = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (user: Long, arrivals: Iterator[Ev],
+         state: GroupState[SessHistState]) => {
+          // same late-row contract as sessionizeUpdates: an event below the
+          // watermark could attach to a session already folded into the
+          // histogram, double-counting it as a new session
+          val wmUs =
+            if (watermarkEviction) state.getCurrentWatermarkMs() * 1000L
+            else Long.MinValue
+          val ts = arrivals.map(_.ts_us).filter(_ >= wmUs).toArray
+          java.util.Arrays.sort(ts)
+          val old = if (state.exists) state.get
+            else SessHistState(Array.empty, Array.empty, Array.empty,
+                               Array.empty, Array.empty, 0L)
+          val merged = mergeSessions(
+            SessState(old.starts, old.ends, old.cnts), ts, gapUs)
+          var hs = old.histSizes; var hc = old.histCounts
+          var starts = merged.starts; var ends = merged.ends
+          var cnts = merged.counts
+          if (watermarkEviction) {
+            // an interval is immutable once end < watermark − gap (the
+            // evictClosed proof); fold the evictable prefix into the
+            // sparse histogram
+            val cutoff = wmUs - gapUs
+            var k = 0
+            while (k < ends.length && ends(k) < cutoff) k += 1
+            if (k > 0) {
+              val m = scala.collection.mutable.LongMap.empty[Long]
+              var i = 0
+              while (i < hs.length) { m(hs(i)) = hc(i); i += 1 }
+              i = 0
+              while (i < k) {
+                m(cnts(i)) = m.getOrElse(cnts(i), 0L) + 1L; i += 1
+              }
+              val sorted = m.toArray.sortBy(_._1)
+              hs = sorted.map(_._1); hc = sorted.map(_._2)
+              starts = starts.drop(k); ends = ends.drop(k)
+              cnts = cnts.drop(k)
+            }
+          }
+          val tot = old.totalEvents + ts.length
+          state.update(SessHistState(starts, ends, cnts, hs, hc, tot))
+          val m = scala.collection.mutable.LongMap.empty[Long]
+          var i = 0
+          while (i < hs.length) { m(hs(i)) = hc(i); i += 1 }
+          i = 0
+          while (i < cnts.length) {
+            m(cnts(i)) = m.getOrElse(cnts(i), 0L) + 1L; i += 1
+          }
+          val sorted = m.toArray.sortBy(_._1)
+          Iterator.single(SessHistRow(user, tot,
+            sorted.map(_._1), sorted.map(_._2)))
+        })
+      .toDF()
+  }
+
+  /** Streaming session-length histogram: the live-ingest pairing of the
+    * batch `events_session_length_hist` — per-user interval state across
+    * split-file triggers, per-user size histograms globally summed after
+    * the drain (exact: every session belongs to ONE user). Shares the
+    * batch DuckDB oracle.
+    */
+  def sessionLengthHistStream(spark: SparkSession, dir: String,
+                              gapMinutes: Int, nFiles: Int = 4): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val ev = eventsStreamSplit(spark, dir, nFiles)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[Ev]
+    val drained = runToTable(spark,
+      sessionLengthUpdates(spark, ev, gapUs), OutputMode.Update())
+    drained
+      .groupBy("user_id")
+      .agg(max(struct(col("n_total"), col("sizes"), col("counts"))).as("s"))
+      .select(explode(arrays_zip(col("s.sizes"), col("s.counts"))).as("z"))
+      .select(col("z.sizes").cast("long").as("n_events"),
+              col("z.counts").cast("long").as("n"))
+      .groupBy("n_events")
+      .agg(sum(col("n")).as("n_sessions"))
+  }
+
   /** Custom-state sessionization via flatMapGroupsWithState — the
     * KeyValueGroupedDataset stateful path (guide §Structured Streaming).
     * Gap semantics identical to EventOps.sessionize (strict > gap, µs) so

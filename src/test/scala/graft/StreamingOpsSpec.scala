@@ -493,4 +493,72 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(last == ((3L, Seq(8L, 10L), Seq(2L, 1L))))
     } finally { q.stop(); spark.catalog.dropTempView("gap_evict") }
   }
+
+  test("streaming session-length histogram equals batch histogram") {
+    val streamed = StreamingOps.sessionLengthHistStream(spark, dir, 30)
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps
+      .sessionLengthHistogram(Tables.events(spark, dir), 30)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("session-hist state: a late bridge merges two sessions' sizes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = 60L * 1000000L
+    val mem = MemoryStream[(Long, Long)]
+    val rows = StreamingOps.sessionLengthUpdates(spark,
+      mem.toDF().toDF("user_id", "ts_us").as[StreamingOps.Ev], m)
+    val q = rows.writeStream.outputMode("update").format("memory")
+      .queryName("shist_state").start()
+    try {
+      // batch 1: two singleton sessions 2m apart (gap 1m breaks at >1m)
+      mem.addData((1L, 0L), (1L, 2 * m))
+      q.processAllAvailable()
+      // batch 2: an event at 1m bridges them into ONE session of 3 —
+      // the histogram must move 2×size-1 to 1×size-3, which a
+      // session-count selector would mis-order (count DROPS 2 → 1)
+      mem.addData((1L, m))
+      q.processAllAvailable()
+      val last = spark.table("shist_state").collect()
+        .map(r => (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3)))
+        .maxBy(_._1)
+      assert(last == ((3L, Seq(3L), Seq(1L))))
+    } finally { q.stop(); spark.catalog.dropTempView("shist_state") }
+  }
+
+  test("session-hist state: eviction folds closed sizes, drops late rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = 60L * 1000000L
+    val mem = MemoryStream[(Long, Long)]
+    val rows = StreamingOps.sessionLengthUpdates(spark,
+      mem.toDF().toDF("user_id", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "0 seconds")
+        .as[StreamingOps.Ev],
+      m, watermarkEviction = true)
+    val q = rows.writeStream.outputMode("update").format("memory")
+      .queryName("shist_evict").start()
+    try {
+      // batch 1: session {0, 30s} plus a far-future event pushing the
+      // watermark to 100m — the early session closes into the histogram
+      mem.addData((1L, 0L), (1L, 30 * 1000000L), (1L, 100 * m))
+      q.processAllAvailable()
+      // batch 2: in-time event joins the open session; event at 50m is
+      // late (below watermark) and must be dropped, not start a session
+      mem.addData((1L, 100 * m + 30 * 1000000L), (1L, 50 * m))
+      q.processAllAvailable()
+      val last = spark.table("shist_evict").collect()
+        .map(r => (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3)))
+        .maxBy(_._1)
+      // sizes: the closed {0,30s} session (2) + the open {100m,100m30s}
+      // session (2) → histogram {2 → 2} over 4 absorbed events
+      assert(last == ((4L, Seq(2L), Seq(2L))))
+    } finally { q.stop(); spark.catalog.dropTempView("shist_evict") }
+  }
 }
