@@ -274,6 +274,21 @@ object SparkEntry {
       graft.streaming.StreamingOps.sessionizeStateful(s, d, gapMinutes = 30)
         .orderBy("user_id")),
 
+    "events_stream_funnel" -> ((s, d) =>
+      // live-ingest funnel: per-user min-ts-per-step state (O(#steps)
+      // longs per user, commutative fold — no watermark contract needed);
+      // reached/ordered classification post-drain; batch oracle shared
+      graft.streaming.StreamingOps
+        .funnelStream(s, d, Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    "events_stream_retention" -> ((s, d) =>
+      // live-ingest cohort retention: per-user distinct-day-set state;
+      // offsets recomputed from the full set each emission so late data
+      // REASSIGNS cohorts correctly; batch oracle shared
+      graft.streaming.StreamingOps.retentionStream(s, d)
+        .orderBy("cohort_day", "week_offset")),
+
     "events_stream_session_length_hist" -> ((s, d) =>
       // live-ingest pairing of events_session_length_hist: shared interval
       // merge with the stream sessionizer, per-user sparse size histograms
@@ -1929,6 +1944,7 @@ object SparkEntry {
     "events_stream_sessionize" -> OracleExt.eventsSessionize,
     "events_stream_gap_hist" -> OracleExt.eventsGapHist,
     "events_stream_session_length_hist" -> OracleExt.eventsSessionLengthHist,
+    "events_stream_funnel" -> OracleExt.eventsFunnel,
     "docs_stream_dedup" -> OracleExt.dedupExact,
     "docs_stream_dedup_watermark" ->
       """SELECT DISTINCT md5(text) AS content_hash,
@@ -2004,6 +2020,19 @@ object SparkEntry {
          LIMIT 100""",
 
     "events_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+         cohort AS (SELECT user_id, min(day) AS cohort_day
+                    FROM days GROUP BY user_id)
+         SELECT c.cohort_day,
+                CAST(date_diff('day', c.cohort_day, d.day) // 7 AS BIGINT)
+                  AS week_offset,
+                CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+         FROM days d JOIN cohort c ON d.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the streaming pairing shares the batch cohort semantics exactly
+    "events_stream_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
          days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
          cohort AS (SELECT user_id, min(day) AS cohort_day

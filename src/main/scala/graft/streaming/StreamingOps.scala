@@ -788,6 +788,136 @@ object StreamingOps {
       .select("gap_digits", "n_gaps", "ppm")
   }
 
+  case class EvT(user_id: Long, ts_us: Long, event_type: String)
+  case class FunnelState(nSeen: Long, tStep: Array[Long])
+  case class FunnelRow(user_id: Long, n_seen: Long, t_step: Array[Long])
+
+  /** Stateful streaming funnel: per-user state is ONE Long per step — the
+    * min event time of that step seen so far (Long.MaxValue sentinel until
+    * seen). min is commutative and idempotent, so the fold is
+    * order-independent with NO watermark contract at all: a late event can
+    * only lower a step's min, never invalidate folded state — the
+    * tightest state bound of any stateful operator here (O(#steps) per
+    * user, nothing to evict). Emission is cumulative; the drain selector
+    * is the absorbed-event count.
+    */
+  def funnelUpdates(spark: SparkSession,
+                    events: org.apache.spark.sql.Dataset[EvT],
+                    steps: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val stepIx = steps.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (user: Long, arrivals: Iterator[EvT],
+         state: GroupState[FunnelState]) => {
+          val old = if (state.exists) state.get
+            else FunnelState(0L, Array.fill(steps.size)(Long.MaxValue))
+          val t = old.tStep.clone()
+          var n = old.nSeen
+          arrivals.foreach { e =>
+            n += 1
+            stepIx.get(e.event_type).foreach { i =>
+              if (e.ts_us < t(i)) t(i) = e.ts_us
+            }
+          }
+          state.update(FunnelState(n, t))
+          Iterator.single(FunnelRow(user, n, t))
+        })
+      .toDF()
+  }
+
+  /** Streaming funnel: the live-ingest pairing of batch
+    * `EventOps.funnel` — per-user step minima maintained across
+    * split-file triggers by [[funnelUpdates]]; the reached/ordered
+    * classification is a post-drain projection over |users| rows. Shares
+    * the batch DuckDB oracle.
+    */
+  def funnelStream(spark: SparkSession, dir: String, steps: Seq[String],
+                   nFiles: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStreamSplit(spark, dir, nFiles)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+              col("event_type")).as[EvT]
+    val drained = runToTable(spark, funnelUpdates(spark, ev, steps),
+      OutputMode.Update())
+    val latest = drained
+      .groupBy("user_id")
+      .agg(max(struct(col("n_seen"), col("t_step"))).as("s"))
+    val withCols = steps.zipWithIndex.foldLeft(
+      latest.select(col("user_id"), col("s.t_step").as("t"))) {
+      case (df, (step, i)) =>
+        df.withColumn(s"t_$step",
+          when(col("t").getItem(i) =!= Long.MaxValue,
+               timestamp_micros(col("t").getItem(i))))
+    }
+    val reached = steps.map(s => col(s"t_$s").isNotNull).reduce(_ && _)
+    val ordered = steps.sliding(2).map { pair =>
+      col(s"t_${pair.head}") < col(s"t_${pair.last}")
+    }.reduce(_ && _)
+    withCols.drop("t").filter(reached).withColumn("completed", ordered)
+  }
+
+  case class EvD(user_id: Long, epoch_day: Int)
+  case class RetState(days: Array[Int])
+  case class RetRow(user_id: Long, n_days: Long, cohort_day: Int,
+                    offsets: Array[Long])
+
+  /** Stateful streaming retention: per-user state is the DISTINCT active
+    * day set (epoch days, sorted) — bounded by the analysis horizon's day
+    * count, not the event volume, and order-independent: a late earlier
+    * day lowers the cohort minimum and every week offset is recomputed
+    * from the full day set on emission, so cohort REASSIGNMENT under
+    * late data is handled by construction (an incremental
+    * offset-counter state could not move a user between cohorts).
+    */
+  def retentionUpdates(spark: SparkSession,
+                       events: org.apache.spark.sql.Dataset[EvD]): DataFrame = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (user: Long, arrivals: Iterator[EvD],
+         state: GroupState[RetState]) => {
+          val old = if (state.exists) state.get else RetState(Array.empty)
+          val days = (old.days.toSet ++ arrivals.map(_.epoch_day)).toArray
+          java.util.Arrays.sort(days)
+          state.update(RetState(days))
+          val cohort = days(0)
+          Iterator.single(RetRow(user, days.length.toLong, cohort,
+            days.map(d => ((d - cohort) / 7).toLong).distinct))
+        })
+      .toDF()
+  }
+
+  /** Streaming cohort retention: the live-ingest pairing of batch
+    * `events_retention` — per-user day sets across split-file triggers,
+    * the (cohort, offset) matrix a post-drain aggregation (exact:
+    * after the per-user drain each (user, offset) appears once, so a
+    * plain count equals the batch COUNT DISTINCT). Shares the batch
+    * DuckDB oracle.
+    */
+  def retentionStream(spark: SparkSession, dir: String,
+                      nFiles: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStreamSplit(spark, dir, nFiles)
+      .select(col("user_id"),
+              unix_date(to_date(col("ts"))).as("epoch_day")).as[EvD]
+    val drained = runToTable(spark, retentionUpdates(spark, ev),
+      OutputMode.Update())
+    drained
+      .groupBy("user_id")
+      .agg(max(struct(col("n_days"), col("cohort_day"),
+                      col("offsets"))).as("s"))
+      .select(col("user_id"),
+              date_from_unix_date(col("s.cohort_day")).as("cohort_day"),
+              explode(col("s.offsets")).as("week_offset"))
+      .groupBy("cohort_day", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   case class SessHistRow(user_id: Long, n_total: Long,
                          sizes: Array[Long], counts: Array[Long])
 

@@ -62,4 +62,34 @@ class SmokeGateSpec extends AnyFunSuite {
     val dt = graft.sources.Tables.events(spark, sfDir).schema("ts").dataType
     assert(dt == TimestampType, s"events.ts normalized to $dt, expected TimestampType")
   }
+
+  // Pin the (column → type) contract every operator family assumes on the
+  // driver-generated tables, so a future testdata regeneration that
+  // reshapes a column fails HERE with a readable diff instead of as a
+  // scatter of analysis errors across the query surface.
+  test("driver tables carry the column types the operators assume") {
+    import graft.sources.{Tables => T}
+    val expect = Map(
+      "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+        "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+      "embeddings" -> Seq("vec_id" -> "bigint",
+        "embedding" -> "array<float>", "label" -> "int"),
+      "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+        "user_id" -> "bigint", "event_type" -> "string",
+        "value" -> "double", "props" -> "string"))
+    val got = Map(
+      "documents" -> T.documents(spark, sfDir),
+      "embeddings" -> T.embeddings(spark, sfDir),
+      "events" -> T.events(spark, sfDir))
+    for ((table, cols) <- expect; (name, tpe) <- cols) {
+      val schema = got(table).schema
+      assert(schema.fieldNames.contains(name),
+        s"$table lost column '$name' — regenerated testdata reshaped it; " +
+        s"present: ${schema.fieldNames.mkString(", ")}")
+      val actual = schema(name).dataType.simpleString
+      assert(actual == tpe,
+        s"$table.$name is $actual, operators assume $tpe — extend the " +
+        "reader normalization (see Tables.normalizeEventTs) or the operators")
+    }
+  }
 }

@@ -561,4 +561,76 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(last == ((4L, Seq(2L), Seq(2L))))
     } finally { q.stop(); spark.catalog.dropTempView("shist_evict") }
   }
+
+  test("streaming funnel equals batch funnel") {
+    val steps = Seq("view", "click", "purchase")
+    val streamed = StreamingOps.funnelStream(spark, dir, steps)
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps.funnel(Tables.events(spark, dir), steps)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("funnel state: step minima fold commutatively across triggers") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val rows = StreamingOps.funnelUpdates(spark,
+      mem.toDF().toDF("user_id", "ts_us", "event_type")
+        .as[StreamingOps.EvT],
+      Seq("view", "click", "purchase"))
+    val q = rows.writeStream.outputMode("update").format("memory")
+      .queryName("funnel_state").start()
+    try {
+      // steps arrive REVERSED across triggers: purchase first, then
+      // click, then two views (the later view must NOT raise the min)
+      mem.addData((1L, 300L, "purchase")); q.processAllAvailable()
+      mem.addData((1L, 200L, "click")); q.processAllAvailable()
+      mem.addData((1L, 100L, "view"), (1L, 150L, "view"))
+      q.processAllAvailable()
+      val last = spark.table("funnel_state").collect()
+        .map(r => (r.getLong(1), r.getSeq[Long](2))).maxBy(_._1)
+      assert(last == ((4L, Seq(100L, 200L, 300L))))
+    } finally { q.stop(); spark.catalog.dropTempView("funnel_state") }
+  }
+
+  test("streaming retention equals batch retention") {
+    val streamed = StreamingOps.retentionStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    val ev = Tables.events(spark, dir)
+    import org.apache.spark.sql.functions._
+    val days = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val batch = days.join(cohort, Seq("user_id"))
+      .withColumn("week_offset",
+        expr("datediff(day, cohort_day) div 7").cast("long"))
+      .groupBy("cohort_day", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("retention state: a late earlier day REASSIGNS the user's cohort") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Int)]
+    val rows = StreamingOps.retentionUpdates(spark,
+      mem.toDF().toDF("user_id", "epoch_day").as[StreamingOps.EvD])
+    val q = rows.writeStream.outputMode("update").format("memory")
+      .queryName("ret_state").start()
+    try {
+      // batch 1: days 14 and 21 → cohort 14, offsets {0, 1}
+      mem.addData((1L, 14), (1L, 21)); q.processAllAvailable()
+      // batch 2: late day 0 arrives → cohort moves to 0, offsets {0, 2, 3}
+      mem.addData((1L, 0)); q.processAllAvailable()
+      val last = spark.table("ret_state").collect()
+        .map(r => (r.getLong(1), r.getInt(2), r.getSeq[Long](3)))
+        .maxBy(_._1)
+      assert(last == ((3L, 0, Seq(0L, 2L, 3L))))
+    } finally { q.stop(); spark.catalog.dropTempView("ret_state") }
+  }
 }
