@@ -449,6 +449,14 @@ object SparkEntry {
         .orderBy("media_a", "frame_a", "media_b", "frame_b")
     }),
 
+    "multimodal_stream_frame_near_dedup" -> ((s, d) =>
+      // media landing dir, NEAR-dup grain: frames banded on the batch
+      // operator's sign-bit cosine bands as files land, candidate pairs
+      // emitted incrementally by the shared band-state machine; exact-sim
+      // verification post-drain — shares the batch oracle
+      graft.streaming.StreamingOps.frameNearDupStream(s, d)
+        .orderBy("media_a", "frame_a", "media_b", "frame_b")),
+
     // side-effecting operators over scratch buckets (§2.2) --------------
     "object_put" -> ((s, d) => {
       val src = IoFixtures.freshDir("put/src"); val dst = IoFixtures.freshDir("put/dst")
@@ -1911,6 +1919,9 @@ object SparkEntry {
     "multimodal_stream_frame_dedup" -> OracleExt.multimodalFrameDedup(
       frameBytes = 64, stride = 2),
     "multimodal_frame_near_dedup" -> OracleExt.multimodalFrameNearDedup(
+      frameBytes = 64, stride = 2, threshold = 0.99, dim = 8,
+      bands = 4, rowsPerBand = 16),
+    "multimodal_stream_frame_near_dedup" -> OracleExt.multimodalFrameNearDedup(
       frameBytes = 64, stride = 2, threshold = 0.99, dim = 8,
       bands = 4, rowsPerBand = 16),
     "multimodal_select" -> OracleExt.multimodalSelect,

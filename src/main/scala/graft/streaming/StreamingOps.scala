@@ -401,6 +401,19 @@ object StreamingOps {
       .withMinhashBandKeys(docs, k, bands)
       .select(col("doc_id"), explode(col("bands")).as("band"))
       .as[BandRow]
+    bandedCandidatePairs(spark, banded, maxPerBand)
+  }
+
+  /** The banded candidate-pair state machine, independent of how band keys
+    * were produced (minhash shingle bands, cosine sign-bit bands, frame
+    * feature bands): one `flatMapGroupsWithState` keyed by band whose
+    * state is the ids seen so far (first `maxPerBand` retained); every
+    * cross-arrival pair is emitted exactly once.
+    */
+  def bandedCandidatePairs(spark: SparkSession,
+                           banded: org.apache.spark.sql.Dataset[BandRow],
+                           maxPerBand: Int): DataFrame = {
+    import spark.implicits._
     val pairs = banded
       .groupByKey(_.band)
       .flatMapGroupsWithState(
@@ -419,6 +432,72 @@ object StreamingOps {
           out.iterator
         })
     pairs.toDF()
+  }
+
+  /** Streaming frame-granularity NEAR dedup: the live pairing of
+    * `multimodal_frame_near_dedup` — frames are sampled from binary
+    * payloads as media files land, banded on the SAME sign-bit cosine
+    * bands as the batch operator (VectorOps.bandKeyCols over the integer
+    * byte-statistics features), and candidate pairs emit incrementally
+    * through the shared [[bandedCandidatePairs]] state machine. Exact-sim
+    * verification is a post-drain projection: the drained candidate set
+    * joins the statically recomputed feature vectors (|candidates| rows,
+    * same discipline as [[rangeJoinStream]]'s zero-restoration), so the
+    * drained result equals the batch operator and shares its oracle.
+    *
+    * In-stream cost note: the batch path's eager barriers are illegal on
+    * a stream, so the stream side uses their streaming equivalent — hash
+    * repartitions (CollapseProject cannot inline a projection across an
+    * exchange): one inside `frameFeatures(streamSafe = true)` between the
+    * byte-parse and the sums, one here between the features and the 64
+    * plane projections of the band keys.
+    */
+  def frameNearDupStream(spark: SparkSession, dir: String,
+                         threshold: Double = 0.99,
+                         frameBytes: Int = 64, stride: Int = 2,
+                         dim: Int = 8, bands: Int = 4,
+                         rowsPerBand: Int = 16,
+                         nFiles: Int = 4): DataFrame = {
+    import graft.operators.{Barriers, Multimodal, VectorOps}
+    import graft.functions.ArrayMath.{dot_product, l2_norm}
+    import spark.implicits._
+    def feats(docs: DataFrame, streamSafe: Boolean): DataFrame =
+      Multimodal.frameFeatures(
+        Multimodal.frameSample(Multimodal.mediaFromDocuments(docs),
+                               frameBytes, stride),
+        dim = dim, streamSafe = streamSafe)
+    val banded = feats(stagedStreamSplit(spark, dir, "documents", nFiles),
+                       streamSafe = true)
+      .repartition(col("vec_id"))
+      .select(col("vec_id").as("doc_id"),
+        explode(array(VectorOps.bandKeyCols(col("embedding"), dim,
+                                            bands, rowsPerBand): _*))
+          .as("band"))
+      .as[BandRow]
+    val cand = runToTable(spark,
+      bandedCandidatePairs(spark, banded, Int.MaxValue),
+      OutputMode.Append())
+      .distinct()
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    // post-drain exact verification against statically recomputed features
+    // (the pair machinery reads them twice — barrier as in the batch path)
+    val fstat = Barriers.materialize(
+      feats(graft.sources.Tables.documents(spark, dir), streamSafe = false))
+    val va = fstat.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+      .withColumn("na", l2_norm(col("va")))
+    val vb = fstat.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+      .withColumn("nb", l2_norm(col("vb")))
+    val sh = Multimodal.FrameIdShift
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .withColumn("sim", round(
+        dot_product(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(
+        expr(s"vec_a div ${sh}L").as("media_a"),
+        pmod(col("vec_a"), lit(sh)).as("frame_a"),
+        expr(s"vec_b div ${sh}L").as("media_b"),
+        pmod(col("vec_b"), lit(sh)).as("frame_b"),
+        col("sim"))
   }
 
   /** Streaming dataset-card monitor: the (lang, source) composition table

@@ -633,4 +633,12 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(last == ((3L, 0, Seq(0L, 2L, 3L))))
     } finally { q.stop(); spark.catalog.dropTempView("ret_state") }
   }
+
+  test("streaming frame near-dedup equals the batch pair set") {
+    val streamed = StreamingOps.frameNearDupStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("multimodal_frame_near_dedup")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
