@@ -274,6 +274,19 @@ object SparkEntry {
       graft.streaming.StreamingOps.sessionizeStateful(s, d, gapMinutes = 30)
         .orderBy("user_id")),
 
+    "events_stream_dedup_window" -> ((s, d) =>
+      // the retry-collapse audit live: complete-mode counts per
+      // (user, type, bucket) — the audit needs key counts, not winner
+      // identity, so built-in aggregation state suffices; batch oracle
+      graft.streaming.StreamingOps.dedupWindowStream(s, d, windowMinutes = 5)
+        .orderBy("event_type")),
+
+    "docs_stream_length_quantiles" -> ((s, d) =>
+      // dataset-card length profile live: per-(source, length) histogram
+      // state, exact integer-rank pick post-drain; batch oracle
+      graft.streaming.StreamingOps.lengthQuantilesStream(s, d)
+        .orderBy("source", "pct")),
+
     "events_stream_funnel" -> ((s, d) =>
       // live-ingest funnel: per-user min-ts-per-step state (O(#steps)
       // longs per user, commutative fold — no watermark contract needed);
@@ -1956,6 +1969,8 @@ object SparkEntry {
     "events_stream_gap_hist" -> OracleExt.eventsGapHist,
     "events_stream_session_length_hist" -> OracleExt.eventsSessionLengthHist,
     "events_stream_funnel" -> OracleExt.eventsFunnel,
+    "events_stream_dedup_window" -> OracleExt.eventsDedupWindow(5),
+    "docs_stream_length_quantiles" -> OracleExt.lengthQuantiles,
     "docs_stream_dedup" -> OracleExt.dedupExact,
     "docs_stream_dedup_watermark" ->
       """SELECT DISTINCT md5(text) AS content_hash,

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -498,6 +499,65 @@ object StreamingOps {
         expr(s"vec_b div ${sh}L").as("media_b"),
         pmod(col("vec_b"), lit(sh)).as("frame_b"),
         col("sim"))
+  }
+
+  /** Streaming windowed-dedup audit: the per-type (seen / kept / dropped)
+    * repair report maintained live. The batch operator's "first per
+    * (user, type, window)" winner needs an order — but the AUDIT only
+    * counts keys, so the streaming state is the plain complete-mode count
+    * per (user, type, bucket): one row per distinct key, exactly the
+    * retry-collapse state a landing pipeline carries, watermark-evictable
+    * in deployment because keys are event-time-bucketed and age out.
+    * n_kept = #keys, n_events = Σcounts — equal to the batch audit by
+    * construction, so the batch oracle verifies the drained result.
+    */
+  def dedupWindowStream(spark: SparkSession, dir: String,
+                        windowMinutes: Int, nFiles: Int = 4): DataFrame = {
+    val bucketUs = windowMinutes * 60L * 1000000L
+    val agg = eventsStreamSplit(spark, dir, nFiles)
+      // sign-safe FLOOR division, same expr as the batch operator
+      .withColumn("bucket", expr(
+        s"(unix_micros(ts) - pmod(unix_micros(ts), ${bucketUs}L)) " +
+          s"div ${bucketUs}L"))
+      .groupBy("user_id", "event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+    runToTable(spark, agg, OutputMode.Complete())
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"),
+           count(lit(1)).as("n_kept"))
+      .withColumn("n_dropped", col("n_events") - col("n_kept"))
+  }
+
+  /** Streaming length-profile quantiles: the dataset-card p50/p90/p99
+    * token lengths per source, maintained live. State is the per-(source,
+    * token-length) count histogram (complete mode — bounded by distinct
+    * lengths per source, not corpus size); the exact integer-rank pick is
+    * a post-drain cumulative sweep: token_len at rank r is the first
+    * length whose cumulative count reaches r, which equals the batch
+    * row_number pick because the within-length doc_id tie-break cannot
+    * change the length AT a rank. Shares the batch oracle.
+    */
+  def lengthQuantilesStream(spark: SparkSession, dir: String,
+                            pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import graft.operators.TextOps.tokens
+    val agg = docsStream(spark, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .groupBy("source", "n_tokens")
+      .agg(count(lit(1)).as("cnt"))
+    val drained = runToTable(spark, agg, OutputMode.Complete())
+    val w = Window.partitionBy("source").orderBy("n_tokens")
+    val cum = drained
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val totals = drained.groupBy("source").agg(sum(col("cnt")).as("n"))
+    val ranked = cum.join(broadcast(totals), Seq("source"))
+    pcts.map { p =>
+      ranked
+        .withColumn("r", expr(s"cast(ceil(n * $p / 100.0) as bigint)"))
+        .filter(col("prev") < col("r") && col("r") <= col("cum"))
+        .select(col("source"), lit(p.toLong).as("pct"),
+                col("n_tokens").as("token_len"))
+    }.reduce(_ unionAll _)
   }
 
   /** Streaming dataset-card monitor: the (lang, source) composition table

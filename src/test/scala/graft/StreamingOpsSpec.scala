@@ -634,6 +634,23 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally { q.stop(); spark.catalog.dropTempView("ret_state") }
   }
 
+  test("streaming windowed-dedup audit equals the batch audit") {
+    val streamed = StreamingOps.dedupWindowStream(spark, dir, 5)
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps.dedupWindow(Tables.events(spark, dir), 5)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("streaming length quantiles equal the batch exact-rank picks") {
+    val streamed = StreamingOps.lengthQuantilesStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.TextOps
+      .lengthQuantiles(Tables.documents(spark, dir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming frame near-dedup equals the batch pair set") {
     val streamed = StreamingOps.frameNearDupStream(spark, dir)
       .collect().map(_.toSeq).toSet
