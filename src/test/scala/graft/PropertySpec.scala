@@ -205,4 +205,134 @@ class PropertySpec extends AnyFunSuite {
       assert(trimmedIds.subsetOf(docs.map(_._1).toSet))
     }
   }
+
+  // ---- stateful streaming operators: random multisets, random trigger
+  // splits, arbitrary arrival order — the drained result must equal an
+  // independent in-memory model (the order-independence these operators
+  // claim in their scaladocs, at property level instead of one fixture).
+
+  import graft.streaming.StreamingOps
+
+  /** Run a stateful op over explicit micro-batches and return the final
+    * (max-selector) emission per user as raw rows.
+    */
+  private def drainBatches[A <: Product : org.apache.spark.sql.Encoder](
+      batches: Seq[Seq[A]],
+      build: org.apache.spark.sql.Dataset[A] => org.apache.spark.sql.DataFrame)
+      : Array[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[A]
+    val name = s"prop_drain_${System.nanoTime()}"
+    val q = build(mem.toDS()).writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try batches.foreach { b =>
+      if (b.nonEmpty) mem.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).collect()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  private def randomEventBatches(rnd: scala.util.Random, users: Int,
+                                 events: Int, maxTsUs: Long,
+                                 nBatches: Int): Seq[Seq[(Long, Long)]] = {
+    val evs = Seq.fill(events)(
+      (1L + rnd.nextInt(users), rnd.nextLong(maxTsUs)))
+    // shuffled THEN split: arrival order is unrelated to event time
+    rnd.shuffle(evs).grouped(math.max(1, evs.size / nBatches)).toSeq
+  }
+
+  test("gap-hist state equals the sorted-multiset model on random splits") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val batches = randomEventBatches(rnd, users = 4, events = 40,
+        maxTsUs = 5000000L, nBatches = 2 + rnd.nextInt(3))
+      val rows = drainBatches[(Long, Long)](batches,
+        ds => StreamingOps.gapHistUpdates(spark,
+          ds.toDF("user_id", "ts_us").as[StreamingOps.Ev]))
+        .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+      val model = batches.flatten.groupBy(_._1).map { case (u, evs) =>
+        val ts = evs.map(_._2).sorted
+        val gaps = ts.zip(ts.tail).map { case (a, b) => (b - a).toString.length.toLong }
+        val hist = gaps.groupBy(identity).map { case (d, g) => d -> g.size.toLong }
+          .toSeq.sortBy(_._1)
+        u -> ((gaps.size.toLong, hist.map(_._1), hist.map(_._2)))
+      }
+      assert(rows.keySet == model.keySet, s"trial $trial users")
+      for (u <- model.keys)
+        assert(rows(u)._1 == model(u)._1 && rows(u)._2 == model(u)._2 &&
+               rows(u)._3 == model(u)._3, s"trial $trial user $u")
+    }
+  }
+
+  test("session-length-hist state equals the gap-split model on random splits") {
+    val rnd = new scala.util.Random(17)
+    val gapUs = 300000L
+    for (trial <- 1 to 3) {
+      val batches = randomEventBatches(rnd, users = 4, events = 40,
+        maxTsUs = 5000000L, nBatches = 2 + rnd.nextInt(3))
+      val rows = drainBatches[(Long, Long)](batches,
+        ds => StreamingOps.sessionLengthUpdates(spark,
+          ds.toDF("user_id", "ts_us").as[StreamingOps.Ev], gapUs))
+        .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+      val model = batches.flatten.groupBy(_._1).map { case (u, evs) =>
+        val ts = evs.map(_._2).sorted
+        val sizes = scala.collection.mutable.ArrayBuffer(1L)
+        ts.zip(ts.tail).foreach { case (a, b) =>
+          if (b - a > gapUs) sizes += 1L else sizes(sizes.size - 1) += 1L
+        }
+        val hist = sizes.groupBy(identity).map { case (s, g) => s -> g.size.toLong }
+          .toSeq.sortBy(_._1)
+        u -> ((ts.size.toLong, hist.map(_._1), hist.map(_._2)))
+      }
+      for (u <- model.keys)
+        assert(rows(u) == model(u), s"trial $trial user $u: ${rows(u)} vs ${model(u)}")
+    }
+  }
+
+  test("funnel state equals the min-per-step model on random splits") {
+    val rnd = new scala.util.Random(19)
+    val steps = Seq("view", "click", "purchase")
+    for (trial <- 1 to 3) {
+      val evs = Seq.fill(40)((1L + rnd.nextInt(4),
+        rnd.nextLong(5000000L), steps(rnd.nextInt(steps.size))))
+      val batches = rnd.shuffle(evs).grouped(14).toSeq
+      val rows = drainBatches[(Long, Long, String)](batches,
+        ds => StreamingOps.funnelUpdates(spark,
+          ds.toDF("user_id", "ts_us", "event_type").as[StreamingOps.EvT],
+          steps))
+        .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1)._2 }
+      val model = evs.groupBy(_._1).map { case (u, es) =>
+        u -> steps.map(s =>
+          es.filter(_._3 == s).map(_._2).minOption.getOrElse(Long.MaxValue))
+      }
+      for (u <- model.keys)
+        assert(rows(u) == model(u), s"trial $trial user $u")
+    }
+  }
+
+  test("retention state equals the distinct-day model on random splits") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val evs = Seq.fill(40)((1L + rnd.nextInt(4), rnd.nextInt(60)))
+      val batches = rnd.shuffle(evs).grouped(14).toSeq
+      val rows = drainBatches[(Long, Int)](batches,
+        ds => StreamingOps.retentionUpdates(spark,
+          ds.toDF("user_id", "epoch_day").as[StreamingOps.EvD]))
+        .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2), r.getSeq[Long](3))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+      val model = evs.groupBy(_._1).map { case (u, es) =>
+        val days = es.map(_._2).distinct.sorted
+        val cohort = days.head
+        u -> ((days.size.toLong, cohort,
+               days.map(d => ((d - cohort) / 7).toLong).distinct))
+      }
+      for (u <- model.keys)
+        assert(rows(u) == model(u), s"trial $trial user $u")
+    }
+  }
 }
