@@ -445,12 +445,12 @@ object SparkEntry {
         Multimodal.mediaFromDocuments(T.documents(s, d)),
         frameBytes = 64, stride = 2)
       val sh = Multimodal.FrameIdShift
-      // barrier: the pair machinery evaluates its input 3× (band keys +
-      // both join sides) and each of the 64 plane projections references
-      // the embedding expression — unmaterialized, the nested byte-parse
-      // recomputes ~64× per frame (measured 50 s vs 1.4 s at sf0.1)
-      val feats = graft.operators.Barriers.materialize(
-        Multimodal.frameFeatures(frames))
+      // no barrier: frame features are a native one-pass codegen
+      // expression (functions/FrameMath.scala) — the pair machinery's 3
+      // consumers may inline it at O(frameBytes) primitive ops per
+      // reference (its HOF predecessor re-parsed ~64× per frame here,
+      // measured 50 s vs 1.4 s at sf0.1, and needed this barrier)
+      val feats = Multimodal.frameFeatures(frames)
       VectorOps.nearDupCosine(feats, 0.99,
           dim = 8, bands = 4, rowsPerBand = 16)
         .select(

@@ -139,53 +139,23 @@ object Multimodal {
     */
   def frameFeatures(frames: DataFrame, dim: Int = 8,
                     streamSafe: Boolean = false): DataFrame = {
-    val hx = hex(col("frame"))
-    // BARRIER between parsing and summing: CollapseProject inlines a
-    // projected column into every reference, so without it each of the
-    // `dim` aggregates' every accumulation step would re-run the full
-    // 64-element hex-parse transform — a ~dim² per-byte blowup measured
-    // at 50 s vs 1.5 s for the declared query at sf0.1. Materializing the
-    // parsed byte arrays makes element_at an O(1) array read. On a
-    // STREAMING input an eager barrier is illegal (it executes a batch
-    // job), so `streamSafe` swaps it for the streaming equivalent: a
-    // hash repartition — CollapseProject cannot inline across the
-    // exchange, so the parse projection runs once in the map stage and
-    // the sums read shuffled materialized arrays.
-    val parsedRaw =
-      frames
-        .filter(col("frame_len") > 0)
-        .select(
-          (col("media_id") * FrameIdShift + col("frame_idx")).as("vec_id"),
-          transform(sequence(lit(1), col("frame_len").cast("int")),
-            i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
-            .as("bytes"))
-    val parsed =
-      if (streamSafe) parsedRaw.repartition(col("vec_id"))
-      else Barriers.materialize(parsedRaw)
-    val embedded = parsed
-      .withColumn("total",
-        aggregate(col("bytes"), lit(0L), (a, b) => a + b))
+    // Native one-pass codegen expression (functions/FrameMath.scala):
+    // exact Long arithmetic identical to the original HOF formulation
+    // (hex parse + dim aggregate sums), which needed an eager barrier
+    // (batch) or a repartition (stream) to stop CollapseProject from
+    // re-inlining the parse into every consumer. A single O(len)
+    // primitive pass needs neither — `streamSafe` is retained for source
+    // compatibility and because streaming callers may not place eager
+    // barriers, but both modes now produce the same barrier-free plan.
+    val _ = streamSafe
+    frames
+      .filter(col("frame_len") > 0)
       .select(
-        col("vec_id"),
-        transform(sequence(lit(0), lit(dim - 1)), j =>
-          (lit(dim) * aggregate(
-            filter(sequence(lit(1), size(col("bytes"))),
-                   i => pmod(i - 1, lit(dim)) === j),
-            lit(0L),
-            (acc, i) => acc + element_at(col("bytes"), i))
-            - col("total")).cast("double")).as("embedding"))
-    // The zero-norm filter is OMITTED in streamSafe mode — not just
-    // because it is cheap to defer, but because keeping it is a
-    // performance trap: PushDownPredicates pushes any deterministic
-    // filter below the repartition, substituting the FULL parse+sums
-    // expression into a per-frame predicate (each element_at re-evaluates
-    // the whole 64-element parse transform — measured 36 s vs 2.5 s at
-    // sf0.1). Streaming callers must drop zero-norm vectors downstream;
-    // frameNearDupStream does so structurally (its verification join is
-    // INNER against the batch-side features, which exclude them here).
-    if (streamSafe) embedded
-    else embedded.filter(graft.functions.ArrayMath
-      .dot_product(col("embedding"), col("embedding")) > 0)
+        (col("media_id") * FrameIdShift + col("frame_idx")).as("vec_id"),
+        graft.functions.FrameMath.frame_byte_features(col("frame"), dim)
+          .as("embedding"))
+      .filter(graft.functions.ArrayMath
+        .dot_product(col("embedding"), col("embedding")) > 0)
   }
 
   /** Metadata-only projection over media + decoded features + documents —

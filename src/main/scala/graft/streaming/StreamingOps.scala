@@ -446,12 +446,12 @@ object StreamingOps {
     * same discipline as [[rangeJoinStream]]'s zero-restoration), so the
     * drained result equals the batch operator and shares its oracle.
     *
-    * In-stream cost note: the batch path's eager barriers are illegal on
-    * a stream, so the stream side uses their streaming equivalent — hash
-    * repartitions (CollapseProject cannot inline a projection across an
-    * exchange): one inside `frameFeatures(streamSafe = true)` between the
-    * byte-parse and the sums, one here between the features and the 64
-    * plane projections of the band keys.
+    * In-stream cost note: frame features are a native one-pass codegen
+    * expression (functions/FrameMath.scala), so no barrier is needed on
+    * either side — the 64 plane projections of the band keys may inline
+    * it, at O(frameBytes) primitive ops per reference. (Its first HOF
+    * implementation needed repartition barriers here and still lost to
+    * predicate re-inlining — see the expression's scaladoc.)
     */
   def frameNearDupStream(spark: SparkSession, dir: String,
                          threshold: Double = 0.99,
@@ -469,7 +469,6 @@ object StreamingOps {
         dim = dim, streamSafe = streamSafe)
     val banded = feats(stagedStreamSplit(spark, dir, "documents", nFiles),
                        streamSafe = true)
-      .repartition(col("vec_id"))
       .select(col("vec_id").as("doc_id"),
         explode(array(VectorOps.bandKeyCols(col("embedding"), dim,
                                             bands, rowsPerBand): _*))
