@@ -274,6 +274,21 @@ object SparkEntry {
       graft.streaming.StreamingOps.sessionizeStateful(s, d, gapMinutes = 30)
         .orderBy("user_id")),
 
+    "events_stream_sliding_window" -> ((s, d) =>
+      // overlapping watermarked windows live; batch oracle
+      graft.streaming.StreamingOps
+        .slidingWindowCounts(s, d, "1 hour", "30 minutes")
+        .orderBy("window_start", "event_type")),
+
+    "events_stream_json_agg" -> ((s, d) =>
+      // schema-known from_json parse as rows land; per-type state rows
+      graft.streaming.StreamingOps.jsonPropsAggStream(s, d)
+        .orderBy("event_type")),
+
+    "events_stream_key_skew" -> ((s, d) =>
+      // hot-key X-ray maintained live; ppm + top-K cut post-drain
+      graft.streaming.StreamingOps.keySkewStream(s, d, "user_id", topK = 20)),
+
     "events_stream_dedup_window" -> ((s, d) =>
       // the retry-collapse audit live: complete-mode counts per
       // (user, type, bucket) — the audit needs key counts, not winner
@@ -1970,6 +1985,9 @@ object SparkEntry {
     "events_stream_session_length_hist" -> OracleExt.eventsSessionLengthHist,
     "events_stream_funnel" -> OracleExt.eventsFunnel,
     "events_stream_dedup_window" -> OracleExt.eventsDedupWindow(5),
+    "events_stream_sliding_window" -> OracleExt.eventsSlidingWindow,
+    "events_stream_json_agg" -> OracleExt.eventsJsonAgg,
+    "events_stream_key_skew" -> OracleExt.eventsKeySkew(20),
     "docs_stream_length_quantiles" -> OracleExt.lengthQuantiles,
     "docs_stream_dedup" -> OracleExt.dedupExact,
     "docs_stream_dedup_watermark" ->

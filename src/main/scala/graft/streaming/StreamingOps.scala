@@ -163,6 +163,62 @@ object StreamingOps {
   private def docsStream(spark: SparkSession, dir: String): DataFrame =
     stagedStream(spark, dir, "documents")
 
+  /** Sliding (overlapping) watermarked windows — the only structural
+    * difference from [[windowCounts]] is that each event lands in
+    * duration/slide windows, which Spark's `window()` expands BEFORE the
+    * aggregation, so state rows scale with window overlap × active
+    * windows, still never with stream length.
+    */
+  def slidingWindowCounts(spark: SparkSession, dir: String,
+                          duration: String, slide: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), duration, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(25,4)")).cast("double")
+             .as("sum_value"))
+    runToTable(spark, agg, OutputMode.Complete())
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+  }
+
+  /** Streaming JSON-property rollup: one schema-known `from_json` parse
+    * per arriving row (stateless projection), then per-type complete-mode
+    * aggregation — state is one row per event type. Shares the batch
+    * oracle.
+    */
+  def jsonPropsAggStream(spark: SparkSession, dir: String): DataFrame = {
+    val propsSchema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.LongType)))
+    val agg = eventsStream(spark, dir)
+      .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           max(col("k")).as("max_k"))
+    runToTable(spark, agg, OutputMode.Complete())
+  }
+
+  /** Streaming hot-key X-ray: per-key counts maintained live (complete
+    * mode, one state row per distinct key); total, ppm shares and the
+    * top-K cut are post-drain projections over |keys| rows. Shares the
+    * batch oracle.
+    */
+  def keySkewStream(spark: SparkSession, dir: String, keyCol: String,
+                    topK: Int, nFiles: Int = 4): DataFrame = {
+    val agg = eventsStreamSplit(spark, dir, nFiles)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_events"))
+    val drained = runToTable(spark, agg, OutputMode.Complete())
+    val tot = drained.agg(sum(col("n_events")).as("t"))
+    drained.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("n_events * 1000000 div t"))
+      .orderBy(col("n_events").desc, col("key"))
+      .limit(topK)
+      .select("key", "n_events", "share_ppm")
+  }
+
   /** Streaming exact dedup: state = content hash → (min doc_id, count),
     * complete mode. The streaming generalization of TextOps.dedupExact —
     * a continuously-ingesting corpus deduplicates as it lands, instead of

@@ -634,6 +634,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally { q.stop(); spark.catalog.dropTempView("ret_state") }
   }
 
+  test("streaming sliding windows equal batch sliding counts") {
+    val streamed = StreamingOps
+      .slidingWindowCounts(spark, dir, "1 hour", "30 minutes")
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps
+      .slidingCounts(Tables.events(spark, dir), "1 hour", "30 minutes")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("streaming json rollup equals batch json rollup") {
+    val streamed = StreamingOps.jsonPropsAggStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps.jsonPropsAgg(Tables.events(spark, dir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("streaming key-skew report equals the batch report") {
+    val streamed = StreamingOps.keySkewStream(spark, dir, "user_id", 20)
+      .collect().map(_.toSeq).toSeq
+    val batch = EventOps.keySkewReport(Tables.events(spark, dir), "user_id", 20)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming windowed-dedup audit equals the batch audit") {
     val streamed = StreamingOps.dedupWindowStream(spark, dir, 5)
       .collect().map(_.toSeq).toSet
