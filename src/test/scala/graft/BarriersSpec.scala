@@ -69,6 +69,43 @@ class BarriersSpec extends AnyFunSuite {
     assert(rdd.getStorageLevel == StorageLevel.NONE)
   }
 
+  test("minhash + cluster propagation run green under the checkpoint strategy") {
+    // The cluster promise: `graft.barrier.strategy=checkpoint` is the
+    // preemption-safe setting for the iterative pipelines. Run the REAL
+    // pipelines through it — minhash banding (lazy barrier, two consumers)
+    // and connected-components (eager barrier + release every round) —
+    // and assert bit-identical results vs the default strategy.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "an entirely different document about spark and scala plans"),
+      (5L, "an entirely different document about spark and scala plans"),
+      (6L, "a singleton with no duplicate partner anywhere in sight")
+    ).toDF("doc_id", "text")
+    def run(): (Array[(Long, Long)], Array[(Long, Long, Boolean)]) = {
+      val pairs = graft.operators.TextOps.minhashCandidates(docs)
+        .as[(Long, Long)].collect().sorted
+      val clusters = graft.operators.CorpusOps.dedupClusters(docs)
+        .select("doc_id", "cluster_id", "is_canonical")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      (pairs, clusters)
+    }
+    val (pairsDefault, clustersDefault) = run()
+    // sanity: the fixture must actually exercise multi-doc clusters
+    assert(pairsDefault.nonEmpty)
+    assert(clustersDefault.count(!_._3) >= 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-pipe")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set(Barriers.StrategyKey, "checkpoint")
+    try {
+      val (pairsCkpt, clustersCkpt) = run()
+      assert(pairsCkpt.sameElements(pairsDefault))
+      assert(clustersCkpt.sameElements(clustersDefault))
+    } finally spark.conf.unset(Barriers.StrategyKey)
+  }
+
   test("unknown strategy fails fast") {
     import spark.implicits._
     spark.conf.set(Barriers.StrategyKey, "nope")
