@@ -87,7 +87,10 @@ object Bench {
     val ok = results.collect { case (_, Right(v)) => v }
     val nErr = results.count(_._2.isLeft)
     val total = ok.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}"""
+    // "only":true marks a subset run so downstream consumers can't mistake
+    // it for the full surface (its "total" covers only the named queries)
+    val onlyMarker = if (only.isDefined) """"only":true,""" else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$onlyMarker"queries":$qs,"errors":$nErr,"sf":"$sfDir"}"""
     // The full per-query map (112 entries at double precision, ~3.5 KB) no
     // longer fits the driver's 2000-char captured tail, so a full-map
     // stdout line is UNPARSEABLE driver-side (BENCH_r06/r07 both recorded
@@ -95,7 +98,13 @@ object Bench {
     // (SPARK_GRAFT_BENCH_OUT, default bench_out.json) and print a line
     // that FITS: headline = every error (never elided) plus the most
     // expensive queries, value still the total over ALL queries.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // An ONLY-restricted run must not clobber the full-surface artifact
+    // with a subset map (it happened once; bench_out.json had to be
+    // restored from git) — default it to a side path instead. An explicit
+    // SPARK_GRAFT_BENCH_OUT always wins.
+    val defaultOut =
+      if (only.isDefined) "bench_out.partial.json" else "bench_out.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     if (outPath.nonEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))

@@ -45,9 +45,15 @@ object Tables {
         df.withColumn("ts", timestamp_micros(
           expr("(ts - (((ts % 1000) + 1000) % 1000)) div 1000")))
       case "timestamp_ntz" =>
-        // Session TZ is pinned to UTC in every entry point, so the NTZ→LTZ
-        // cast relabels the same micros value — exact, and identical to how
-        // DuckDB (no TZ concept on plain TIMESTAMP) sees the column.
+        // The NTZ→LTZ cast relabels the same micros value ONLY under a UTC
+        // session TZ (any other zone shifts every event time). Every entry
+        // point pins spark.sql.session.timeZone=UTC; assert it here so a
+        // future entry point without the pin fails loudly instead of
+        // silently skewing the whole events table.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"normalizeEventTs: TIMESTAMP_NTZ events require session " +
+            s"timeZone=UTC (exact relabel); got '$tz'")
         df.withColumn("ts", col("ts").cast("timestamp"))
       case "timestamp" => df
       case other => sys.error(

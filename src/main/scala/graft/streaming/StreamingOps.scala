@@ -166,8 +166,13 @@ object StreamingOps {
   /** Sliding (overlapping) watermarked windows — the only structural
     * difference from [[windowCounts]] is that each event lands in
     * duration/slide windows, which Spark's `window()` expands BEFORE the
-    * aggregation, so state rows scale with window overlap × active
-    * windows, still never with stream length.
+    * aggregation, so state rows scale with window overlap × distinct
+    * (window, type) groups. NOTE on the mode: this harness runs Complete
+    * so the finite replay emits every window, and Complete retains ALL
+    * groups ever seen — state here spans the stream's full time range.
+    * The watermark only evicts state under an Append/Update deployment,
+    * where the same query's state is bounded by overlap × ACTIVE windows;
+    * that is the deployment-mode claim, not a property of this run.
     */
   def slidingWindowCounts(spark: SparkSession, dir: String,
                           duration: String, slide: String): DataFrame = {
@@ -594,6 +599,7 @@ object StreamingOps {
     */
   def lengthQuantilesStream(spark: SparkSession, dir: String,
                             pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty, "lengthQuantilesStream: pcts must be non-empty")
     import graft.operators.TextOps.tokens
     val agg = docsStream(spark, dir)
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
@@ -612,7 +618,7 @@ object StreamingOps {
         .filter(col("prev") < col("r") && col("r") <= col("cum"))
         .select(col("source"), lit(p.toLong).as("pct"),
                 col("n_tokens").as("token_len"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ union _)
   }
 
   /** Streaming dataset-card monitor: the (lang, source) composition table
