@@ -66,6 +66,26 @@ object SparkEntry {
         .orderBy("name")
     }),
 
+    "s3_head_enrichment" -> ((s, d) => {
+      // The reference's N+1 HeadObject loop standalone (aws/client.go:
+      // 95-116): ListObjectsV2 yields name/size/mtime/etag but NOT
+      // ContentType or user metadata, so the reference issues one
+      // HeadObject RPC per listed key and patches both in. Here the head
+      // results are a relation keyed by name, broadcast-joined — the
+      // per-key RPC becomes a map-side hash join with zero shuffle of the
+      // (large) listing side. Declared as its own row so SURVEY §2.5 has
+      // no folded hole; `catalog_scan_s3` shows the same join fused into
+      // the full listing.
+      val listing = src(s, d)
+        .select("name", "bucket", "size", "last_modified", "etag")
+      val head = src(s, d).select(col("name"), col("content_type"),
+        size(col("metadata")).as("n_meta"))
+      listing.join(broadcast(head), Seq("name"), "left_outer")
+        .select(col("name"), col("content_type"), col("n_meta"),
+                col("content_type").isNotNull.as("head_enriched"))
+        .orderBy("name")
+    }),
+
     "catalog_scan_azure" -> ((s, d) =>
       // azure null-guards ContentType (azure/client.go:87-90) → coalesce
       src(s, d)
@@ -1616,6 +1636,16 @@ object SparkEntry {
     "catalog_scan_s3" -> syncQ(
       """SELECT l.name, l.bucket, l.size, h.content_type, l.last_modified, l.etag
          FROM source_catalog l
+         LEFT JOIN (SELECT name, content_type FROM source_catalog) h
+           ON h.name = l.name
+         ORDER BY l.name"""),
+
+    "s3_head_enrichment" -> syncQ(
+      """SELECT l.name, h.content_type,
+                CAST(1 AS INTEGER) AS n_meta,
+                h.content_type IS NOT NULL AS head_enriched
+         FROM (SELECT name, bucket, size, last_modified, etag
+               FROM source_catalog) l
          LEFT JOIN (SELECT name, content_type FROM source_catalog) h
            ON h.name = l.name
          ORDER BY l.name"""),
