@@ -415,6 +415,15 @@ object SparkEntry {
           nFiles = 2)
         .orderBy("incident_id")),
 
+    "events_stream_asof_join" -> ((s, d) =>
+      // the asof join live: purchases matched to the latest same-user view
+      // at-or-before their ts as both land out of order across triggers;
+      // per-user view buffer + pending purchases in flatMapGroupsWithState
+      // state, changed matches re-emit, latest emission per purchase wins
+      // post-drain — shares the batch asof oracle
+      graft.streaming.StreamingOps.asofJoinStream(s, d)
+        .orderBy("event_id")),
+
     "docs_stream_near_minhash_capped" -> ((s, d) =>
       // bounded-state near-dup: split-file source (one file per trigger)
       // so the maxPerBand state cap engages across real micro-batches; cap
@@ -1993,6 +2002,7 @@ object SparkEntry {
     "corpus_mix_report" -> OracleExt.corpusMixReport,
     "events_asof_join" -> OracleExt.eventsAsofJoin,
     "events_asof_join_native" -> OracleExt.eventsAsofJoin,
+    "events_stream_asof_join" -> OracleExt.eventsAsofJoin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

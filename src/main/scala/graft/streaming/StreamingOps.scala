@@ -1260,4 +1260,178 @@ object StreamingOps {
         col("s.n_events").as("n_events"),
         col("s.max_session_events").as("max_session_events"))
   }
+
+  // ---- streaming as-of join ------------------------------------------
+
+  case class AsofEv(event_id: Long, user_id: Long, ts_us: Long,
+                    value: Double, is_purchase: Boolean)
+  case class AsofOut(event_id: Long, user_id: Long, value: Double,
+                     last_view_value: Option[Double], seen: Long)
+
+  /** Per-user as-of state. `viewTs`/`viewVal` is the view buffer: strictly
+    * increasing timestamps with the MAX view value per timestamp (the
+    * batch operator pre-aggregates views by (user, ts) with max — merging
+    * same-ts arrivals with max here is the incremental equivalent).
+    * `pIds`/`pTs`/`pVal` are the pending purchases; `mTs`/`mVal` the match
+    * last emitted for each (mTs = Long.MinValue ⇒ emitted as unmatched,
+    * NOT_EMITTED ⇒ never emitted), so a trigger re-emits exactly the
+    * purchases whose answer changed. `seen` counts the user's absorbed
+    * arrivals — strictly increasing per emission, which is what lets the
+    * drained Update-mode sink recover "latest per purchase" with a plain
+    * struct-max instead of a window.
+    */
+  case class AsofState(viewTs: Array[Long], viewVal: Array[Double],
+                       pIds: Array[Long], pTs: Array[Long],
+                       pVal: Array[Double],
+                       mTs: Array[Long], mVal: Array[Double],
+                       seen: Long)
+
+  private val AsofNotEmitted = Long.MinValue + 1
+
+  /** Greatest index i with ts(i) <= t, or -1. Plain binary search over the
+    * strictly-increasing view buffer.
+    */
+  private def lastAtOrBefore(ts: Array[Long], t: Long): Int = {
+    var lo = 0; var hi = ts.length - 1; var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (ts(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    ans
+  }
+
+  /** Merge newly arrived (ts, value) view pairs (sorted by ts) into the
+    * buffer: union of timestamps, max of values at a shared timestamp.
+    */
+  private def mergeViews(oldTs: Array[Long], oldVal: Array[Double],
+                         addTs: Array[Long], addVal: Array[Double])
+      : (Array[Long], Array[Double]) = {
+    val ts = new Array[Long](oldTs.length + addTs.length)
+    val v = new Array[Double](ts.length)
+    var out = -1; var i = 0; var j = 0
+    def push(t: Long, x: Double): Unit =
+      if (out >= 0 && ts(out) == t) { if (x > v(out)) v(out) = x }
+      else { out += 1; ts(out) = t; v(out) = x }
+    while (i < oldTs.length || j < addTs.length)
+      if (j >= addTs.length || (i < oldTs.length && oldTs(i) <= addTs(j))) {
+        push(oldTs(i), oldVal(i)); i += 1
+      } else { push(addTs(j), addVal(j)); j += 1 }
+    (ts.take(out + 1), v.take(out + 1))
+  }
+
+  /** Core of the streaming as-of join: groupByKey(user) →
+    * flatMapGroupsWithState carrying [[AsofState]]. Each purchase is
+    * matched to the LATEST same-user view at-or-before its timestamp
+    * (max view value on a timestamp tie — exactly the batch
+    * [[graft.operators.EventOps.asofJoin]] over max-aggregated views, so
+    * the shared oracle verifies the drained result). Out-of-order and
+    * cross-trigger arrivals are handled by construction: a late view
+    * re-matches every pending purchase it could affect and the changed
+    * ones re-emit; the latest emission per purchase is the answer.
+    *
+    * State/scale shape: with `watermarkEviction` (the deployment mode —
+    * requires a watermark on the input) a purchase below the watermark is
+    * FINAL (any future view has ts ≥ wm > p.ts, so it can't match) and is
+    * dropped after its last emission, and the view buffer is compacted to
+    * a watermark FLOOR — only the latest below-wm view can ever match a
+    * future purchase (p.ts ≥ wm), so the prefix before it is dropped.
+    * Steady-state is O(in-horizon views + in-horizon purchases) per user.
+    * The declared query runs exact/uncapped (full buffers) so it shares
+    * the batch oracle verbatim; AsofStreamSpec drives the eviction mode
+    * and asserts both batch-equality and the state bound.
+    */
+  def asofJoinUpdates(spark: SparkSession,
+                      events: org.apache.spark.sql.Dataset[AsofEv],
+                      watermarkEviction: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val out = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (user: Long, arrivals: Iterator[AsofEv],
+         state: GroupState[AsofState]) => {
+          // flatMapGroupsWithState does not auto-drop late rows; in
+          // eviction mode an arrival below the watermark could otherwise
+          // land after the state it needs was compacted away — filter it
+          // here, same contract as sessionizeUpdates.
+          val wmUs =
+            if (watermarkEviction) state.getCurrentWatermarkMs() * 1000L
+            else Long.MinValue
+          val batch = arrivals.filter(_.ts_us >= wmUs).toArray
+          val st = if (state.exists) state.get
+                   else AsofState(Array.empty, Array.empty, Array.empty,
+                                  Array.empty, Array.empty, Array.empty,
+                                  Array.empty, 0L)
+          // absorb views (sorted, max per ts)
+          val nv = batch.filter(!_.is_purchase)
+            .map(e => (e.ts_us, e.value)).sortBy(identity)
+          val (viewTs, viewVal) =
+            mergeViews(st.viewTs, st.viewVal, nv.map(_._1), nv.map(_._2))
+          // absorb purchases (never-emitted sentinel match)
+          val np = batch.filter(_.is_purchase)
+          val pIds = st.pIds ++ np.map(_.event_id)
+          val pTs = st.pTs ++ np.map(_.ts_us)
+          val pVal = st.pVal ++ np.map(_.value)
+          val mTs = st.mTs ++ Array.fill(np.length)(AsofNotEmitted)
+          val mVal = st.mVal ++ Array.fill(np.length)(0.0)
+          val seen = st.seen + batch.length
+          // re-match every pending purchase; emit the changed ones
+          val emits = Vector.newBuilder[AsofOut]
+          var i = 0
+          while (i < pIds.length) {
+            val k = lastAtOrBefore(viewTs, pTs(i))
+            val (t, v) = if (k >= 0) (viewTs(k), viewVal(k))
+                         else (Long.MinValue, 0.0)
+            if (t != mTs(i) || (k >= 0 && v != mVal(i))) {
+              emits += AsofOut(pIds(i), user, pVal(i),
+                if (k >= 0) Some(viewVal(k)) else None, seen)
+              mTs(i) = t; mVal(i) = v
+            }
+            i += 1
+          }
+          val kept =
+            if (!watermarkEviction)
+              AsofState(viewTs, viewVal, pIds, pTs, pVal, mTs, mVal, seen)
+            else {
+              // finalize below-watermark purchases (emitted above if they
+              // changed; their match can never change again), then compact
+              // the view buffer to the latest below-wm entry
+              val keepP = (0 until pIds.length).filter(pTs(_) >= wmUs).toArray
+              var floor = lastAtOrBefore(viewTs, wmUs - 1)
+              if (floor < 0) floor = 0
+              AsofState(viewTs.drop(floor), viewVal.drop(floor),
+                keepP.map(pIds), keepP.map(pTs), keepP.map(pVal),
+                keepP.map(mTs), keepP.map(mVal), seen)
+            }
+          state.update(kept)
+          emits.result().iterator
+        })
+    out.toDF()
+  }
+
+  /** Declared streaming as-of join over the split-file landing source:
+    * purchases matched live to the latest same-user view as both land out
+    * of order across triggers. Post-drain the latest emission per purchase
+    * (struct-max on the strictly-increasing `seen`) is the answer — equal
+    * to the batch `events_asof_join`, whose DuckDB oracle this shares.
+    */
+  def asofJoinStream(spark: SparkSession, dir: String,
+                     nFiles: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStreamSplit(spark, dir, nFiles)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"),
+        (col("event_type") === "purchase").as("is_purchase"))
+      .as[AsofEv]
+    val drained = runToTable(spark, asofJoinUpdates(spark, ev),
+      OutputMode.Update())
+    drained
+      .groupBy("event_id")
+      .agg(max(struct(col("seen"), col("user_id"), col("value"),
+        col("last_view_value"))).as("s"))
+      .select(col("event_id"), col("s.user_id").as("user_id"),
+        col("s.value").as("value"),
+        col("s.last_view_value").as("last_view_value"))
+  }
 }
