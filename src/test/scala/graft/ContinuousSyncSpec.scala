@@ -25,19 +25,24 @@ class ContinuousSyncSpec extends AnyFunSuite {
 
     val q = graft.streaming.ContinuousSync.start(spark, cfg, intervalMs = 500)
     try {
-      // wait for at least one cycle to land the copy
+      // wait for at least one cycle to land the copy — poll for CONTENT,
+      // not existence: the copy executor's create() makes the file visible
+      // before the bytes are written/closed, so an exists-then-read poll
+      // can catch a 0-byte window under machine load (r11 flake)
+      def contentIs(rel: String, want: String): Boolean =
+        Files.exists(root.resolve(rel)) &&
+          new String(Files.readAllBytes(root.resolve(rel))) == want
       val deadline = System.currentTimeMillis() + 30000
-      while (!Files.exists(root.resolve("dst/a.txt")) &&
+      while (!contentIs("dst/a.txt", "alpha") &&
              System.currentTimeMillis() < deadline) Thread.sleep(200)
-      assert(Files.exists(root.resolve("dst/a.txt")))
-      assert(new String(Files.readAllBytes(root.resolve("dst/a.txt"))) == "alpha")
+      assert(contentIs("dst/a.txt", "alpha"))
 
       // a file added mid-stream is picked up by a later cycle
       write(root.resolve("src/b.txt"), "beta")
       val deadline2 = System.currentTimeMillis() + 30000
-      while (!Files.exists(root.resolve("dst/b.txt")) &&
+      while (!contentIs("dst/b.txt", "beta") &&
              System.currentTimeMillis() < deadline2) Thread.sleep(200)
-      assert(Files.exists(root.resolve("dst/b.txt")))
+      assert(contentIs("dst/b.txt", "beta"))
     } finally graft.streaming.ContinuousSync.stop(q)  // ≙ SIGTERM, main.go:108-113
   }
 
