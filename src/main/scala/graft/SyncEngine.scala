@@ -120,7 +120,8 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
         col("t.etag"),
         col("t.content_type"),
         current_timestamp().as("last_synced"),
-        col("r.sync_status"))
+        col("r.sync_status"),
+        col("t.metadata"))
     val counts = SyncOps.syncOutcomeCounts(decided, mid)
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     val failed = updates.filter(col("sync_status") =!= "success").count()
@@ -179,13 +180,21 @@ object SyncEngine {
     spark.read.parquet(path)
   }
 
+  /** v3 adds `metadata`: the reference DROPS user metadata at the ledger
+    * and lists full propagation as future work (`README.md:373-375`); here
+    * the catalog's MAP<STRING,STRING> survives the merge. Excluded from
+    * oracle parity projections (map columns can't be sorted/hashed by the
+    * DuckDB compare, SURVEY §7.4) and from the upsert tie-break (maps are
+    * unorderable — see SyncOps.ledgerUpsert).
+    */
   val LedgerSchema: StructType = StructType(Seq(
     StructField("id", LongType), StructField("mapping_id", StringType),
     StructField("object_name", StringType), StructField("size", LongType),
     StructField("last_modified", TimestampType), StructField("etag", StringType),
     StructField("content_type", StringType),
     StructField("last_synced", TimestampType),
-    StructField("sync_status", StringType)))
+    StructField("sync_status", StringType),
+    StructField("metadata", MapType(StringType, StringType), nullable = true)))
 
   def readLedger(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -188,9 +188,23 @@ object SyncOps {
     // sequence column and order the struct by it.
     val payload = ("last_synced" +:
       cols.filterNot(c => keys.contains(c) || c == "last_synced").toSeq)
+    // Map-typed columns (the v3 `metadata` map) are unorderable — they can
+    // ride in the winning row but not in the comparison: order by the
+    // orderable payload only and carry the full payload with max_by. When
+    // every column is orderable the plain struct-max keeps the fully
+    // deterministic tie-break documented above.
+    val orderable = payload.filterNot(c =>
+      updates.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.MapType])
+    val winner =
+      if (orderable.length == payload.length)
+        max(struct(payload.map(col): _*))
+      else
+        max_by(struct(payload.map(col): _*),
+               struct(orderable.map(col): _*))
     val latestUpdates = updates
       .groupBy(keys.map(col): _*)
-      .agg(max(struct(payload.map(col): _*)).as("w"))
+      .agg(winner.as("w"))
       .select(keys.map(col) ++ cols.filterNot(keys.contains)
         .map(c => col(s"w.$c").as(c)): _*)
       .selectExpr(cols.toIndexedSeq: _*)

@@ -48,7 +48,8 @@ class RetryAndMigrationSpec extends AnyFunSuite {
       .select(lit(0L).as("id"), lit(M).as("mapping_id"),
         col("t.name").as("object_name"), col("t.size"),
         col("t.last_modified"), col("t.etag"), col("t.content_type"),
-        lit(t1).as("last_synced"), col("r.sync_status"))
+        lit(t1).as("last_synced"), col("r.sync_status"),
+        lit(null).cast("map<string,string>").as("metadata"))
     val ledger1 = SyncOps.ledgerLatestWins(empty, updates)
 
     // cycle 2 diff: ok.txt skips, ghost.txt retries (sync.go:121-124)
@@ -121,17 +122,28 @@ class RetryAndMigrationSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("s3a"))
   }
 
-  test("ledger v1->v2 migration derives mapping_id and is idempotent") {
+  test("ledger v1->v3 migration chain derives mapping_id, adds metadata, idempotent") {
     val legacy = Seq((1L, "bkt", "o.txt", 4L, t1, "e", "text/plain", t1, "success"))
       .toDF("id", "bucket_name", "object_name", "size", "last_modified",
             "etag", "content_type", "last_synced", "sync_status")
     assert(LedgerMigrations.versionOf(legacy) == 1)
     val (migrated, n) = LedgerMigrations.migrate(legacy)
-    assert(n == 1)
+    // the chain applies BOTH pending migrations in one call
+    assert(n == 2)
     assert(migrated.select("mapping_id").as[String].head()
       == "default:bkt->default:bkt")
     assert(!migrated.columns.contains("bucket_name"))
+    // v3: typed null metadata map, backfilled by each object's next sync
+    assert(migrated.schema("metadata").dataType ==
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+    assert(migrated.select("metadata").head().isNullAt(0))
     val (again, n2) = LedgerMigrations.migrate(migrated)
-    assert(n2 == 0 && LedgerMigrations.versionOf(again) == 2)
+    assert(n2 == 0 &&
+      LedgerMigrations.versionOf(again) == LedgerMigrations.CurrentVersion)
+    // a v2 ledger (mapping_id, no metadata) applies exactly one migration
+    val (fromV2, n3) = LedgerMigrations.migrate(migrated.drop("metadata"))
+    assert(n3 == 1 && fromV2.columns.contains("metadata"))
   }
 }

@@ -51,6 +51,17 @@ class SyncEngineSpec extends AnyFunSuite {
     assert(rows.length == 2)
     assert(rows.forall(_.getAs[String]("mapping_id") == "local:src->local:dst"))
     assert(rows.forall(_.getAs[String]("sync_status") == "success"))
+    // v3 metadata round-trip: the catalog's user-metadata map survives the
+    // merge into the ledger (the reference drops it — README.md:373-375)
+    // and equals what a fresh catalog scan reports for the same object
+    val scanned = ObjectStoreCatalog.scanCatalog(spark, cfg.sourceUri(cfg.mappings.head))
+      .select("name", "metadata").collect()
+      .map(r => r.getString(0) -> r.getAs[Map[String, String]]("metadata")).toMap
+    rows.foreach { r =>
+      val m = r.getAs[Map[String, String]]("metadata")
+      assert(m != null && m == scanned(r.getAs[String]("object_name")))
+      assert(m.contains("mtime_ms"))
+    }
 
     // cycle 2: unchanged → everything skips
     val r2 = engine.syncAll()
