@@ -132,12 +132,74 @@ object StreamingOps {
                                 nFiles: Int): DataFrame =
     normalizeEventTs(stagedStreamSplit(spark, dir, "events", nFiles))
 
+  /** Shuffle-partition count for STREAMING queries, settable via
+    * `graft.stream.shufflePartitions` (default 8, capped by the session
+    * value). Streaming state lives in one state store per (operator,
+    * shuffle partition) and EVERY store commits EVERY trigger whether or
+    * not it saw rows — so the per-trigger fixed cost scales with
+    * partitions × stores × triggers, not with data volume. At harness
+    * scale (sf0.1, 2-4 triggers) 32 partitions is pure overhead; 8 cuts
+    * the stateful streams' fixed cost with bit-identical drained results
+    * (partition count never changes aggregation / flatMapGroupsWithState
+    * / stream-join semantics, only key placement — the shared oracles
+    * re-verify it). On a real cluster size it to state volume ÷ target
+    * store size instead (SCALE.md RocksDB sizing table); the session
+    * value stays untouched for batch queries.
+    */
+  private def streamShufflePartitions(spark: SparkSession): String = {
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    spark.conf.getOption("graft.stream.shufflePartitions")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_PARTS")) // harness A/B knob
+      .getOrElse(math.min(8, session).toString)
+  }
+
+  private val StateProviderKey =
+    "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDBProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run the stream to a memory sink and return the drained table.
+    *
+    * `largeState = true` additionally backs the query's state stores with
+    * RocksDB instead of the default in-heap HDFS-backed provider. The
+    * crossover is state VOLUME per store: the in-heap provider re-writes
+    * each store's delta and periodically snapshots its whole map, so
+    * commit cost grows with resident state — for the two queries that
+    * buffer a table-sized state (the stream-stream range join holds both
+    * sides for the full disorder window; the declared as-of join holds
+    * every view/purchase), RocksDB measured 0.55×/0.78× of the in-heap
+    * time at sf0.1 (r11). Small-state streams (windowed counts, content
+    * hashes, interval lists) stay in-heap — RocksDB's JNI round-trips
+    * measured slightly slower there. At deployment scale RocksDB is the
+    * default recommendation regardless (SCALE.md sizing table) because
+    * heap-resident state is the thing that falls over first.
+    */
   private def runToTable(spark: SparkSession, df: DataFrame,
-                         mode: OutputMode): DataFrame = {
+                         mode: OutputMode,
+                         largeState: Boolean = false): DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    // Conf values are captured when the query's first batch plans (and
+    // pinned in its checkpoint thereafter); restore the session values
+    // only after the drain so the settings cannot leak into batch queries
+    // while staying race-free for this stream. Queries run sequentially in
+    // this harness (Verify/Bench), so the temporary session mutation has
+    // no concurrent observer.
+    val overrides =
+      Map("spark.sql.shuffle.partitions" -> streamShufflePartitions(spark)) ++
+        (if (largeState) Map(StateProviderKey -> RocksDBProvider) else Map.empty)
+    val saved = overrides.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    val q =
+      try df.writeStream.outputMode(mode).format("memory")
+        .queryName(name).start()
+      catch { case t: Throwable => restore(); throw t }
+    try q.processAllAvailable()
+    finally { try q.stop() finally restore() }
     // copy out of the memory sink so the result survives the query stop
     val out = spark.table(name).localCheckpoint(eager = true)
     spark.catalog.dropTempView(name)
@@ -705,7 +767,10 @@ object StreamingOps {
         col("ev_ts") <= col("inc_ts") + expr(s"INTERVAL $windowMinutes MINUTES") &&
         col("ev_id") =!= col("incident_id"))
       .select("incident_id", "ev_id")
-    val drained = runToTable(spark, pairs, OutputMode.Append())
+    // both sides buffer the full disorder window — table-sized state, the
+    // RocksDB case (0.55× of in-heap at sf0.1, r11)
+    val drained = runToTable(spark, pairs, OutputMode.Append(),
+      largeState = true)
     val counts = drained.groupBy("incident_id")
       .agg(count(lit(1)).as("n_pairs"))
     // zero-neighbor incidents never emit a pair; restore them from the
@@ -1424,8 +1489,10 @@ object StreamingOps {
         unix_micros(col("ts")).as("ts_us"), col("value"),
         (col("event_type") === "purchase").as("is_purchase"))
       .as[AsofEv]
+    // declared exact mode buffers every view + pending purchase —
+    // table-sized state, the RocksDB case (0.78× of in-heap at sf0.1, r11)
     val drained = runToTable(spark, asofJoinUpdates(spark, ev),
-      OutputMode.Update())
+      OutputMode.Update(), largeState = true)
     drained
       .groupBy("event_id")
       .agg(max(struct(col("seen"), col("user_id"), col("value"),

@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1-class scale rehearsal for the headline dedup/similarity family.
+  *
+  * The driver testdata tops out at sf0.1 (5k docs / 2k embeddings), which
+  * verifies correctness but cannot show SCALING — whether the banded
+  * minhash join, the iterative cosine clustering, the IVF probe and the
+  * span machinery grow like their SCALE.md predictions or hide a
+  * super-linear term. This tool synthesizes ×N corpora from sf0.1 and
+  * times the DECLARED queries (same SparkEntry entries the oracle checks)
+  * across scales.
+  *
+  * Scaling construction — growth must not change the dup STRUCTURE:
+  *  - documents: replica r prefixes every token with `r<r>x`, so replicas
+  *    are disjoint in shingle space — each replica reproduces the
+  *    original's internal near-dup clusters and the dup FRACTION stays
+  *    constant while the corpus grows ×N (naive row replication would
+  *    instead make every doc a 10-way near-dup — a pathological, not
+  *    scaled, corpus). Replica 0 is the original.
+  *  - embeddings: replica r rotates each vector by r positions —
+  *    norm-preserving and similarity-preserving WITHIN a replica, so
+  *    cluster structure replicates instead of collapsing onto itself.
+  *  - ids offset by r × 100M — disjoint, and md5-derived salts/draws
+  *    (signatures, sampling) decorrelate across replicas.
+  *
+  * Usage: runMain graft.tools.ScaleRehearsal [queries...]
+  *   SPARK_GRAFT_SRC (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_SCALES (default "1,2,4,10")
+  *   SPARK_GRAFT_REPS (default 2; per-scale median)
+  * Scaled corpora are staged under /tmp/graft-scale/x<N> once.
+  */
+object ScaleRehearsal {
+  val DefaultQueries = Seq("dedup_near_minhash", "dedup_clusters_cosine",
+    "similarity_topk_ivf_auto", "dedup_exact_spans")
+
+  def scaledDocuments(src: DataFrame, n: Int): DataFrame =
+    (0 until n).map { r =>
+      if (r == 0) src
+      else src
+        .withColumn("doc_id", col("doc_id") + lit(r * 100000000L))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            t => concat(lit(s"r${r}x"), t)), " "))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionByName _)
+
+  def scaledEmbeddings(src: DataFrame, n: Int): DataFrame =
+    (0 until n).map { r =>
+      if (r == 0) src
+      else src
+        .withColumn("vec_id", col("vec_id") + lit(r * 100000000L))
+        .withColumn("embedding",
+          concat(slice(col("embedding"), r + 1, 100000),
+                 slice(col("embedding"), 1, r)))
+    }.reduce(_ unionByName _)
+
+  private def stage(spark: SparkSession, srcDir: String, n: Int): String = {
+    val out = s"/tmp/graft-scale/x$n"
+    val done = new java.io.File(s"$out/.staged")
+    if (!done.exists()) {
+      scaledDocuments(spark.read.parquet(s"$srcDir/documents.parquet"), n)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$out/documents.parquet")
+      scaledEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), n)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$out/embeddings.parquet")
+      done.getParentFile.mkdirs(); done.createNewFile()
+    }
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,2,4,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val queries = if (args.nonEmpty) args.toSeq else DefaultQueries
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (n <- scales) {
+      val dir = if (n == 1) srcDir else stage(spark, srcDir, n)
+      for (q <- queries) {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(q)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          spark.sharedState.cacheManager.clearCache()
+          dt
+        }.sorted
+        println(f"[scale] x$n%-3d $q%-28s ${times(times.length / 2)}%8.3f s" +
+          s"  (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
+      }
+    }
+    spark.stop()
+  }
+}
