@@ -1723,6 +1723,31 @@ object OracleExt {
     WHERE r.rk <= (c.n * $pct + 99) // 100
     ORDER BY event_type, rk"""
 
+  /** Mirrors EventOps.topPercentHist / StreamingOps.topPercentHistStream:
+    * the bounded-histogram top-percent cutoff. Deterministic unit-width
+    * integer bucketing (floor of an IEEE double is engine-exact), so one
+    * SQL restatement hash-gates both the batch and the live variant.
+    */
+  def eventsTopPercentHist(pct: Int): String = s"""
+    WITH h AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bucket, c,
+             SUM(c) OVER (PARTITION BY event_type
+                          ORDER BY bucket DESC) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM h),
+    q AS (
+      SELECT event_type, bucket, cum, n, (n * $pct + 99) // 100 AS k
+      FROM cum WHERE cum >= (n * $pct + 99) // 100)
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+           CAST(max(k) AS BIGINT) AS k,
+           CAST(max(bucket) AS BIGINT) AS cutoff_bucket,
+           CAST(min(cum) AS BIGINT) AS n_kept
+    FROM q GROUP BY event_type ORDER BY event_type"""
+
   /** Mirrors CorpusOps.mixReport: per (lang, source) counts + integer-ppm
     * corpus shares.
     */

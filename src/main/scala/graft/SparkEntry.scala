@@ -316,6 +316,13 @@ object SparkEntry {
       graft.streaming.StreamingOps.dedupWindowStream(s, d, windowMinutes = 5)
         .orderBy("event_type")),
 
+    "events_stream_top_percent_hist" -> ((s, d) =>
+      // live top-percent under bounded state: the deterministic unit-
+      // bucket histogram sketch (state = value domain, not event count);
+      // cutoff sweep post-drain; shares the batch hist oracle
+      graft.streaming.StreamingOps.topPercentHistStream(s, d, pct = 1)
+        .orderBy("event_type")),
+
     "docs_stream_length_quantiles" -> ((s, d) =>
       // dataset-card length profile live: per-(source, length) histogram
       // state, exact integer-rank pick post-drain; batch oracle
@@ -1439,6 +1446,12 @@ object SparkEntry {
       EventOps.topPercentByValue(T.events(s, d), pct = 1)
         .orderBy("event_type", "rk")),
 
+    "events_top_percent_hist" -> ((s, d) =>
+      // the bounded-state cutoff the live pairing rides: unit-bucket
+      // histogram + top-down cumulative sweep, state O(value domain)
+      EventOps.topPercentHist(T.events(s, d), pct = 1)
+        .orderBy("event_type")),
+
     "events_dedup_window" -> ((s, d) =>
       // at-least-once-ingest repair: first event per (user, type) in each
       // 5-minute tumbling window wins; per-type seen/kept/dropped audit
@@ -1999,6 +2012,8 @@ object SparkEntry {
     "events_sessionize" -> OracleExt.eventsSessionize,
     "events_funnel" -> OracleExt.eventsFunnel,
     "events_top_percent" -> OracleExt.eventsTopPercent(1),
+    "events_top_percent_hist" -> OracleExt.eventsTopPercentHist(1),
+    "events_stream_top_percent_hist" -> OracleExt.eventsTopPercentHist(1),
     "corpus_mix_report" -> OracleExt.corpusMixReport,
     "events_asof_join" -> OracleExt.eventsAsofJoin,
     "events_asof_join_native" -> OracleExt.eventsAsofJoin,

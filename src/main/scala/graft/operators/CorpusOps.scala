@@ -27,19 +27,33 @@ object CorpusOps {
 
   // ---- near-dup cluster resolution ------------------------------------
 
-  /** Connected components by iterative min-label propagation: every node
-    * starts labeled with itself; each round takes the min label over its
-    * neighborhood; fixpoint = each component labeled by its minimum id.
+  /** Connected components by min-label propagation WITH pointer jumping:
+    * every node starts labeled with itself; each round takes the min over
+    * (own label, neighbors' labels, label-of-own-label); fixpoint = each
+    * component labeled by its minimum id.
     *
-    * Scale shape: per round, two keyed shuffles (edge⋈label join + groupBy
-    * min) — never a collect of the graph; an eager [[Barriers.materialize]]
-    * truncates the lineage so plans stay flat across rounds (strategy
-    * `checkpoint` gives durable cluster-grade truncation). Rounds needed =
-    * component diameter; near-dup
-    * graphs are overwhelmingly small cliques (diameter ≤ 2-3), so the loop
-    * exits after 3-4 rounds. Convergence is detected by the label sum — it
-    * strictly decreases until fixpoint, so one scalar aggregate per round
-    * decides termination (no frame comparison).
+    * The jump term is what makes the loop scale-safe. Neighbor-only
+    * propagation moves the min one hop per round — O(diameter) rounds —
+    * which the r11 sf1 rehearsal broke in practice: a 10× corpus at a low
+    * cosine threshold percolates into a giant component (chance-similarity
+    * edge count grows ~quadratically with n on the near-uniform synthetic
+    * sphere), whose diameter blew past 20 hops. With the jump
+    * (`label(label(v))`, one extra labels⋈labels equi-join per round) the
+    * distance each node's label has traveled DOUBLES per round — the
+    * path-graph recurrence is f(t+1) = 2·f(t) — so rounds = O(log
+    * diameter) and the same maxIter=20 now covers components a million
+    * hops wide. The jump stays inside the component: labels are always
+    * ids of connected nodes, so label-of-label is too. Tiny-clique graphs
+    * (the real near-dup case, diameter 2-3) still exit in 2-3 rounds and
+    * pay one cheap extra n-row join.
+    *
+    * Scale shape: per round, three keyed shuffles (edge⋈label join +
+    * groupBy min + label self-join) — never a collect of the graph; an
+    * eager [[Barriers.materialize]] truncates the lineage so plans stay
+    * flat across rounds (strategy `checkpoint` gives durable cluster-grade
+    * truncation). Convergence is detected by the label sum — it strictly
+    * decreases until fixpoint, so one scalar aggregate per round decides
+    * termination (no frame comparison).
     *
     * `edges` are undirected candidate pairs (doc_a, doc_b); `nodes` is the
     * full id set so singletons come out labeled with themselves.
@@ -66,11 +80,20 @@ object CorpusOps {
                             col("cluster_id").as("dst_lab")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_lab")).as("nbr_min"))
+      // pointer jump: label(label(v)) — every label IS a node id, so the
+      // lookup is an inner equi-join of the label table against itself
+      val jump = labels
+        .join(labels.select(col("doc_id").as("cluster_id"),
+                            col("cluster_id").as("jump_lab")),
+              Seq("cluster_id"))
+        .select(col("doc_id"), col("jump_lab"))
       val next = labels
         .join(nbrMin, Seq("doc_id"), "left_outer")
+        .join(jump, Seq("doc_id"))
         .select(col("doc_id"),
           least(col("cluster_id"),
-                coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+                coalesce(col("nbr_min"), col("cluster_id")),
+                col("jump_lab")).as("cluster_id"))
         .transform(Barriers.materialize(_, eager = true))
       val s = next.agg(coalesce(sum(col("cluster_id")), lit(0L)))
         .head().getLong(0)
@@ -88,8 +111,9 @@ object CorpusOps {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds — " +
-        "a component wider than maxIter hops would carry split cluster ids; " +
-        "raise maxIter for long-chain graphs")
+        "with pointer jumping that means a component ~2^maxIter hops wide; " +
+        "raise maxIter, and check the edge set for a percolated giant " +
+        "component (threshold too low for the corpus)")
     labels
   }
 

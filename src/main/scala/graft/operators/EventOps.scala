@@ -239,6 +239,53 @@ object EventOps {
       .select(col("event_type"), col("event_id"), col("value"), col("rk"))
   }
 
+  /** Bounded-state top-percent: the live-safe restatement of
+    * [[topPercentByValue]]'s cutoff. The exact global-rank cutoff needs
+    * every (type, value) ever seen — unbounded live — so this variant
+    * folds values into UNIT-WIDTH INTEGER buckets (`floor(value)`) and
+    * reads the cutoff off the per-type histogram: the highest bucket at
+    * which the cumulative count from the top reaches K = ⌈n·pct/100⌉.
+    * Deterministic sketch, not a randomized one (no KLL/t-digest seed):
+    * integer floor is engine-exact, so the DuckDB oracle restates it
+    * bit-for-bit and the streaming twin shares the hash gate. Resolution
+    * contract: `n_kept ≥ k` always, overshooting by at most one bucket's
+    * population — the value-domain resolution a deployment tunes by
+    * scaling before flooring.
+    *
+    * Scale shape: one partial-agg'd groupBy(type, bucket) over the events
+    * (the only pass over data), then windows over the HISTOGRAM — ≤
+    * |domain| rows per type, bounded regardless of event count.
+    */
+  def topPercentHist(events: DataFrame, pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
+    histCutoff(
+      events.groupBy(col("event_type"),
+          floor(col("value")).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("c")),
+      pct)
+  }
+
+  /** Cutoff selection over a (event_type, bucket, c) histogram — shared
+    * verbatim by the batch operator and the streaming drain so both sides
+    * stay one implementation. Windows run over histogram rows only.
+    */
+  def histCutoff(hist: DataFrame, pct: Int): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val wDesc = byType.orderBy(col("bucket").desc)
+    // buckets are unique per type post-aggregation and every count ≥ 1, so
+    // `cum` strictly increases downward: the max-bucket qualifying row and
+    // the min-cum qualifying row are the SAME row
+    hist
+      .withColumn("cum", sum(col("c")).over(wDesc))
+      .withColumn("n_events", sum(col("c")).over(byType))
+      .withColumn("k", expr(s"(n_events * $pct + 99) div 100"))
+      .filter(col("cum") >= col("k"))
+      .groupBy("event_type")
+      .agg(max(col("n_events")).as("n_events"), max(col("k")).as("k"),
+           max(col("bucket")).as("cutoff_bucket"),
+           min(col("cum")).as("n_kept"))
+  }
+
   /** Windowed event dedup: within each `windowMinutes` tumbling window, a
     * (user, event_type) keeps only its FIRST event (by ts, event_id) — the
     * at-least-once-ingest repair that collapses client retries and

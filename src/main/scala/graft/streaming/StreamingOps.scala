@@ -650,6 +650,28 @@ object StreamingOps {
       .withColumn("n_dropped", col("n_events") - col("n_kept"))
   }
 
+  /** Streaming top-percent via the bounded histogram sketch: the live
+    * pairing the exact-rank `events_top_percent` cannot have (its K moves
+    * with every arrival and can flip arbitrarily old verdicts — SURVEY
+    * §2.9's documented exclusion). The escape is semantic, not heuristic:
+    * [[graft.operators.EventOps.topPercentHist]] DEFINES the cutoff over
+    * unit-width integer value buckets, so the only live state is the
+    * per-(type, bucket) count — bounded by the value domain, not the
+    * event count — and the drain reuses the batch cutoff sweep verbatim
+    * ([[graft.operators.EventOps.histCutoff]]). Deterministic bucketing
+    * means the shared DuckDB oracle hash-gates both sides; a late event
+    * only ever increments one bucket cell.
+    */
+  def topPercentHistStream(spark: SparkSession, dir: String, pct: Int,
+                           nFiles: Int = 4): DataFrame = {
+    val hist = eventsStreamSplit(spark, dir, nFiles)
+      .groupBy(col("event_type"),
+               floor(col("value")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    graft.operators.EventOps.histCutoff(
+      runToTable(spark, hist, OutputMode.Complete()), pct)
+  }
+
   /** Streaming length-profile quantiles: the dataset-card p50/p90/p99
     * token lengths per source, maintained live. State is the per-(source,
     * token-length) count histogram (complete mode — bounded by distinct

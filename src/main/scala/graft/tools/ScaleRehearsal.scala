@@ -88,23 +88,37 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // results append to a file as they land — a crashed or piped run keeps
+    // everything measured so far (the r11 first run lost its timings to a
+    // tail pipe AND a query abort; never again)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_OUT",
+      "rehearsal_results.jsonl")
+    val out = new java.io.PrintWriter(
+      new java.io.FileWriter(outPath, /* append = */ true))
     for (n <- scales) {
       val dir = if (n == 1) srcDir else stage(spark, srcDir, n)
       for (q <- queries) {
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          graft.SparkEntry.queries(q)(spark, dir)
-            .write.format("noop").mode("overwrite").save()
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-          spark.sharedState.cacheManager.clearCache()
-          dt
-        }.sorted
-        println(f"[scale] x$n%-3d $q%-28s ${times(times.length / 2)}%8.3f s" +
-          s"  (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
+        val res =
+          try {
+            val times = (1 to reps).map { _ =>
+              val t0 = System.nanoTime()
+              graft.SparkEntry.queries(q)(spark, dir)
+                .write.format("noop").mode("overwrite").save()
+              val dt = (System.nanoTime() - t0) / 1e9
+              spark.sparkContext.getPersistentRDDs.values
+                .foreach(_.unpersist(blocking = false))
+              spark.sharedState.cacheManager.clearCache()
+              dt
+            }.sorted
+            f"""{"scale":$n,"query":"$q","median_s":${times(times.length / 2)}%.3f,"runs":[${times.map(t => f"$t%.3f").mkString(",")}]}"""
+          } catch { case t: Throwable =>
+            s"""{"scale":$n,"query":"$q","err":"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").replaceAll("[\"\\n]", " ").take(120)}"}"""
+          }
+        out.println(res); out.flush()
+        println(s"[scale] $res")
       }
     }
+    out.close()
     spark.stop()
   }
 }

@@ -29,19 +29,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 1L))
   }
 
-  test("components converge when diameter equals maxIter, throw beyond it") {
+  test("components converge within the doubling bound, throw below it") {
     val n = 6
     val nodes = (1L to n.toLong).toDF("doc_id")
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
       .toDF("doc_a", "doc_b")
-    // the chain needs exactly 5 label-decreasing rounds; the confirming
-    // round must not count against maxIter (correct labels + throw = bug)
-    val got = CorpusOps.connectedComponents(nodes, edges, maxIter = 5)
+    // with pointer jumping the min's reach doubles per round (1,2,4,8…),
+    // so the diameter-5 chain needs exactly 4 label-decreasing rounds;
+    // the confirming round must not count against maxIter (correct
+    // labels + throw = bug)
+    val got = CorpusOps.connectedComponents(nodes, edges, maxIter = 4)
       .as[(Long, Long)].collect()
     assert(got.forall(_._2 == 1L))
     intercept[IllegalStateException] {
       CorpusOps.connectedComponents(nodes, edges, maxIter = 3)
     }
+  }
+
+  test("pointer jumping: a 1000-hop chain converges in O(log d) rounds") {
+    // the r11 sf1 rehearsal regression: a percolated giant component's
+    // diameter blew past hop-by-hop propagation's 20-round cap. Doubling
+    // covers 2^maxIter hops — a 1000-node path must finish well inside
+    // maxIter = 15 (neighbor-only propagation would need 999 rounds).
+    val n = 1000
+    val nodes = (1L to n.toLong).toDF("doc_id")
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val got = CorpusOps.connectedComponents(nodes, edges, maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 1L))
   }
 
   test("connected components tolerate empty edges and an empty corpus") {

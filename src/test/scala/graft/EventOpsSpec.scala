@@ -21,6 +21,27 @@ class EventOpsSpec extends AnyFunSuite {
       .select("event_type", "event_id").as[(String, Long)].collect().toSet
     assert(got == Set(("a", 1L), ("b", 260L), ("b", 259L), ("b", 258L)))
   }
+  test("histogram top-percent: cutoff bucket covers k, never undershoots") {
+    val s = Spec.spark
+    import s.implicits._
+    // type "a": 100 events, values 0.5 (97×), 7.3, 7.9, 9.1 → k = 1,
+    // cutoff = bucket 9, n_kept = 1 (exactly k)
+    // type "b": 200 events all in bucket 3 → k = 2 but the single bucket
+    // holds all 200: n_kept overshoots to 200, cutoff = 3
+    val ev = ((1L to 97L).map(i => (i, "a", 0.5)) ++
+      Seq((98L, "a", 7.3), (99L, "a", 7.9), (100L, "a", 9.1)) ++
+      (101L to 300L).map(i => (i, "b", 3.25)))
+      .toDF("event_id", "event_type", "value")
+    val got = EventOps.topPercentHist(ev, pct = 1)
+      .select("event_type", "n_events", "k", "cutoff_bucket", "n_kept")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") == ((100L, 1L, 9L, 1L)))
+    assert(got("b") == ((200L, 2L, 3L, 200L)))
+    // the contract: n_kept >= k for every type
+    assert(got.values.forall { case (_, k, _, kept) => kept >= k })
+  }
+
   lazy val spark: SparkSession = Spec.spark
   import spark.implicits._
 

@@ -668,6 +668,14 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming histogram top-percent equals the batch sketch") {
+    val streamed = StreamingOps.topPercentHistStream(spark, dir, 1)
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps.topPercentHist(Tables.events(spark, dir), 1)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming length quantiles equal the batch exact-rank picks") {
     val streamed = StreamingOps.lengthQuantilesStream(spark, dir)
       .collect().map(_.toSeq).toSet
