@@ -122,6 +122,9 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
         current_timestamp().as("last_synced"),
         col("r.sync_status"),
         col("t.metadata"))
+    // driver-side collect is BOUNDED: syncOutcomeCounts groups by
+    // sync_status, so this frame is ≤ |distinct statuses| rows (3) per
+    // mapping regardless of catalog size
     val counts = SyncOps.syncOutcomeCounts(decided, mid)
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     val failed = updates.filter(col("sync_status") =!= "success").count()

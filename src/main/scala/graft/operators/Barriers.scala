@@ -78,4 +78,43 @@ object Barriers {
         s"$StrategyKey must be localCheckpoint|persist|checkpoint, got: $other")
     }
   }
+
+  /** Replace a checkpointed frame's size estimate with an honest one.
+    *
+    * Spark ≥3.4 copies the PRODUCING plan's estimated `Statistics` into
+    * the checkpointed `LogicalRDD` (`originStats`), and the size-only
+    * join estimate is the PRODUCT of child estimates — so an iterative
+    * loop whose round consumes the previous round's checkpoint k times
+    * compounds the estimate to `s^k` per round. The VALUE is never used
+    * beyond broadcast decisions, but its BigInt DIGIT COUNT grows
+    * geometrically (measured ×3/round for the 3-reference
+    * connected-components round, `tools.StatsProbe`), until the driver
+    * spends minutes in `BigInteger.multiplyToomCook3` just planning —
+    * the r11 sf1 rehearsal hung exactly here. Rebuilding the `LogicalRDD`
+    * with `Statistics(rows × bytesPerRow)` — both known by the caller —
+    * makes every round's planning start from the same small, truthful
+    * base, and as a bonus lets Catalyst broadcast genuinely small
+    * materialized frames instead of seeing an astronomical estimate.
+    *
+    * Only `LogicalRDD`-backed frames (the localCheckpoint/checkpoint
+    * strategies) carry originStats; for `persist` frames this is an
+    * identity — their estimate comes from the live plan, whose growth
+    * the persist strategy already accepts.
+    */
+  def withSizeEstimate(df: DataFrame, rows: Long,
+                       bytesPerRow: Int): DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val fixed = org.apache.spark.sql.execution.LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(
+          df.sparkSession
+            .asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(
+            sizeInBytes = BigInt(math.max(1L, rows) * bytesPerRow.toLong))),
+          None)
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .dataFrame(df.sparkSession, fixed)
+      case _ => df
+    }
 }

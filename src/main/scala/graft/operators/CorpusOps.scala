@@ -60,13 +60,22 @@ object CorpusOps {
     */
   def connectedComponents(
       nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges
+    // Honest size estimates on every materialized frame: the checkpoint
+    // otherwise carries the producing plan's estimate, which the next
+    // round's three-way consumption compounds geometrically until stats
+    // PLANNING dominates the loop (Barriers.withSizeEstimate scaladoc).
+    // Row counts are one cheap action each over just-materialized blocks;
+    // both frames are two longs wide.
+    val symRaw = edges
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .transform(Barriers.materialize(_, eager = true))
-    var labels = nodes
+    val sym = Barriers.withSizeEstimate(symRaw, symRaw.count(), 32)
+    val labels0 = nodes
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .transform(Barriers.materialize(_, eager = true))
+    val nNodes = labels0.count()
+    var labels = Barriers.withSizeEstimate(labels0, nNodes, 32)
     var prevSum = Option.empty[Long]
     var converged = false
     var iter = 0
@@ -87,14 +96,16 @@ object CorpusOps {
                             col("cluster_id").as("jump_lab")),
               Seq("cluster_id"))
         .select(col("doc_id"), col("jump_lab"))
-      val next = labels
-        .join(nbrMin, Seq("doc_id"), "left_outer")
-        .join(jump, Seq("doc_id"))
-        .select(col("doc_id"),
-          least(col("cluster_id"),
-                coalesce(col("nbr_min"), col("cluster_id")),
-                col("jump_lab")).as("cluster_id"))
-        .transform(Barriers.materialize(_, eager = true))
+      val next = Barriers.withSizeEstimate(
+        labels
+          .join(nbrMin, Seq("doc_id"), "left_outer")
+          .join(jump, Seq("doc_id"))
+          .select(col("doc_id"),
+            least(col("cluster_id"),
+                  coalesce(col("nbr_min"), col("cluster_id")),
+                  col("jump_lab")).as("cluster_id"))
+          .transform(Barriers.materialize(_, eager = true)),
+        nNodes, 32)
       val s = next.agg(coalesce(sum(col("cluster_id")), lit(0L)))
         .head().getLong(0)
       // the old round's blocks are dead once `next` is materialized —
