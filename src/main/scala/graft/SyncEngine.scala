@@ -61,6 +61,63 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
     out.result()
   }
 
+  /** Concurrent mapping sync — implements the reference's own roadmap
+    * item (`README.md:345-347` lists concurrent mapping sync as future
+    * work; the shipped loop is sequential, `sync.go:33-50`).
+    *
+    * Mappings run in a bounded driver-side pool, so Spark schedules all
+    * mappings' jobs together and one mapping's small/skewed plan no
+    * longer leaves executors idle. Isolation analysis: ledger rows are
+    * keyed (mapping_id, object_name) and every mapping reads/writes ONLY
+    * its own mapping_id, so the single shared resource is the ledger
+    * TABLE REWRITE (read-merge-swap) — serialized under [[SyncEngine
+    * .ledgerLock]], while the heavy phases (catalog scans, diff join,
+    * distributed copy, orphan delete) overlap freely. Each mapping diffs
+    * against an eagerly-pinned ledger SNAPSHOT (localCheckpoint) so a
+    * concurrent commit's directory swap cannot invalidate in-flight
+    * reads, and commits re-read the CURRENT ledger under the lock so no
+    * update is lost (per-mapping rows are disjoint, so last-committer
+    * cannot clobber). Per-mapping failure isolation matches
+    * [[syncAll()]]: a failed mapping logs and the rest complete; an
+    * interrupt (stop in progress) aborts mappings not yet started.
+    *
+    * Caveat, documented not hidden: mappings whose TARGET prefixes
+    * overlap should stay sequential — one mapping's orphan deletion can
+    * race another's copies, the same hazard the reference's future-work
+    * item would face. Disjoint targets (the normal shape) are safe.
+    */
+  def syncAll(concurrency: Int): Seq[MappingReport] = {
+    require(concurrency >= 1, s"concurrency must be >= 1, got $concurrency")
+    if (concurrency == 1 || config.mappings.size <= 1) return syncAll()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(concurrency, config.mappings.size))
+    val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      val tasks = config.mappings.map { m =>
+        pool.submit(new java.util.concurrent.Callable[Option[MappingReport]] {
+          def call(): Option[MappingReport] =
+            if (aborted.get()) None
+            else try Some(syncMapping(m, concurrent = true))
+            catch {
+              case e: Exception if isInterruption(e) =>
+                System.err.println(s"[sync] mapping ${m.mappingId} cycle " +
+                  "interrupted (stop in progress) - expected; interrupted " +
+                  "objects re-sync next run via their ledger status")
+                aborted.set(true)
+                None
+              case e: Exception =>
+                System.err.println(
+                  s"[sync] mapping ${m.mappingId} failed: " +
+                    s"${e.getClass.getName}: ${e.getMessage}")
+                e.printStackTrace()
+                None
+            }
+        })
+      }
+      tasks.flatMap(t => t.get())
+    } finally pool.shutdown()
+  }
+
   /** True when the exception is (or wraps) a thread interrupt / job
     * cancellation — Spark surfaces a stop() interrupt variously as a raw
     * InterruptedException (AQE's result queue, DAGScheduler awaits) or a
@@ -85,18 +142,33 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
   }
 
   /** SyncBuckets (sync.go:56-176) as a relational plan + two executors. */
-  def syncMapping(m: MappingConf): MappingReport = {
+  def syncMapping(m: MappingConf): MappingReport =
+    syncMapping(m, concurrent = false)
+
+  private def syncMapping(m: MappingConf, concurrent: Boolean): MappingReport = {
     val srcUri = config.sourceUri(m)
     val dstUri = config.targetUri(m)
     val mid = m.mappingId
+    // scratch dirs are per-mapping so concurrent mappings cannot clobber
+    // each other's receipts; sanitized because mapping ids carry ':'/'>'
+    // which Hadoop Path parsing would misread as a scheme separator
+    val scratch = config.ledgerPath + ".scratch/" +
+      mid.replaceAll("[^A-Za-z0-9._-]", "_")
 
     // 1-4: scans + DDL (bucket_exists_guard gives empty catalog, not error)
     val srcCatalog = ObjectStoreCatalog.scanCatalog(spark, srcUri).cache()
     val tgtCatalog = ObjectStoreCatalog.scanCatalog(spark, dstUri)
     ObjectStoreCatalog.ensureBucket(spark, dstUri)
 
-    // 5-6b: diff join + predicate (replaces the reference's N+1 loop)
-    val ledger = readLedger(spark, config.ledgerPath)
+    // 5-6b: diff join + predicate (replaces the reference's N+1 loop).
+    // Concurrent mode pins the ledger snapshot eagerly: another mapping's
+    // commit swaps the ledger DIRECTORY, and a lazy read (or a cache
+    // eviction's recompute) over the old directory would hit deleted
+    // files mid-cycle. The snapshot is also the correct semantics — a
+    // cycle diffs against the ledger as of its start, and other mappings'
+    // commits never touch this mapping's rows.
+    val ledgerRead = readLedger(spark, config.ledgerPath)
+    val ledger = if (concurrent) ledgerRead.localCheckpoint(true) else ledgerRead
     val decided = SyncOps.catalogLedgerDiff(srcCatalog, ledger, mid).cache()
     val toCopy = SyncOps.needsSync(decided)
 
@@ -105,7 +177,7 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
     // the copies once per downstream action.
     val receipts = materialize(spark,
       CopyExecutor.copyObjects(spark, toCopy, srcUri, dstUri).toDF(),
-      config.ledgerPath + ".scratch/copy_receipts")
+      scratch + "/copy_receipts")
 
     // 6e: ledger upsert from receipts (sync.go:179-196) — receipt status
     // joined back to source metadata, then latest-wins merge
@@ -134,20 +206,32 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
     val orphans = SyncOps.orphanAntiJoin(tgtCatalog, srcCatalog)
     val deleteReceipts = materialize(spark,
       CopyExecutor.deleteObjects(spark, orphans, dstUri).toDF(),
-      config.ledgerPath + ".scratch/delete_receipts")
+      scratch + "/delete_receipts")
     val removedNames = deleteReceipts.filter(col("removed"))
       .select(col("object_name").as("name"))
     val removed = removedNames.count()
 
-    // reference ON-CONFLICT upsert semantics: the batch's rows win
-    // unconditionally — anti-join+union, no window sort over the ledger
-    val merged = SyncOps.ledgerUpsert(ledger, updates)
-    // keyed delete: only this mapping's rows for successfully-removed names
+    // ledger COMMIT: reference ON-CONFLICT upsert semantics — the batch's
+    // rows win unconditionally (anti-join+union, no window sort over the
+    // ledger) — then the keyed delete of successfully-removed orphans.
+    // Under concurrency this read-merge-swap is the one shared critical
+    // section: it re-reads the CURRENT ledger (not this cycle's snapshot)
+    // under the global lock, so commits serialize and no mapping's rows
+    // are lost — updates/doomed reference only materialized receipts and
+    // the pinned snapshot, so the in-lock work is the cheap merge, never
+    // the copies.
     val doomed = removedNames.select(lit(mid).as("mapping_id"),
                                      col("name").as("object_name"))
-    val afterDelete = merged.join(doomed, Seq("mapping_id", "object_name"),
-                                  "left_anti")
-    writeLedger(spark, afterDelete, config.ledgerPath)
+    def commitLedger(): Unit = {
+      val base = if (concurrent) readLedger(spark, config.ledgerPath)
+                 else ledger
+      val merged = SyncOps.ledgerUpsert(base, updates)
+      val afterDelete = merged.join(doomed, Seq("mapping_id", "object_name"),
+                                    "left_anti")
+      writeLedger(spark, afterDelete, config.ledgerPath)
+    }
+    if (concurrent) SyncEngine.ledgerLock.synchronized(commitLedger())
+    else commitLedger()
 
     MappingReport(mid,
       synced = counts.getOrElse("sync_new", 0L) +
@@ -173,6 +257,16 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
 }
 
 object SyncEngine {
+
+  /** Serializes ledger read-merge-swap commits across every concurrent
+    * mapping (and every engine instance) in this driver JVM — the ledger
+    * is one table rewritten whole, so the commit is the single shared
+    * resource concurrent sync must serialize (SCALE.md mapping-level
+    * parallelism note). JVM-wide is the right granularity: the driver is
+    * the only writer in this architecture, as the SQLite file was in the
+    * reference's.
+    */
+  private[graft] val ledgerLock = new Object
 
   /** Execute-once barrier for side-effecting executor outputs: dump to a
     * scratch parquet and read back, so downstream actions replay the file,

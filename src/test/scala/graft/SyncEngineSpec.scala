@@ -83,6 +83,48 @@ class SyncEngineSpec extends AnyFunSuite {
     assert(ledger2.map(_.getAs[String]("object_name")).toSet == Set("file1.txt"))
   }
 
+  test("concurrent mapping sync: disjoint mappings, one ledger, no lost update") {
+    // the reference's roadmap item (README.md:345-347): mappings run in a
+    // bounded pool; ledger commits serialize; per-mapping rows disjoint,
+    // so the concurrent read-merge-swap must lose NOTHING
+    val root = Files.createTempDirectory("graft-sync-conc")
+    for (m <- 1 to 3; f <- 1 to 4)
+      write(root.resolve(s"src$m/f$f.txt"), s"m$m-f$f")
+    write(root.resolve("dst2/orphan.txt"), "stale")
+    val cfg = SyncConfig(
+      providers = Seq(ProviderConf("local", "file", s"file://$root")),
+      mappings = (1 to 3).map(i =>
+        MappingConf("local", s"src$i", "local", s"dst$i")),
+      ledgerPath = s"$root/ledger")
+    assert(cfg.validate().isEmpty)
+    val engine = new SyncEngine(spark, cfg)
+
+    val r1 = engine.syncAll(concurrency = 3)
+    assert(r1.size == 3)
+    assert(r1.forall(r => r.synced == 4 && r.failed == 0))
+    assert(r1.find(_.mappingId.contains("src2")).get.orphansRemoved == 1)
+    assert(!Files.exists(root.resolve("dst2/orphan.txt")))
+    for (m <- 1 to 3; f <- 1 to 4)
+      assert(new String(Files.readAllBytes(
+        root.resolve(s"dst$m/f$f.txt"))) == s"m$m-f$f")
+    // all three mappings' rows present — the serialized commit kept every
+    // concurrent mapping's upsert
+    val ledger = SyncEngine.readLedger(spark, cfg.ledgerPath).collect()
+    assert(ledger.length == 12)
+    assert(ledger.map(_.getAs[String]("mapping_id")).distinct.length == 3)
+    assert(ledger.forall(_.getAs[String]("sync_status") == "success"))
+
+    // second concurrent cycle: everything skips (diff against the
+    // committed ledger sees no changes)
+    val r2 = engine.syncAll(concurrency = 2)
+    assert(r2.size == 3)
+    assert(r2.forall(r => r.synced == 0 && r.skipped == 4))
+
+    // concurrency = 1 delegates to the sequential path on the same state
+    val r3 = engine.syncAll(concurrency = 1)
+    assert(r3.forall(r => r.synced == 0 && r.skipped == 4))
+  }
+
   test("missing source bucket yields empty catalog, not error") {
     val root = Files.createTempDirectory("graft-missing")
     val df = ObjectStoreCatalog.scanCatalog(spark, s"file://$root/nope")
