@@ -1490,6 +1490,43 @@ object OracleExt {
       WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** Mirrors VectorOps.topkCosineInt8: same max-abs int8 codes as
+    * [[embeddingQuantize]], integer dot/norms (exact — no accumulation-
+    * order trap by construction), one shared double division, exact-fp32
+    * re-rank witness on the survivors.
+    */
+  val similarityTopkInt8: String = s"""
+    WITH $EmbCte,
+    q8 AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM emb),
+    qn AS (
+      SELECT vec_id, v,
+             [CAST(round(x / greatest(scale, 1e-30) * 127, 0) AS BIGINT)
+              for x in v] AS qvec
+      FROM q8),
+    qq AS (
+      SELECT vec_id, v, qvec,
+             list_sum([x * x for x in qvec]) AS qq
+      FROM qn),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(CAST(list_sum([a.qvec[i] * b.qvec[i]
+                     for i in range(1, len(a.qvec) + 1)]) AS DOUBLE)
+               / greatest(sqrt(CAST(a.qq AS DOUBLE))
+                          * sqrt(CAST(b.qq AS DOUBLE)), 1e-30), 6) AS sim_q,
+             round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim_exact
+      FROM qq a JOIN qq b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+    SELECT query_id, neighbor_id, sim_q, sim_exact,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim_q DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5 ORDER BY query_id, rank"""
+
   val similarityTopk: String = s"""
     WITH $EmbCte,
     scored AS (

@@ -1357,6 +1357,13 @@ object SparkEntry {
       VectorOps.topkCosineIvfAuto(T.embeddings(s, d), k = 5)
         .orderBy("query_id", "rank")),
 
+    "similarity_topk_int8" -> ((s, d) =>
+      // SQ8 two-stage retrieval: byte-code scan (exact integer dot/norms,
+      // 4x less bandwidth than fp32) + exact-fp re-rank witness on the
+      // survivors — the memory-budget ladder rung below IVF
+      VectorOps.topkCosineInt8(T.embeddings(s, d), k = 5)
+        .orderBy("query_id", "rank")),
+
     "similarity_topk_agg" -> ((s, d) => {
       val emb = T.embeddings(s, d)
       VectorOps.topkCosineAgg(emb.filter(col("vec_id") < 5), emb, 5)
@@ -1976,6 +1983,7 @@ object SparkEntry {
     "dedup_near_cosine" -> OracleExt.dedupNearCosineLsh(
       0.4, dim = 64, bands = 4, rowsPerBand = 4),
     "similarity_topk" -> OracleExt.similarityTopk,
+    "similarity_topk_int8" -> OracleExt.similarityTopkInt8,
     "similarity_topk_agg" -> OracleExt.similarityTopk,
     "similarity_topk_lsh" -> OracleExt.similarityTopkLsh(
       dim = 64, k = 5, nPlanes = 8),

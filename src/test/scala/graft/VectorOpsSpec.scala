@@ -25,6 +25,32 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 topk: quantized sims track exact sims and ranks are dense") {
+    val r = VectorOps.topkCosineInt8(emb, k = 5)
+      .select("query_id", "neighbor_id", "sim_q", "sim_exact", "rank")
+      .as[(Long, Long, Double, Double, Long)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall { case (q, n, _, _, _) => q != n })
+    r.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._5).sorted.sameElements(1L to rows.length))
+    }
+    // max-abs SQ8 on a 64-dim vector perturbs each normalized component by
+    // at most 0.5/127 of its scale; the cosine error bound is loose but a
+    // gross quantizer bug (wrong scale, sign clip) blows far past 0.05
+    assert(r.forall { case (_, _, sq, se, _) => math.abs(sq - se) < 0.05 })
+  }
+
+  test("int8 topk top-1 agrees with brute force on a strong planted match") {
+    // plant an exact duplicate of vec 7: quantized search must still rank
+    // it first for query 7 with sim_q == 1 (codes are identical)
+    val dup = emb.unionByName(
+      emb.filter($"vec_id" === 7).withColumn("vec_id", lit(100007L)))
+    val top = VectorOps.topkCosineInt8(dup, k = 1, queryMax = 8)
+      .filter($"query_id" === 7)
+      .select("neighbor_id", "sim_q").as[(Long, Double)].head()
+    assert(top._1 == 100007L && math.abs(top._2 - 1.0) < 1e-9)
+  }
+
   test("cosine of a vector with itself is 1 (identical vecs share all bands)") {
     val one = emb.filter($"vec_id" === 0)
     val r = VectorOps.nearDupCosine(
