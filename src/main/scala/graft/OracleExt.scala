@@ -114,6 +114,38 @@ object OracleExt {
     FROM (SELECT unnest(toks) AS token FROM docs_tok)
     GROUP BY token ORDER BY freq DESC, token LIMIT 50""")
 
+  /** Mirrors TextOps.zipfSlope(topN): OLS of ln(freq) on ln(rank) over the
+    * deterministic top-N vocab. Each ln is fixed-pointed per rank before
+    * summation, so every OLS sum is an exact integer (HUGEINT here, bounded
+    * long on the Spark side) and the closing division sees identical
+    * operands on both engines.
+    */
+  def vocabZipfSlope(topN: Int): String = docQ(s"""
+    , tok AS (SELECT unnest(toks) AS token FROM docs_tok),
+    ranked AS (
+      SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+      FROM (SELECT token, count(*) AS freq FROM tok
+            GROUP BY token ORDER BY freq DESC, token LIMIT $topN)),
+    fp AS (
+      SELECT CAST(floor(ln(rank) * 1e6 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(freq) * 1e6 + 0.5) AS BIGINT) AS y
+      FROM ranked),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM fp)
+    SELECT n AS n_ranks,
+           CAST(floor((CAST(n*sxy - sx*sy AS DOUBLE)
+             / CAST(n*sxx - sx*sx AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+             AS slope_fp,
+           CAST(floor(((CAST(sy AS DOUBLE)
+             - (CAST(n*sxy - sx*sy AS DOUBLE)
+                / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / n) * 1e6 + 0.5) AS BIGINT) AS intercept_fp
+    FROM s""")
+
   /** Mirrors TextOps.vocabCoverage(topN): occurrence coverage of the
     * deterministic top-N vocab, exact integer ppm.
     */
@@ -1743,6 +1775,50 @@ object OracleExt {
     FROM expanded GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** steps view→click→purchase — constants must match the SparkEntry call. */
+  /** Mirrors EventOps.anomalyMad(kSigma): per-type exact median + MAD via
+    * the same row_number/count window arithmetic (middle-one-or-two
+    * average — commutative, so no accumulation-order trap), fixed-point
+    * flag comparison on longs.
+    */
+  def eventsAnomalyMad(kSigma: Int): String = s"""
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (
+      SELECT event_type, sum(value) / count(*) AS med
+      FROM r WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+      GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.event_id, m.med,
+             abs(e.value - m.med) AS dev
+      FROM events e JOIN med m USING (event_type)),
+    r2 AS (
+      SELECT event_type, event_id, med, dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY dev, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev),
+    mad AS (
+      SELECT event_type, sum(dev) / count(*) AS mad
+      FROM r2 WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+      GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(max(d.med) * 1e6 + 0.5) AS BIGINT) AS med_fp,
+           CAST(floor(max(a.mad) * 1e6 + 0.5) AS BIGINT) AS mad_fp,
+           CAST(sum(CASE WHEN CAST(floor(d.dev * 1e6 + 0.5) AS BIGINT)
+                  > $kSigma * CAST(floor(a.mad * 1e6 + 0.5) AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           CAST(sum(CASE WHEN CAST(floor(d.dev * 1e6 + 0.5) AS BIGINT)
+                  > $kSigma * CAST(floor(a.mad * 1e6 + 0.5) AS BIGINT)
+                THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+             AS anomaly_ppm
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type"""
+
   /** Mirrors EventOps.topPercentByValue(pct): exact-rank outlier cutoff
     * K = ceil(n*pct/100) — no floating-point threshold anywhere.
     */

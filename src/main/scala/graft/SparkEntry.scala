@@ -681,6 +681,12 @@ object SparkEntry {
       // top-20 vocab, exact integer ppm
       TextOps.vocabCoverage(T.documents(s, d), topN = 20)),
 
+    "vocab_zipf_slope" -> ((s, d) =>
+      // corpus health scalar: OLS Zipf fit over the top-128 vocab —
+      // natural text sits near slope -1, template spam bends it; sums are
+      // exact fixed-point integers so both engines agree bit-for-bit
+      TextOps.zipfSlope(T.documents(s, d), topN = 128)),
+
     "doc_chunking" -> ((s, d) =>
       TextOps.chunkDocuments(T.documents(s, d), chunkTokens = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")),
@@ -1453,6 +1459,13 @@ object SparkEntry {
       EventOps.topPercentByValue(T.events(s, d), pct = 1)
         .orderBy("event_type", "rk")),
 
+    "events_anomaly_mad" -> ((s, d) =>
+      // robust data-quality tripwire: per-type median/MAD with a
+      // fixed-point 3-MAD flag — immune to the outliers it hunts, unlike
+      // mean/stddev z-scores
+      EventOps.anomalyMad(T.events(s, d), kSigma = 3)
+        .orderBy("event_type")),
+
     "events_top_percent_hist" -> ((s, d) =>
       // the bounded-state cutoff the live pairing rides: unit-bucket
       // histogram + top-down cumulative sweep, state O(value domain)
@@ -1922,6 +1935,7 @@ object SparkEntry {
     "events_key_skew" -> OracleExt.eventsKeySkew(20),
     "vocab_top_tokens" -> OracleExt.vocabTopTokens,
     "vocab_coverage" -> OracleExt.vocabCoverage(20),
+    "vocab_zipf_slope" -> OracleExt.vocabZipfSlope(128),
     "doc_chunking" -> OracleExt.docChunking,
     "embedding_quantize" -> OracleExt.embeddingQuantize,
     "embedding_normalize" -> OracleExt.embeddingNormalize,
@@ -2020,6 +2034,7 @@ object SparkEntry {
     "events_sessionize" -> OracleExt.eventsSessionize,
     "events_funnel" -> OracleExt.eventsFunnel,
     "events_top_percent" -> OracleExt.eventsTopPercent(1),
+    "events_anomaly_mad" -> OracleExt.eventsAnomalyMad(3),
     "events_top_percent_hist" -> OracleExt.eventsTopPercentHist(1),
     "events_stream_top_percent_hist" -> OracleExt.eventsTopPercentHist(1),
     "corpus_mix_report" -> OracleExt.corpusMixReport,

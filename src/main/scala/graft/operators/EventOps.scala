@@ -380,4 +380,55 @@ object EventOps {
       .limit(topK)
       .select("key", "n_events", "share_ppm")
   }
+
+  /** Engine-exact per-type median of `valueCol`, spelled out as windows
+    * (row_number + count, middle-one-or-two average) instead of a
+    * `percentile` call so the DuckDB oracle restates the identical
+    * arithmetic — the average of at most two doubles is commutative, so
+    * there is no accumulation-order trap. Tie-break on event_id makes the
+    * middle rows unique even under duplicate values.
+    */
+  private def exactMedian(df: DataFrame, valueCol: String,
+                          as: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col(valueCol), col("event_id"))
+    df.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(expr("rk = (n + 1) div 2 or rk = (n + 2) div 2"))
+      .groupBy("event_type")
+      .agg((sum(col(valueCol)) / count(lit(1))).as(as))
+  }
+
+  /** Robust per-type outlier report: median and MAD (median absolute
+    * deviation) of `value`, and the count of events whose deviation
+    * exceeds `kSigma`·MAD — the data-quality tripwire a training-data
+    * ingest runs per source/feed (robust to the very outliers it hunts,
+    * unlike mean/stddev z-scores). The flag comparison runs on
+    * fixed-point longs (floor(dev·1e6+0.5) > k·floor(MAD·1e6+0.5)) so
+    * boundary events verdict identically on both engines.
+    *
+    * Scale shape: exact medians need a per-type sort (two windowed passes
+    * over events). At 100 TB the drop-in sketch path is the same
+    * histogram-cutoff machinery as [[topPercentHist]] (bucket `value`,
+    * read the 50% cutoff off the cumulative histogram) — this operator is
+    * the exact gate the sketch is audited against, the same
+    * exact/approximate pairing as topPercentByValue/topPercentHist.
+    */
+  def anomalyMad(events: DataFrame, kSigma: Int = 3): DataFrame = {
+    val med = exactMedian(events, "value", "med")
+    val dev = events.select("event_type", "event_id", "value")
+      .join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = exactMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("is_anom",
+        expr(s"cast(floor(dev * 1e6 + 0.5) as bigint) > " +
+             s"$kSigma * cast(floor(mad * 1e6 + 0.5) as bigint)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           expr("cast(floor(max(med) * 1e6 + 0.5) as bigint)").as("med_fp"),
+           expr("cast(floor(max(mad) * 1e6 + 0.5) as bigint)").as("mad_fp"),
+           sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anomalies"))
+      .withColumn("anomaly_ppm", expr("n_anomalies * 1000000 div n_events"))
+  }
 }

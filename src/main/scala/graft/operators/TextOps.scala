@@ -184,6 +184,49 @@ object TextOps {
         expr("(n_tokens - n_covered) * 1000000 div n_tokens"))
   }
 
+  /** Zipf-law fit of the token frequency distribution: OLS slope and
+    * intercept of ln(freq) over ln(rank) across the deterministic top-N
+    * vocabulary — the classic corpus health check (natural text fits a
+    * slope near −1; scraped boilerplate, template spam, or a broken
+    * tokenizer bend the curve and a single scalar flags it per corpus
+    * snapshot or per source).
+    *
+    * Parity: ln values are fixed-pointed per RANK (floor(ln·1e6 + 0.5) on
+    * a single double each — no accumulated float), so the OLS sums are
+    * exact 64-bit integers in any accumulation order; the one closing
+    * division runs on identical longs in both engines. `topN ≤ 128` keeps
+    * `n·Σxy` under 2⁶³ even at ln(freq) of a 100 TB corpus (~e28: x ≤
+    * 4.9e6, y ≤ 2.8e7 ⇒ n·Σxy ≤ 128²·4.9e6·2.8e7 ≈ 2.2e18).
+    *
+    * Scale shape: the corpus pass is [[vocabulary]]'s partial-agg'd count
+    * + TakeOrdered top-N; ranking and regression run over ≤128 rows.
+    */
+  def zipfSlope(docs: DataFrame, topN: Int = 128): DataFrame = {
+    require(topN >= 2 && topN <= 128, s"topN must be in [2,128], got $topN")
+    val ranked = vocabulary(docs, topN).withColumn("rank",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("token"))).cast("long"))
+    ranked
+      .select(
+        expr("cast(floor(ln(rank) * 1e6 + 0.5) as bigint)").as("x"),
+        expr("cast(floor(ln(freq) * 1e6 + 0.5) as bigint)").as("y"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("y")).as("sxy"),
+           sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("n").as("n_ranks"),
+        expr("""cast(floor((cast(n*sxy - sx*sy as double)
+                / cast(n*sxx - sx*sx as double)) * 1e6 + 0.5) as bigint)""")
+          .as("slope_fp"),
+        expr("""cast(floor(((cast(sy as double)
+                - (cast(n*sxy - sx*sy as double)
+                   / cast(n*sxx - sx*sx as double)) * cast(sx as double))
+                / n) * 1e6 + 0.5) as bigint)""")
+          .as("intercept_fp"))
+  }
+
   /** Fixed-size token chunking with stride (the training-data shard shape:
     * overlapping windows of `chunkTokens`, step `stride`). Emits chunk
     * index, token count and a content hash per chunk — the full text stays

@@ -21,6 +21,43 @@ class EventOpsSpec extends AnyFunSuite {
       .select("event_type", "event_id").as[(String, Long)].collect().toSet
     assert(got == Set(("a", 1L), ("b", 260L), ("b", 259L), ("b", 258L)))
   }
+  test("anomaly MAD matches an in-memory median/MAD model, odd and even n") {
+    val s = Spec.spark
+    import s.implicits._
+    // type "a": 9 values (odd n) with one wild outlier; type "b": 10
+    // values (even n — median interpolates the middle two) all calm
+    val aVals = Seq(1.0, 1.1, 0.9, 1.2, 1.0, 1.05, 0.95, 1.1, 100.0)
+    val bVals = (1 to 10).map(i => 5.0 + i * 0.01)
+    val ev = (aVals.zipWithIndex.map { case (v, i) => (i.toLong, "a", v) } ++
+      bVals.zipWithIndex.map { case (v, i) => (100L + i, "b", v) })
+      .toDF("event_id", "event_type", "value")
+    def model(vs: Seq[Double]): (Double, Double, Int) = {
+      def med(xs: Seq[Double]): Double = {
+        val s0 = xs.sorted; val n = s0.length
+        (s0((n - 1) / 2) + s0(n / 2)) / 2
+      }
+      val m = med(vs); val devs = vs.map(v => math.abs(v - m))
+      val d = med(devs)
+      val flagged = devs.count(dev =>
+        math.floor(dev * 1e6 + 0.5).toLong > 3 * math.floor(d * 1e6 + 0.5).toLong)
+      (m, d, flagged)
+    }
+    val got = EventOps.anomalyMad(ev, kSigma = 3)
+      .select("event_type", "n_events", "med_fp", "mad_fp", "n_anomalies")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((t, vs) <- Seq("a" -> aVals, "b" -> bVals)) {
+      val (m, d, flagged) = model(vs)
+      val (_, n, medFp, madFp, nAnom) = got(t)
+      assert(n == vs.length)
+      assert(medFp == math.floor(m * 1e6 + 0.5).toLong)
+      assert(madFp == math.floor(d * 1e6 + 0.5).toLong)
+      assert(nAnom == flagged.toLong, s"type $t")
+    }
+    // the planted outlier is the only flag in "a"; "b" is all calm
+    assert(got("a")._5 == 1L && got("b")._5 == 0L)
+  }
+
   test("histogram top-percent: cutoff bucket covers k, never undershoots") {
     val s = Spec.spark
     import s.implicits._

@@ -18,6 +18,35 @@ class TextOpsSpec extends AnyFunSuite {
     (5L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L)  // exact dup of 1
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("zipf slope recovers the exponent of a planted power-law corpus") {
+    // token t{i} appears floor(240/i) times, i = 1..40 — frequencies
+    // proportional to 1/rank, so the ln-ln OLS slope must sit near -1
+    val text = (1 to 40).flatMap(i => Seq.fill(240 / i)(s"t$i")).mkString(" ")
+    val corpus = Seq((1L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (n, slopeFp, interceptFp) = TextOps.zipfSlope(corpus, topN = 40)
+      .select("n_ranks", "slope_fp", "intercept_fp")
+      .as[(Long, Long, Long)].head()
+    assert(n == 40)
+    // independent model: identical fixed-point OLS in plain Scala
+    val freqs = (1 to 40).map(i => 240 / i).sortBy(-_)
+    val pts = freqs.zipWithIndex.map { case (f, i) =>
+      (math.floor(math.log(i + 1.0) * 1e6 + 0.5).toLong,
+       math.floor(math.log(f.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val nn = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (nn * sxy - sx * sy).toDouble / (nn * sxx - sx * sx).toDouble
+    assert(slopeFp == math.floor(slope * 1e6 + 0.5).toLong)
+    assert(interceptFp ==
+      math.floor((sy.toDouble - slope * sx.toDouble) / nn * 1e6 + 0.5).toLong)
+    // the planted exponent: floor(240/i) stays within ~6% of 240/i over
+    // i ≤ 40, so the fitted slope lands in a tight band around -1
+    assert(slopeFp > -1100000L && slopeFp < -900000L, s"slope_fp=$slopeFp")
+  }
+
   test("exact dedup groups identical content") {
     val r = TextOps.dedupExact(docs)
       .select("keeper_doc_id", "n_copies").as[(Long, Long)].collect().toSet
