@@ -1275,11 +1275,13 @@ object OracleExt {
     * the embedding edge set instead of the minhash one (semantic dedup:
     * paraphrases cluster even when no shingle survives).
     */
-  def dedupClustersCosine(threshold: Double, dim: Int,
-                          bands: Int, rowsPerBand: Int): String = {
+  /** Shared CTE prefix for the cosine-cluster oracles: banded candidate
+    * pairs → thresholded exact cosine → undirected edges → label walk.
+    */
+  private def cosineWalkCtes(threshold: Double, dim: Int,
+                             bands: Int, rowsPerBand: Int): String = {
     val bandExprs = bandExprsSql(dim, bands, rowsPerBand)
-    s"""
-      WITH RECURSIVE $EmbCte,
+    s"""WITH RECURSIVE $EmbCte,
       banded AS (
         SELECT vec_id, unnest([$bandExprs]) AS band FROM emb),
       cand AS (
@@ -1302,11 +1304,37 @@ object OracleExt {
       walk(node, lab) AS (
         SELECT vec_id, vec_id FROM emb
         UNION
-        SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst)
+        SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst)"""
+  }
+
+  def dedupClustersCosine(threshold: Double, dim: Int,
+                          bands: Int, rowsPerBand: Int): String = s"""
+      ${cosineWalkCtes(threshold, dim, bands, rowsPerBand)}
       SELECT node AS vec_id, min(lab) AS cluster_id,
              min(lab) = node AS is_canonical
       FROM walk GROUP BY node ORDER BY vec_id"""
-  }
+
+  /** Mirrors the SemDeDup verdict (CorpusOps.keepBestPerCluster over
+    * cosine clusters ⋈ documents): keeper = longest doc, ties lowest id.
+    */
+  def dedupSemanticKeepBest(threshold: Double, dim: Int,
+                            bands: Int, rowsPerBand: Int): String = s"""
+      ${cosineWalkCtes(threshold, dim, bands, rowsPerBand)},
+      assign AS (
+        SELECT node AS doc_id, min(lab) AS cluster_id
+        FROM walk GROUP BY node),
+      sized AS (
+        SELECT a.doc_id, a.cluster_id, d.n_chars
+        FROM assign a JOIN documents d USING (doc_id)),
+      keep AS (
+        SELECT cluster_id, doc_id AS keeper_id FROM (
+          SELECT cluster_id, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
+          FROM sized) WHERE rk = 1)
+      SELECT s.doc_id, s.cluster_id, k.keeper_id,
+             s.doc_id <> k.keeper_id AS dropped
+      FROM sized s JOIN keep k USING (cluster_id)
+      ORDER BY s.doc_id"""
 
   /** LSH-bucketed ANN top-k oracle (mirrors VectorOps.topkCosineLsh). */
   def similarityTopkLsh(dim: Int, k: Int, nPlanes: Int): String = {

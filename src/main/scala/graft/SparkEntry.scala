@@ -1336,6 +1336,20 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "dedup_semantic_keep_best" -> ((s, d) => {
+      // SemDeDup: embedding clusters (banded cosine LSH -> min-label
+      // components) + quality-keeper policy — drops paraphrases a shingle
+      // dedup can't see, keeps the longest representative per cluster
+      val emb = T.embeddings(s, d)
+      val pairs = VectorOps.nearDupCosine(emb, 0.4, dim = 64)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val assign = graft.operators.CorpusOps
+        .connectedComponents(emb.select(col("vec_id").as("doc_id")), pairs)
+      graft.operators.CorpusOps
+        .keepBestPerCluster(assign, T.documents(s, d))
+        .orderBy("doc_id")
+    }),
+
     // [EXT] similarity search -------------------------------------------
     "similarity_topk" -> ((s, d) => {
       val emb = T.embeddings(s, d)
@@ -1986,6 +2000,9 @@ object SparkEntry {
     "events_stream_range_join" -> OracleExt.eventsRangeJoin(10),
     "dedup_clusters_cosine" ->
       OracleExt.dedupClustersCosine(0.4, dim = 64, bands = 4, rowsPerBand = 4),
+    "dedup_semantic_keep_best" ->
+      OracleExt.dedupSemanticKeepBest(0.4, dim = 64, bands = 4,
+        rowsPerBand = 4),
     "dedup_cluster_stats" -> OracleExt.dedupClusterStats,
     "sample_stratified" -> OracleExt.sampleStratified,
     "corpus_shard" -> OracleExt.corpusShard(nShards = 8),

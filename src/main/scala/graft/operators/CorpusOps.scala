@@ -144,8 +144,18 @@ object CorpusOps {
     * pass over text; swapping the quality column (rarity score, repetition
     * gate) swaps the policy without changing the plan shape.
     */
-  def dedupDropList(docs: DataFrame): DataFrame = {
-    val sized = dedupClusters(docs)
+  def dedupDropList(docs: DataFrame): DataFrame =
+    keepBestPerCluster(dedupClusters(docs), docs)
+
+  /** Keeper selection over ANY cluster assignment (doc_id, cluster_id):
+    * keep the longest doc (ties: lowest doc_id), emit the per-doc verdict.
+    * Shared by the MinHash drop list ([[dedupDropList]]) and the SemDeDup
+    * embedding-cluster verdict — the quality column is the policy, the
+    * max-struct partial aggregate is the plan (map-side combine, no window
+    * over the corpus, no second pass over text).
+    */
+  def keepBestPerCluster(assign: DataFrame, docs: DataFrame): DataFrame = {
+    val sized = assign
       .select("doc_id", "cluster_id")
       .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
     val keepers = sized.groupBy("cluster_id")

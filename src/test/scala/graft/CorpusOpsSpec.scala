@@ -10,6 +10,20 @@ class CorpusOpsSpec extends AnyFunSuite {
   lazy val spark = Spec.spark
   import spark.implicits._
 
+  test("keepBestPerCluster keeps the longest doc per cluster, ties by id") {
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 5L), (4L, 7L), (5L, 7L))
+      .toDF("doc_id", "n_chars")
+    val got = CorpusOps.keepBestPerCluster(assign, docs)
+      .select("doc_id", "keeper_id", "dropped")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, true), (2L, 2L, false),      // longest wins
+      (3L, 3L, false),                      // singleton keeps itself
+      (4L, 4L, false), (5L, 4L, true)))     // length tie -> lowest id
+  }
+
   test("connected components resolve chains, not just direct pairs") {
     val nodes = (1L to 6L).toDF("doc_id")
     // 1-2, 2-3 chain; 5-6 pair; 4 singleton
