@@ -410,6 +410,11 @@ object SparkEntry {
       // deterministic top-50 over the drained counts — batch oracle
       graft.streaming.StreamingOps.vocabularyStream(s, d, topN = 50)),
 
+    "docs_stream_zipf_slope" -> ((s, d) =>
+      // corpus-health dial live: same vocabulary-bounded count state, the
+      // batch fixed-point OLS over the drained counts — batch oracle
+      graft.streaming.StreamingOps.zipfSlopeStream(s, d, topN = 128)),
+
     "events_stream_range_join" -> ((s, d) =>
       // stream-stream interval join: incidents x same-user events within
       // +/-10 min, both sides landing through the split-file source; state
@@ -1950,6 +1955,7 @@ object SparkEntry {
     "vocab_top_tokens" -> OracleExt.vocabTopTokens,
     "vocab_coverage" -> OracleExt.vocabCoverage(20),
     "vocab_zipf_slope" -> OracleExt.vocabZipfSlope(128),
+    "docs_stream_zipf_slope" -> OracleExt.vocabZipfSlope(128),
     "doc_chunking" -> OracleExt.docChunking,
     "embedding_quantize" -> OracleExt.embeddingQuantize,
     "embedding_normalize" -> OracleExt.embeddingNormalize,

@@ -201,12 +201,22 @@ object TextOps {
     * Scale shape: the corpus pass is [[vocabulary]]'s partial-agg'd count
     * + TakeOrdered top-N; ranking and regression run over ≤128 rows.
     */
-  def zipfSlope(docs: DataFrame, topN: Int = 128): DataFrame = {
+  def zipfSlope(docs: DataFrame, topN: Int = 128): DataFrame =
+    zipfFitFromVocab(vocabulary(docs, topN), topN)
+
+  /** The fixed-point OLS half of [[zipfSlope]], over an already-built
+    * (token, freq) vocabulary frame — shared with the streaming pairing,
+    * whose vocabulary state drains from complete-mode counts instead of a
+    * batch top-N.
+    */
+  def zipfFitFromVocab(vocab: DataFrame, topN: Int): DataFrame = {
     require(topN >= 2 && topN <= 128, s"topN must be in [2,128], got $topN")
-    val ranked = vocabulary(docs, topN).withColumn("rank",
-      org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("freq").desc, col("token"))).cast("long"))
+    val ranked = vocab
+      .orderBy(col("freq").desc, col("token")).limit(topN)
+      .withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("token"))).cast("long"))
     ranked
       .select(
         expr("cast(floor(ln(rank) * 1e6 + 0.5) as bigint)").as("x"),

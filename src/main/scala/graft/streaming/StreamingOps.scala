@@ -750,6 +750,24 @@ object StreamingOps {
       .limit(topN)
   }
 
+  /** Streaming Zipf health fit: the same vocabulary-bounded complete-mode
+    * token-count state as [[vocabularyStream]], with the batch operator's
+    * fixed-point OLS (TextOps.zipfFitFromVocab) run over the drained
+    * counts — the corpus-health dial maintained as documents land, tiny
+    * post-drain arithmetic over ≤ topN rows. Equals the batch
+    * `vocab_zipf_slope`, so the same oracle hash-gates it.
+    */
+  def zipfSlopeStream(spark: SparkSession, dir: String,
+                      topN: Int): DataFrame = {
+    import graft.operators.TextOps.tokens
+    val agg = docsStream(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+    graft.operators.TextOps.zipfFitFromVocab(
+      runToTable(spark, agg, OutputMode.Complete()), topN)
+  }
+
   /** Stream-stream interval join: incidents ("error" events) joined, AS
     * BOTH SIDES LAND, to the same user's events within ±`windowMinutes` —
     * the streaming twin of EventOps.nearbyEventCounts and the one

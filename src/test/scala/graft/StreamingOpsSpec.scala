@@ -219,6 +219,15 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
   }
 
+  test("streaming zipf slope equals the batch fixed-point fit") {
+    val streamed = StreamingOps.zipfSlopeStream(spark, dir, 128)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.TextOps
+      .zipfSlope(Tables.documents(spark, dir), 128)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+  }
+
   test("stream-stream interval join equals the batch range join") {
     // both sides land across four triggers in arbitrary event-time order:
     // the buffered-state matching, not single-batch colocation, produces
