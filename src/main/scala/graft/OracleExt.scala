@@ -1847,6 +1847,49 @@ object OracleExt {
     FROM dev d JOIN mad a USING (event_type)
     GROUP BY d.event_type ORDER BY d.event_type"""
 
+  /** Mirrors EventOps.anomalyMadHist / StreamingOps.anomalyMadHistStream:
+    * the bounded-histogram median/MAD sketch. Lower medians at unit-bucket
+    * resolution — integer arithmetic end to end, one SQL restatement
+    * hash-gates both the batch and the live variant.
+    */
+  def eventsAnomalyMadHist(kSigma: Int): String = s"""
+    WITH h AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bucket, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM h),
+    medb AS (
+      SELECT event_type, min(bucket) AS med_bucket,
+             CAST(max(n) AS BIGINT) AS n_events
+      FROM cum WHERE cum >= (n + 1) // 2 GROUP BY event_type),
+    dev AS (
+      SELECT h.event_type, m.med_bucket, m.n_events,
+             abs(h.bucket - m.med_bucket) AS dev, SUM(h.c) AS c
+      FROM h JOIN medb m USING (event_type)
+      GROUP BY 1, 2, 3, 4),
+    cum2 AS (
+      SELECT event_type, dev, c, n_events,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+      FROM dev),
+    madb AS (
+      SELECT event_type, min(dev) AS mad_bucket
+      FROM cum2 WHERE cum >= (n_events + 1) // 2 GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(max(d.n_events) AS BIGINT) AS n_events,
+           CAST(max(d.med_bucket) AS BIGINT) AS med_bucket,
+           CAST(max(b.mad_bucket) AS BIGINT) AS mad_bucket,
+           CAST(sum(CASE WHEN d.dev > $kSigma * b.mad_bucket
+                THEN d.c ELSE 0 END) AS BIGINT) AS n_anomalies,
+           CAST(sum(CASE WHEN d.dev > $kSigma * b.mad_bucket
+                THEN d.c ELSE 0 END) * 1000000 // max(d.n_events) AS BIGINT)
+             AS anomaly_ppm
+    FROM dev d JOIN madb b USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type"""
+
   /** Mirrors EventOps.topPercentByValue(pct): exact-rank outlier cutoff
     * K = ceil(n*pct/100) — no floating-point threshold anywhere.
     */

@@ -323,6 +323,12 @@ object SparkEntry {
       graft.streaming.StreamingOps.topPercentHistStream(s, d, pct = 1)
         .orderBy("event_type")),
 
+    "events_stream_anomaly_mad_hist" -> ((s, d) =>
+      // the anomaly tripwire live: same bounded unit-bucket histogram
+      // state, batch median/MAD sweep post-drain; shares the batch oracle
+      graft.streaming.StreamingOps.anomalyMadHistStream(s, d, kSigma = 3)
+        .orderBy("event_type")),
+
     "docs_stream_length_quantiles" -> ((s, d) =>
       // dataset-card length profile live: per-(source, length) histogram
       // state, exact integer-rank pick post-drain; batch oracle
@@ -1485,6 +1491,13 @@ object SparkEntry {
       EventOps.anomalyMad(T.events(s, d), kSigma = 3)
         .orderBy("event_type")),
 
+    "events_anomaly_mad_hist" -> ((s, d) =>
+      // the bounded-state sketch twin: median/MAD at unit-bucket
+      // resolution off the per-type histogram — one pass over events,
+      // everything below runs over histogram rows
+      EventOps.anomalyMadHist(T.events(s, d), kSigma = 3)
+        .orderBy("event_type")),
+
     "events_top_percent_hist" -> ((s, d) =>
       // the bounded-state cutoff the live pairing rides: unit-bucket
       // histogram + top-down cumulative sweep, state O(value domain)
@@ -2058,6 +2071,8 @@ object SparkEntry {
     "events_funnel" -> OracleExt.eventsFunnel,
     "events_top_percent" -> OracleExt.eventsTopPercent(1),
     "events_anomaly_mad" -> OracleExt.eventsAnomalyMad(3),
+    "events_anomaly_mad_hist" -> OracleExt.eventsAnomalyMadHist(3),
+    "events_stream_anomaly_mad_hist" -> OracleExt.eventsAnomalyMadHist(3),
     "events_top_percent_hist" -> OracleExt.eventsTopPercentHist(1),
     "events_stream_top_percent_hist" -> OracleExt.eventsTopPercentHist(1),
     "corpus_mix_report" -> OracleExt.corpusMixReport,

@@ -381,6 +381,56 @@ object EventOps {
       .select("key", "n_events", "share_ppm")
   }
 
+  /** The bounded-state sketch twin of [[anomalyMad]]: median and MAD read
+    * off the per-type UNIT-WIDTH INTEGER histogram (`floor(value)` — the
+    * same deterministic bucketing as [[topPercentHist]], no randomized
+    * quantile sketch), flag = bucket deviation > kSigma·MAD-bucket. Both
+    * statistics are LOWER medians at bucket resolution (rank ⌈n/2⌉ on the
+    * cumulative histogram — integer arithmetic end to end), so parity is
+    * exact and the streaming twin can share this oracle; the exact
+    * [[anomalyMad]] stays the audit gate, the same pairing discipline as
+    * topPercentByValue/topPercentHist.
+    *
+    * Scale shape: ONE partial-agg'd groupBy over events (the only pass);
+    * every window/join below it runs over histogram rows (≤ |value
+    * domain| per type), bounded regardless of event count.
+    */
+  def anomalyMadHist(events: DataFrame, kSigma: Int = 3): DataFrame =
+    madFromHist(
+      events.groupBy(col("event_type"),
+          floor(col("value")).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("c")),
+      kSigma)
+
+  /** Median/MAD/flag sweep over a (event_type, bucket, c) histogram —
+    * shared verbatim by the batch operator and the streaming drain.
+    */
+  def madFromHist(hist: DataFrame, kSigma: Int): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(byType.orderBy(col("bucket"))))
+      .withColumn("n", sum(col("c")).over(byType))
+    val medB = cum.filter(expr("cum >= (n + 1) div 2"))
+      .groupBy("event_type")
+      .agg(min(col("bucket")).as("med_bucket"), max(col("n")).as("n_events"))
+    val dev = hist.join(broadcast(medB), Seq("event_type"))
+      .groupBy(col("event_type"), col("med_bucket"), col("n_events"),
+               abs(col("bucket") - col("med_bucket")).as("dev"))
+      .agg(sum(col("c")).as("c"))
+    val cum2 = dev
+      .withColumn("cum", sum(col("c")).over(byType.orderBy(col("dev"))))
+    val madB = cum2.filter(expr("cum >= (n_events + 1) div 2"))
+      .groupBy("event_type").agg(min(col("dev")).as("mad_bucket"))
+    dev.join(broadcast(madB), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max(col("n_events")).as("n_events"),
+           max(col("med_bucket")).as("med_bucket"),
+           max(col("mad_bucket")).as("mad_bucket"),
+           sum(when(col("dev") > lit(kSigma.toLong) * col("mad_bucket"),
+             col("c")).otherwise(lit(0L))).as("n_anomalies"))
+      .withColumn("anomaly_ppm", expr("n_anomalies * 1000000 div n_events"))
+  }
+
   /** Engine-exact per-type median of `valueCol`, spelled out as windows
     * (row_number + count, middle-one-or-two average) instead of a
     * `percentile` call so the DuckDB oracle restates the identical

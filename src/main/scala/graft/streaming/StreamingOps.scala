@@ -672,6 +672,24 @@ object StreamingOps {
       runToTable(spark, hist, OutputMode.Complete()), pct)
   }
 
+  /** The anomaly tripwire live: the exact median/MAD report is excluded
+    * from pairing (global order statistics — SURVEY §2.9), so the live
+    * variant is the deterministic bucket sketch: the same per-(type,
+    * unit-bucket) complete-mode count state as [[topPercentHistStream]],
+    * with the batch median/MAD/flag sweep (EventOps.madFromHist) over the
+    * drained histogram. State = value domain, not event count; shares the
+    * batch `events_anomaly_mad_hist` oracle.
+    */
+  def anomalyMadHistStream(spark: SparkSession, dir: String, kSigma: Int,
+                           nFiles: Int = 4): DataFrame = {
+    val hist = eventsStreamSplit(spark, dir, nFiles)
+      .groupBy(col("event_type"),
+               floor(col("value")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    graft.operators.EventOps.madFromHist(
+      runToTable(spark, hist, OutputMode.Complete()), kSigma)
+  }
+
   /** Streaming length-profile quantiles: the dataset-card p50/p90/p99
     * token lengths per source, maintained live. State is the per-(source,
     * token-length) count histogram (complete mode — bounded by distinct

@@ -58,6 +58,32 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got("a")._5 == 1L && got("b")._5 == 0L)
   }
 
+  test("anomaly MAD hist matches a bucket model and brackets the exact stats") {
+    val s = Spec.spark
+    import s.implicits._
+    // values spread over several unit buckets with one far outlier; 101
+    // rows so the lower median is the exact middle rank
+    val vals = (1 to 100).map(i => 10.0 + (i % 7) + i * 0.001) :+ 500.0
+    val ev = vals.zipWithIndex.map { case (v, i) => (i.toLong, "a", v) }
+      .toDF("event_id", "event_type", "value")
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s0 = xs.sorted; s0(((s0.length + 1) / 2) - 1)
+    }
+    val buckets = vals.map(v => math.floor(v).toLong)
+    val medB = lowerMedian(buckets)
+    val devs = buckets.map(b => math.abs(b - medB))
+    val madB = lowerMedian(devs)
+    val expAnom = devs.count(_ > 3 * madB)
+    val got = EventOps.anomalyMadHist(ev, kSigma = 3)
+      .select("n_events", "med_bucket", "mad_bucket", "n_anomalies")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((vals.length.toLong, medB, madB, expAnom.toLong)))
+    // the sketch agrees with the exact operator at bucket resolution
+    val exact = EventOps.anomalyMad(ev, kSigma = 3)
+      .select("med_fp").as[Long].head()
+    assert(math.abs(medB - math.floor(exact / 1e6)) <= 1.0)
+  }
+
   test("histogram top-percent: cutoff bucket covers k, never undershoots") {
     val s = Spec.spark
     import s.implicits._

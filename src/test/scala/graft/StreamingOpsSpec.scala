@@ -219,6 +219,14 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
   }
 
+  test("streaming anomaly-mad histogram equals the batch sketch") {
+    val streamed = StreamingOps.anomalyMadHistStream(spark, dir, 3)
+      .orderBy("event_type").collect().map(_.toSeq)
+    val batch = EventOps.anomalyMadHist(Tables.events(spark, dir), 3)
+      .orderBy("event_type").collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+  }
+
   test("streaming zipf slope equals the batch fixed-point fit") {
     val streamed = StreamingOps.zipfSlopeStream(spark, dir, 128)
       .collect().map(_.toSeq)
