@@ -1388,6 +1388,13 @@ object SparkEntry {
       VectorOps.topkCosineIvfAuto(T.embeddings(s, d), k = 5)
         .orderBy("query_id", "rank")),
 
+    "similarity_topk_pq" -> ((s, d) =>
+      // the PQ compression rung of IVF-PQ: 8-byte codes, per-query ADC
+      // tables, corpus floats untouched at query time; fixed-point
+      // arg-max encoding + exact-long ADC sums keep both engines exact
+      VectorOps.topkCosinePq(T.embeddings(s, d), k = 5)
+        .orderBy("query_id", "rank")),
+
     "similarity_topk_int8" -> ((s, d) =>
       // SQ8 two-stage retrieval: byte-code scan (exact integer dot/norms,
       // 4x less bandwidth than fp32) + exact-fp re-rank witness on the
@@ -2034,6 +2041,8 @@ object SparkEntry {
       0.4, dim = 64, bands = 4, rowsPerBand = 4),
     "similarity_topk" -> OracleExt.similarityTopk,
     "similarity_topk_int8" -> OracleExt.similarityTopkInt8,
+    "similarity_topk_pq" -> OracleExt.similarityTopkPq(
+      dim = 64, k = 5, m = 8, centroidEvery = 50, queryMax = 5, refine = 4),
     "similarity_topk_agg" -> OracleExt.similarityTopk,
     "similarity_topk_lsh" -> OracleExt.similarityTopkLsh(
       dim = 64, k = 5, nPlanes = 8),

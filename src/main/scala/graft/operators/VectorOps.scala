@@ -610,4 +610,112 @@ object VectorOps {
           (l2_norm(col("va")) * l2_norm(col("vb"))), 6))
       .select("query_id", "neighbor_id", "sim_q", "sim_exact", "rank")
   }
+
+  /** Product-quantized (PQ) top-k cosine — the compression rung of the
+    * IVF-PQ architecture every billion-vector ANN deployment ships: each
+    * vector is encoded as `m` sub-space codeword ids (here 8 codes for a
+    * 64-dim vector — 8 bytes resident instead of 256), and query scoring
+    * is Asymmetric Distance Computation: per-query dot-product TABLES
+    * against the tiny codebook, then a code-indexed table-lookup sum per
+    * corpus vector — the corpus's floats are never touched at query time.
+    *
+    * Deterministic by construction, in the repo's kmeans discipline:
+    *  - codebook = sub-vectors of the every-`centroidEvery`-th seed rows
+    *    (the shared IVF seed rule — no randomized training);
+    *  - encoding arg-max runs on fixed-point `floor(sim·1e6+0.5)` longs
+    *    (ties → lowest code id), a map-side max-struct partial aggregate,
+    *    so assignment order can't differ across engines or partitionings;
+    *  - ADC sums are sums of per-(sub-space) fixed-point longs — exact in
+    *    any accumulation order; the reconstructed norm comes from the
+    *    codeword norm table the same way. One closing double division.
+    *
+    * The PQ score approximates cosine(query, RECONSTRUCTED corpus vector)
+    * — recall vs the exact top-k is the priced tradeoff (spec measures
+    * it); survivors carry the exact-fp `sim_exact` witness, the re-rank
+    * rung shared with [[topkCosineInt8]].
+    *
+    * Scale shape: codebook and per-query tables are tiny broadcasts
+    * (m·(n/centroidEvery) and |q|·m·(n/centroidEvery) rows); the corpus
+    * appears only as its code rows (n·m ids) — one equi-join on
+    * (sub-space, code), one partial-agg'd groupBy. Nothing n×n, nothing
+    * n×dim at query time.
+    */
+  def topkCosinePq(corpus: DataFrame, k: Int, m: Int = 8,
+                   centroidEvery: Int = 50, queryMax: Int = 5,
+                   refine: Int = 4): DataFrame = {
+    import graft.functions.ArrayMath.{dot_product, l2_norm}
+    val dim = dimOf(corpus)
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val sub = dim / m
+
+    // every vector exploded into its m sub-vectors (shared by corpus
+    // encode, codebook build, and query tables)
+    val subs = corpus
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("m"), col("embedding"))
+      .select(col("vec_id"), col("m"),
+        slice(col("embedding"), col("m") * lit(sub) + lit(1), lit(sub))
+          .as("sv"))
+    def fp(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val codebook = subs.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("code_id"), col("m"), col("sv").as("cw"))
+      .withColumn("cwn2_fp", fp(dot_product(col("cw"), col("cw"))))
+
+    // encode: per (vector, sub-space) the nearest codeword by sub-space
+    // cosine, arg-max on fixed-point longs via map-side max-struct
+    val codes = subs.join(broadcast(codebook), Seq("m"))
+      .withColumn("sim_fp", fp(
+        dot_product(col("sv"), col("cw")) /
+          greatest(sqrt(dot_product(col("sv"), col("sv"))) *
+                   sqrt(dot_product(col("cw"), col("cw"))), lit(1e-30))))
+      .groupBy("vec_id", "m")
+      .agg(max(struct(col("sim_fp"), (-col("code_id")).as("neg"),
+        col("code_id"))).as("s"))
+      .select(col("vec_id").as("neighbor_id"), col("m"),
+              col("s.code_id").as("code_id"))
+
+    // per-query ADC tables: dot of each query sub-vector against each
+    // codeword, fixed-pointed per entry
+    val qtab = subs.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("pdot_fp", fp(dot_product(col("sv"), col("cw"))))
+      .select("query_id", "m", "code_id", "pdot_fp", "cwn2_fp")
+    val qn = corpus.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+              l2_norm(col("embedding")).as("qn"))
+
+    val adc = codes.join(broadcast(qtab), Seq("m", "code_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("pdot_fp")).as("adc_fp"), sum(col("cwn2_fp")).as("rn2_fp"))
+    val scored = adc
+      .join(broadcast(qn.select("query_id", "qn")), Seq("query_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_pq_fp", fp(
+        (col("adc_fp").cast("double") / lit(1e6)) /
+          greatest(col("qn") *
+            sqrt(col("rn2_fp").cast("double") / lit(1e6)), lit(1e-30))))
+    // two-stage retrieval (the production IVF-PQ read path): the ADC
+    // shortlist over-fetches refine·k candidates on codes alone, then the
+    // exact re-rank touches floats for ONLY those candidates — recall is
+    // bought with a wider shortlist, never with corpus-wide float reads
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("sim_pq_fp").desc, col("neighbor_id"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("sim_exact").desc, col("neighbor_id"))
+    scored
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= refine * k)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")), Seq("neighbor_id"))
+      .join(broadcast(qn.select("query_id", "qv")), Seq("query_id"))
+      .withColumn("sim_exact", round(
+        dot_product(col("qv"), col("nv")) /
+          (l2_norm(col("qv")) * l2_norm(col("nv"))), 6))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim_pq_fp", "sim_exact", "rank")
+  }
+
 }
