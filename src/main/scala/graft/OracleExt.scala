@@ -1594,7 +1594,7 @@ object OracleExt {
     */
   def similarityTopkPq(dim: Int, k: Int, m: Int,
                        centroidEvery: Int, queryMax: Int,
-                       refine: Int): String = {
+                       refine: Int, maxCodes: Int = 256): String = {
     val sub = dim / m
     s"""
     WITH $EmbCte,
@@ -1605,7 +1605,8 @@ object OracleExt {
       SELECT vec_id AS code_id, m, sv AS cw,
              CAST(floor(list_dot_product(sv, sv) * 1e6 + 0.5) AS BIGINT)
                AS cwn2_fp
-      FROM sub WHERE vec_id % $centroidEvery = 0),
+      FROM sub WHERE vec_id % $centroidEvery = 0
+        AND vec_id < ${centroidEvery.toLong * maxCodes}),
     enc AS (
       SELECT vec_id AS neighbor_id, m, code_id FROM (
         SELECT s.vec_id, s.m AS m, c.code_id,

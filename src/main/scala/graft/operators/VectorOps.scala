@@ -642,7 +642,7 @@ object VectorOps {
     */
   def topkCosinePq(corpus: DataFrame, k: Int, m: Int = 8,
                    centroidEvery: Int = 50, queryMax: Int = 5,
-                   refine: Int = 4): DataFrame = {
+                   refine: Int = 4, maxCodes: Int = 256): DataFrame = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
     val dim = dimOf(corpus)
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
@@ -658,7 +658,14 @@ object VectorOps {
           .as("sv"))
     def fp(c: org.apache.spark.sql.Column) =
       floor(c * lit(1e6) + lit(0.5)).cast("long")
-    val codebook = subs.filter(col("vec_id") % centroidEvery === 0)
+    // FIXED-size codebook (unlike IVF's n/centroidEvery lists): the first
+    // maxCodes seed rows under the shared seed rule. Production PQ trains
+    // k=256 codewords per sub-space regardless of n — a codebook growing
+    // with the corpus would make encoding O(n²/centroidEvery); capping it
+    // keeps encode O(n·m·maxCodes), linear in the corpus.
+    val codebook = subs
+      .filter(col("vec_id") % centroidEvery === 0 &&
+              col("vec_id") < lit(centroidEvery.toLong * maxCodes))
       .select(col("vec_id").as("code_id"), col("m"), col("sv").as("cw"))
       .withColumn("cwn2_fp", fp(dot_product(col("cw"), col("cw"))))
 

@@ -43,6 +43,103 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly MAD exact + hist equal brute models on random value frames") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 8) {
+      val types = Seq("a", "b", "c").take(1 + rnd.nextInt(3))
+      val rows = types.flatMap { t =>
+        val n = 1 + rnd.nextInt(40)
+        (1 to n).map(i => (t, rnd.nextDouble() * 30 - 5))
+      }.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+      val ev = rows.toDF("event_id", "event_type", "value")
+      def lowerMedian(xs: Seq[Long]): Long = {
+        val s0 = xs.sorted; s0(((s0.length + 1) / 2) - 1)
+      }
+      def interpMedian(xs: Seq[Double]): Double = {
+        val s0 = xs.sorted; val n = s0.length
+        (s0((n - 1) / 2) + s0(n / 2)) / 2
+      }
+      // exact operator vs interpolated-median model
+      val gotExact = graft.operators.EventOps.anomalyMad(ev, kSigma = 3)
+        .select("event_type", "med_fp", "mad_fp", "n_anomalies")
+        .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      // hist operator vs lower-median bucket model
+      val gotHist = graft.operators.EventOps.anomalyMadHist(ev, kSigma = 3)
+        .select("event_type", "med_bucket", "mad_bucket", "n_anomalies")
+        .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      for (t <- types) {
+        val vs = rows.collect { case (_, `t`, v) => v }
+        val m = interpMedian(vs)
+        val d = interpMedian(vs.map(v => math.abs(v - m)))
+        val flagged = vs.count(v => math.floor(math.abs(v - m) * 1e6 + 0.5).toLong >
+          3 * math.floor(d * 1e6 + 0.5).toLong)
+        assert(gotExact(t) == ((t, math.floor(m * 1e6 + 0.5).toLong,
+          math.floor(d * 1e6 + 0.5).toLong, flagged.toLong)),
+          s"trial $trial type $t exact")
+        val bs = vs.map(v => math.floor(v).toLong)
+        val mb = lowerMedian(bs)
+        val db = lowerMedian(bs.map(b => math.abs(b - mb)))
+        val fb = bs.count(b => math.abs(b - mb) > 3 * db)
+        assert(gotHist(t) == ((t, mb, db, fb.toLong)),
+          s"trial $trial type $t hist")
+      }
+    }
+  }
+
+  test("zipf slope equals the in-memory fixed-point OLS on random corpora") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val vocab = (1 to 30).map(i => s"w$i")
+      val docs = (1L to 20L).map { id =>
+        val n = 3 + rnd.nextInt(40)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          "en", "s", 0L)
+      }
+      val topN = 2 + rnd.nextInt(25)
+      val got = graft.operators.TextOps.zipfSlope(
+          docs.toDF("doc_id", "text", "lang", "source", "n_chars"), topN)
+        .select("n_ranks", "slope_fp", "intercept_fp")
+        .as[(Long, Long, Long)].head()
+      // model: count, rank deterministically (freq desc, token asc), OLS
+      val freqs = docs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (t, xs) => (t, xs.size.toLong) }.toSeq
+        .sortBy { case (t, f) => (-f, t) }.take(topN)
+      val pts = freqs.zipWithIndex.map { case ((_, f), i) =>
+        (math.floor(math.log(i + 1.0) * 1e6 + 0.5).toLong,
+         math.floor(math.log(f.toDouble) * 1e6 + 0.5).toLong)
+      }
+      val nn = pts.length.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (nn * sxy - sx * sy).toDouble / (nn * sxx - sx * sx).toDouble
+      val want = (nn, math.floor(slope * 1e6 + 0.5).toLong,
+        math.floor((sy.toDouble - slope * sx.toDouble) / nn * 1e6 + 0.5).toLong)
+      assert(got == want, s"trial $trial topN=$topN")
+    }
+  }
+
+  test("keepBestPerCluster equals a brute arg-max on random assignments") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(40)
+      val assign = (1L to n.toLong).map(i => (i, 1L + rnd.nextInt(6)))
+      val docs = (1L to n.toLong).map(i => (i, rnd.nextInt(10).toLong))
+      val sizes = docs.toMap
+      val want = assign.groupBy(_._2).flatMap { case (_, members) =>
+        val keeper = members.map(_._1)
+          .maxBy(id => (sizes(id), -id))
+        members.map { case (id, _) => id -> (keeper, id != keeper) }
+      }
+      val gotFull = CorpusOps.keepBestPerCluster(
+          assign.toDF("doc_id", "cluster_id"), docs.toDF("doc_id", "n_chars"))
+        .select("doc_id", "keeper_id", "dropped")
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(gotFull == want, s"trial $trial")
+    }
+  }
+
   test("repetition signals equal a brute-force model on random token docs") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("aa", "bb", "cc", "dd")
