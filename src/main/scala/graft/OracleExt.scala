@@ -1660,6 +1660,99 @@ object OracleExt {
     WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** Mirrors VectorOps.topkCosineIvfPq: the PQ CTEs restricted to the
+    * IVF-probed candidate set (same raw-double assignment discipline as
+    * [[similarityTopkIvf]]), ADC + exact re-rank unchanged.
+    */
+  def similarityTopkIvfPq(dim: Int, k: Int, m: Int, centroidEvery: Int,
+                          queryMax: Int, refine: Int, nProbe: Int,
+                          maxCodes: Int = 256): String = {
+    val sub = dim / m
+    def assign(alias: String, idAs: String, keep: Int) = s"""
+      $alias AS (
+        SELECT $idAs, centroid_id FROM (
+          SELECT e.vec_id AS $idAs, c.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_dot_product(e.v, c.centv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+                   c.centroid_id) AS crank
+          FROM emb e CROSS JOIN cent c)
+        WHERE crank <= $keep)"""
+    s"""
+    WITH $EmbCte,
+    cent AS (SELECT vec_id AS centroid_id, v AS centv FROM emb
+             WHERE vec_id % $centroidEvery = 0),
+    ${assign("ca", "neighbor_id", 1)},
+    ${assign("qa", "query_id", nProbe)},
+    cand AS (
+      SELECT q.query_id, n.neighbor_id
+      FROM qa q JOIN ca n ON q.centroid_id = n.centroid_id),
+    sub AS (
+      SELECT vec_id, m, v[m*$sub+1 : m*$sub+$sub] AS sv
+      FROM (SELECT vec_id, v, unnest(range(0, $m)) AS m FROM emb)),
+    cb AS (
+      SELECT vec_id AS code_id, m, sv AS cw,
+             CAST(floor(list_dot_product(sv, sv) * 1e6 + 0.5) AS BIGINT)
+               AS cwn2_fp
+      FROM sub WHERE vec_id % $centroidEvery = 0
+        AND vec_id < ${centroidEvery.toLong * maxCodes}),
+    enc AS (
+      SELECT vec_id AS neighbor_id, m, code_id FROM (
+        SELECT s.vec_id, s.m AS m, c.code_id,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 CAST(floor(list_dot_product(s.sv, c.cw)
+                   / greatest(sqrt(list_dot_product(s.sv, s.sv))
+                              * sqrt(list_dot_product(c.cw, c.cw)), 1e-30)
+                   * 1e6 + 0.5) AS BIGINT) DESC, c.code_id) AS r
+        FROM sub s JOIN cb c USING (m))
+      WHERE r = 1),
+    qtab AS (
+      SELECT s.vec_id AS query_id, s.m AS m, c.code_id,
+             CAST(floor(list_dot_product(s.sv, c.cw) * 1e6 + 0.5) AS BIGINT)
+               AS pdot_fp,
+             c.cwn2_fp
+      FROM sub s JOIN cb c USING (m) WHERE s.vec_id < $queryMax),
+    qn AS (
+      SELECT vec_id AS query_id, v AS qv,
+             sqrt(list_dot_product(v, v)) AS qn
+      FROM emb WHERE vec_id < $queryMax),
+    adc AS (
+      SELECT q.query_id, e.neighbor_id,
+             sum(q.pdot_fp) AS adc_fp, sum(q.cwn2_fp) AS rn2_fp
+      FROM enc e
+      JOIN cand cd ON cd.neighbor_id = e.neighbor_id
+      JOIN qtab q ON q.query_id = cd.query_id
+                 AND q.m = e.m AND q.code_id = e.code_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT a.query_id, a.neighbor_id,
+             CAST(floor((CAST(adc_fp AS DOUBLE) / 1e6)
+               / greatest(n.qn * sqrt(CAST(rn2_fp AS DOUBLE) / 1e6), 1e-30)
+               * 1e6 + 0.5) AS BIGINT) AS sim_pq_fp
+      FROM adc a JOIN qn n USING (query_id)
+      WHERE a.neighbor_id <> a.query_id),
+    shortlist AS (
+      SELECT s.query_id, s.neighbor_id, s.sim_pq_fp,
+             round(list_dot_product(n.qv, e2.v)
+               / (sqrt(list_dot_product(n.qv, n.qv))
+                  * sqrt(list_dot_product(e2.v, e2.v))), 6) AS sim_exact
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY sim_pq_fp DESC, neighbor_id) AS adc_rank
+            FROM scored) s
+      JOIN qn n USING (query_id)
+      JOIN emb e2 ON e2.vec_id = s.neighbor_id
+      WHERE s.adc_rank <= ${refine * k})
+    SELECT query_id, neighbor_id, sim_pq_fp, sim_exact,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY sim_exact DESC, neighbor_id) AS rank
+          FROM shortlist)
+    WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   val similarityTopk: String = s"""
     WITH $EmbCte,
     scored AS (

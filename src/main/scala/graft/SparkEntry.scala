@@ -1395,6 +1395,13 @@ object SparkEntry {
       VectorOps.topkCosinePq(T.embeddings(s, d), k = 5)
         .orderBy("query_id", "rank")),
 
+    "similarity_topk_ivfpq" -> ((s, d) =>
+      // the full IVF-PQ read path: probe nProbe lists, ADC-score only
+      // in-list codes, exact re-rank only the shortlist — the
+      // billion-vector deployment architecture end to end
+      VectorOps.topkCosineIvfPq(T.embeddings(s, d), k = 5)
+        .orderBy("query_id", "rank")),
+
     "similarity_topk_int8" -> ((s, d) =>
       // SQ8 two-stage retrieval: byte-code scan (exact integer dot/norms,
       // 4x less bandwidth than fp32) + exact-fp re-rank witness on the
@@ -2043,6 +2050,9 @@ object SparkEntry {
     "similarity_topk_int8" -> OracleExt.similarityTopkInt8,
     "similarity_topk_pq" -> OracleExt.similarityTopkPq(
       dim = 64, k = 5, m = 8, centroidEvery = 50, queryMax = 5, refine = 4),
+    "similarity_topk_ivfpq" -> OracleExt.similarityTopkIvfPq(
+      dim = 64, k = 5, m = 8, centroidEvery = 50, queryMax = 5, refine = 4,
+      nProbe = 4),
     "similarity_topk_agg" -> OracleExt.similarityTopk,
     "similarity_topk_lsh" -> OracleExt.similarityTopkLsh(
       dim = 64, k = 5, nPlanes = 8),

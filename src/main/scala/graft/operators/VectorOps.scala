@@ -642,7 +642,30 @@ object VectorOps {
     */
   def topkCosinePq(corpus: DataFrame, k: Int, m: Int = 8,
                    centroidEvery: Int = 50, queryMax: Int = 5,
-                   refine: Int = 4, maxCodes: Int = 256): DataFrame = {
+                   refine: Int = 4, maxCodes: Int = 256): DataFrame =
+    pqSearch(corpus, k, m, centroidEvery, queryMax, refine, maxCodes,
+      nProbe = None)
+
+  /** The full IVF-PQ read path: [[topkCosineIvf]]'s list probing composed
+    * with [[topkCosinePq]]'s ADC scoring — the architecture a
+    * billion-vector deployment actually runs. Queries probe their nProbe
+    * nearest centroid lists; ONLY corpus vectors in a probed list are
+    * ADC-scored (codes alone), and only the refine·k shortlist touches
+    * floats for the exact re-rank. Candidate volume per query ≈
+    * nProbe·centroidEvery code rows instead of n — the IVF half bounds
+    * WHO is scored, the PQ half bounds WHAT scoring reads.
+    */
+  def topkCosineIvfPq(corpus: DataFrame, k: Int, m: Int = 8,
+                      centroidEvery: Int = 50, queryMax: Int = 5,
+                      refine: Int = 4, maxCodes: Int = 256,
+                      nProbe: Int = 4): DataFrame =
+    pqSearch(corpus, k, m, centroidEvery, queryMax, refine, maxCodes,
+      nProbe = Some(nProbe))
+
+  private def pqSearch(corpus: DataFrame, k: Int, m: Int,
+                       centroidEvery: Int, queryMax: Int,
+                       refine: Int, maxCodes: Int,
+                       nProbe: Option[Int]): DataFrame = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
     val dim = dimOf(corpus)
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
@@ -693,7 +716,39 @@ object VectorOps {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
               l2_norm(col("embedding")).as("qn"))
 
-    val adc = codes.join(broadcast(qtab), Seq("m", "code_id"))
+    // IVF restriction (when probing): corpus assigned to its nearest
+    // centroid list, queries to their nProbe nearest — the same raw-double
+    // assignment discipline as topkCosineIvf, so both halves stay one
+    // convention. Only (query, neighbor) pairs sharing a probed list are
+    // ADC-scored.
+    val adcInput = nProbe match {
+      case None => codes.join(broadcast(qtab), Seq("m", "code_id"))
+      case Some(np) =>
+        val cent = corpus.filter(col("vec_id") % centroidEvery === 0)
+          .select(col("vec_id").as("centroid_id"),
+                  col("embedding").as("centv"))
+          .withColumn("centn", l2_norm(col("centv")))
+        def assignIvf(df: DataFrame, idAs: String, keep: Int): DataFrame = {
+          val w = Window.partitionBy(idAs)
+            .orderBy(col("csim").desc, col("centroid_id"))
+          df.crossJoin(broadcast(cent))
+            .withColumn("csim", dot_product(col("v0"), col("centv")) /
+              (l2_norm(col("v0")) * col("centn")))
+            .withColumn("crank", row_number().over(w))
+            .filter(col("crank") <= keep)
+            .select(col(idAs), col("centroid_id"))
+        }
+        val ca = assignIvf(corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("v0")), "neighbor_id", 1)
+        val qa = assignIvf(corpus.filter(col("vec_id") < queryMax)
+          .select(col("vec_id").as("query_id"), col("embedding").as("v0")),
+          "query_id", np)
+        val cand = qa.join(ca, Seq("centroid_id"))
+          .select("query_id", "neighbor_id")
+        codes.join(cand, Seq("neighbor_id"))
+          .join(broadcast(qtab), Seq("query_id", "m", "code_id"))
+    }
+    val adc = adcInput
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("pdot_fp")).as("adc_fp"), sum(col("cwn2_fp")).as("rn2_fp"))
     val scored = adc

@@ -72,6 +72,23 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(top._1 == 99999L && math.abs(top._2 - 1000000L) <= 8)
   }
 
+  test("ivf-pq composes probing and ADC without collapsing recall") {
+    val r = VectorOps.topkCosineIvfPq(emb, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect()
+    assert(r.forall { case (q, n, _) => q != n })
+    r.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    val brute = VectorOps.topkCosine(emb.filter($"vec_id" < 5), emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = r.map(t => (t._1, t._2)).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    // measured 0.36 at both sf0.001 and sf0.01 — equal to unrestricted PQ
+    // at the same refine: the probed lists don't lose what PQ kept
+    assert(recall >= 0.2, s"ivf-pq recall collapsed: $recall")
+  }
+
   test("pq refine dial buys recall monotonically against brute force") {
     val brute = VectorOps.topkCosine(emb.filter($"vec_id" < 5), emb, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
