@@ -1199,6 +1199,29 @@ object OracleExt {
   val EmbCte: String =
     "emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
+  /** Mirrors VectorOps.dimStats: per-value fixed-point longs, exact
+    * integer aggregates, one closing double variance expression.
+    */
+  def embeddingDimStats(dim: Int): String = s"""
+    WITH $EmbCte,
+    comp AS (
+      SELECT m AS dim,
+             CAST(floor(v[m + 1] * 1e6 + 0.5) AS BIGINT) AS x_fp
+      FROM (SELECT v, unnest(range(0, $dim)) AS m FROM emb)),
+    s AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x_fp) AS BIGINT) AS sum_fp,
+             CAST(sum(x_fp * x_fp) AS BIGINT) AS sumsq_fp2,
+             min(x_fp) AS min_fp, max(x_fp) AS max_fp
+      FROM comp GROUP BY dim)
+    SELECT dim, n, sum_fp // n AS mean_fp,
+           CAST(floor(sqrt(greatest(
+             CAST(sumsq_fp2 AS DOUBLE) / n
+             - (CAST(sum_fp AS DOUBLE) / n) * (CAST(sum_fp AS DOUBLE) / n),
+             0.0)) + 0.5) AS BIGINT) AS std_fp,
+           min_fp, max_fp
+    FROM s ORDER BY dim"""
+
   /** Mirrors VectorOps.normalizeL2: unit-sphere projection with the norm
     * before/after as the hashable witness.
     */

@@ -702,6 +702,11 @@ object SparkEntry {
       TextOps.chunkDocuments(T.documents(s, d), chunkTokens = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")),
 
+    "embedding_dim_stats" -> ((s, d) =>
+      // whitening / drift input: per-dimension mean/std/min/max in exact
+      // fixed point — one corpus pass, 64 rows out regardless of n
+      VectorOps.dimStats(T.embeddings(s, d)).orderBy("dim")),
+
     "embedding_quantize" -> ((s, d) =>
       VectorOps.quantizeInt8(T.embeddings(s, d)).orderBy("vec_id")),
 
@@ -1985,6 +1990,7 @@ object SparkEntry {
     "docs_stream_zipf_slope" -> OracleExt.vocabZipfSlope(128),
     "doc_chunking" -> OracleExt.docChunking,
     "embedding_quantize" -> OracleExt.embeddingQuantize,
+    "embedding_dim_stats" -> OracleExt.embeddingDimStats(64),
     "embedding_normalize" -> OracleExt.embeddingNormalize,
     "dedup_exact" -> OracleExt.dedupExact,
     "dedup_near_minhash" -> OracleExt.dedupNearMinhash,

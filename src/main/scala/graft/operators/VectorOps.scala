@@ -530,6 +530,38 @@ object VectorOps {
     * projection, no shuffle; the witness columns (norm before, norm after)
     * keep the output small and hashable rather than shipping the vectors.
     */
+  /** Per-DIMENSION corpus statistics (count, mean, std, min, max in
+    * fixed-point micro-units) — the input to whitening / mean-centering
+    * and the embedding-drift check between corpus snapshots (a dimension
+    * whose mean or spread moves between crawls flags an encoder or
+    * pipeline change). Components are fixed-pointed per value
+    * (floor(x·1e6 + 0.5) longs), so every aggregate is an exact integer
+    * in any accumulation order; mean is integer division, variance is one
+    * closing double expression from exact longs (no float-sum trap
+    * anywhere). One posexplode + one partial-agg'd groupBy(dim) — a
+    * single corpus pass, 64 output rows regardless of n.
+    */
+  def dimStats(corpus: DataFrame): DataFrame = {
+    val fp = floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+    corpus
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), fp.as("x_fp"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+           sum(col("x_fp")).as("sum_fp"),
+           sum(col("x_fp") * col("x_fp")).as("sumsq_fp2"),
+           min(col("x_fp")).as("min_fp"),
+           max(col("x_fp")).as("max_fp"))
+      .select(col("dim"), col("n"),
+        expr("sum_fp div n").as("mean_fp"),
+        // variance in (µunit)² from exact longs; std back in µunits
+        expr("""cast(floor(sqrt(greatest(
+                  cast(sumsq_fp2 as double) / n
+                  - (cast(sum_fp as double) / n) * (cast(sum_fp as double) / n),
+                  0.0)) + 0.5) as bigint)""").as("std_fp"),
+        col("min_fp"), col("max_fp"))
+  }
+
   def normalizeL2(corpus: DataFrame): DataFrame = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
     val norm = l2_norm(col("embedding"))

@@ -25,6 +25,25 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dim stats equal an in-memory fixed-point model") {
+    val rows = emb.select("embedding").as[Seq[Float]].collect()
+    val got = VectorOps.dimStats(emb)
+      .select("dim", "n", "mean_fp", "std_fp", "min_fp", "max_fp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 64)
+    for (d <- Seq(0, 17, 63)) {
+      val xs = rows.map(v => math.floor(v(d).toDouble * 1e6 + 0.5).toLong)
+      val n = xs.length.toLong
+      val (s1, s2) = (xs.sum, xs.map(x => x * x).sum)
+      val variance = s2.toDouble / n - (s1.toDouble / n) * (s1.toDouble / n)
+      val want = (d.toLong, n, s1 / n,
+        math.floor(math.sqrt(math.max(variance, 0.0)) + 0.5).toLong,
+        xs.min, xs.max)
+      assert(got(d.toLong) == want, s"dim $d")
+    }
+  }
+
   test("int8 topk: quantized sims track exact sims and ranks are dense") {
     val r = VectorOps.topkCosineInt8(emb, k = 5)
       .select("query_id", "neighbor_id", "sim_q", "sim_exact", "rank")
