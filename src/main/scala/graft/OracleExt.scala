@@ -1038,9 +1038,11 @@ object OracleExt {
     * dedup (min doc_id per content hash) → minhash near-dup removal (drop
     * doc_b) → per-source stats. Mirrors CorpusPipeline.cleanCorpusStats.
     */
-  def pipelineCleanCorpus(minQuality: Double): String =
-    docQ(s"""
-      , scored AS (
+  /** The cleaning-pipeline CTE chain up to `final` (the surviving docs) —
+    * shared by the per-source stats oracle and the semantic-stage oracle.
+    */
+  private def pipelineCtes(minQuality: Double): String = s"""
+      scored AS (
         SELECT doc_id, $langScores FROM docs_tok),
       lang_en AS (
         SELECT doc_id FROM (SELECT *, $langBest AS best FROM scored)
@@ -1066,12 +1068,54 @@ object OracleExt {
         JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
       final AS (
         SELECT k.* FROM keepers k
-        WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = k.doc_id))
+        WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = k.doc_id))"""
+
+  def pipelineCleanCorpus(minQuality: Double): String =
+    docQ(s"""
+      , ${pipelineCtes(minQuality)}
       SELECT source,
              CAST(count(*) AS BIGINT) AS n_kept,
              CAST(sum(n_chars) AS BIGINT) AS kept_chars,
              CAST(sum(len(toks)) AS BIGINT) AS kept_tokens
       FROM final GROUP BY source ORDER BY source""")
+
+  /** Mirrors CorpusPipeline.cleanCorpusSemanticStats: the cleaning chain,
+    * then the SemDeDup stage over the SURVIVORS' embeddings (cosine
+    * clusters restricted to final docs, keeper = longest / lowest id;
+    * docs without an embedding row pass through — no semantic evidence,
+    * no drop).
+    */
+  def pipelineCleanCorpusSemantic(minQuality: Double, threshold: Double,
+                                  dim: Int, bands: Int,
+                                  rowsPerBand: Int): String = s"""
+    WITH RECURSIVE $DocCtes,
+      ${pipelineCtes(minQuality)},
+      kemb AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM embeddings e JOIN final f ON f.doc_id = e.vec_id),
+      ${cosineWalkBody(threshold, dim, bands, rowsPerBand, "kemb")},
+      assign AS (
+        SELECT node AS doc_id, min(lab) AS cluster_id
+        FROM walk GROUP BY node),
+      sized AS (
+        SELECT a.doc_id, a.cluster_id, f.n_chars
+        FROM assign a JOIN final f USING (doc_id)),
+      keepw AS (
+        SELECT cluster_id, doc_id AS keeper_id FROM (
+          SELECT cluster_id, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
+          FROM sized) WHERE rk = 1),
+      sdropped AS (
+        SELECT s.doc_id FROM sized s JOIN keepw k USING (cluster_id)
+        WHERE s.doc_id <> k.keeper_id),
+      final2 AS (
+        SELECT f.* FROM final f
+        WHERE NOT EXISTS (SELECT 1 FROM sdropped x WHERE x.doc_id = f.doc_id))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           CAST(sum(len(toks)) AS BIGINT) AS kept_tokens
+    FROM final2 GROUP BY source ORDER BY source"""
 
   /** 16-bit simhash clusters; bit/vote arithmetic mirrors TextOps.withSimhash. */
   val dedupSimhash: String = {
@@ -1301,34 +1345,46 @@ object OracleExt {
   /** Shared CTE prefix for the cosine-cluster oracles: banded candidate
     * pairs → thresholded exact cosine → undirected edges → label walk.
     */
-  private def cosineWalkCtes(threshold: Double, dim: Int,
-                             bands: Int, rowsPerBand: Int): String = {
+  /** The banded-candidate → thresholded-cosine → label-walk CTE block,
+    * parameterized by the vector source relation `rel` (must expose
+    * vec_id, v) — shared by the whole-corpus cluster oracles and the
+    * pipeline's survivor-restricted semantic stage. CTE names carry a
+    * cw_ prefix so callers can compose without collisions.
+    */
+  private def cosineWalkBody(threshold: Double, dim: Int,
+                             bands: Int, rowsPerBand: Int,
+                             rel: String): String = {
     val bandExprs = bandExprsSql(dim, bands, rowsPerBand)
-    s"""WITH RECURSIVE $EmbCte,
-      banded AS (
-        SELECT vec_id, unnest([$bandExprs]) AS band FROM emb),
-      cand AS (
+    s"""cw_banded AS (
+        SELECT vec_id, unnest([$bandExprs]) AS band FROM $rel),
+      cw_cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id),
-      pairs AS (
+        FROM cw_banded a JOIN cw_banded b
+          ON a.band = b.band AND a.vec_id < b.vec_id),
+      cw_pairs AS (
         SELECT vec_a, vec_b FROM (
           SELECT c.vec_a, c.vec_b,
                  round(list_dot_product(va.v, vb.v)
                    / (sqrt(list_dot_product(va.v, va.v))
                       * sqrt(list_dot_product(vb.v, vb.v))), 6) AS sim
-          FROM cand c
-          JOIN emb va ON va.vec_id = c.vec_a
-          JOIN emb vb ON vb.vec_id = c.vec_b)
+          FROM cw_cand c
+          JOIN $rel va ON va.vec_id = c.vec_a
+          JOIN $rel vb ON vb.vec_id = c.vec_b)
         WHERE sim >= $threshold),
-      edges AS (
-        SELECT vec_a AS src, vec_b AS dst FROM pairs
+      cw_edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM cw_pairs
         UNION ALL
-        SELECT vec_b AS src, vec_a AS dst FROM pairs),
+        SELECT vec_b AS src, vec_a AS dst FROM cw_pairs),
       walk(node, lab) AS (
-        SELECT vec_id, vec_id FROM emb
+        SELECT vec_id, vec_id FROM $rel
         UNION
-        SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst)"""
+        SELECT e.src, w.lab FROM cw_edges e JOIN walk w ON w.node = e.dst)"""
   }
+
+  private def cosineWalkCtes(threshold: Double, dim: Int,
+                             bands: Int, rowsPerBand: Int): String =
+    s"""WITH RECURSIVE $EmbCte,
+      ${cosineWalkBody(threshold, dim, bands, rowsPerBand, "emb")}"""
 
   def dedupClustersCosine(threshold: Double, dim: Int,
                           bands: Int, rowsPerBand: Int): String = s"""

@@ -1377,6 +1377,13 @@ object SparkEntry {
       graft.operators.CorpusPipeline.cleanCorpusStats(T.documents(s, d), 0.3)
         .orderBy("source")),
 
+    "pipeline_clean_corpus_semantic" -> ((s, d) =>
+      // the full cleaning chain + SemDeDup last: the expensive embedding
+      // stage only touches what survived the cheap filters
+      graft.operators.CorpusPipeline
+        .cleanCorpusSemanticStats(T.documents(s, d), T.embeddings(s, d), 0.3)
+        .orderBy("source")),
+
     "similarity_topk_ivf" -> ((s, d) =>
       // IVF scale-path variant — approximate vs brute force (recall in
       // VectorOpsSpec), but deterministic: hash-checked against a DuckDB
@@ -2041,6 +2048,9 @@ object SparkEntry {
       OracleExt.dedupClustersCosine(0.4, dim = 64, bands = 4, rowsPerBand = 4),
     "dedup_semantic_keep_best" ->
       OracleExt.dedupSemanticKeepBest(0.4, dim = 64, bands = 4,
+        rowsPerBand = 4),
+    "pipeline_clean_corpus_semantic" ->
+      OracleExt.pipelineCleanCorpusSemantic(0.3, 0.4, dim = 64, bands = 4,
         rowsPerBand = 4),
     "dedup_cluster_stats" -> OracleExt.dedupClusterStats,
     "sample_stratified" -> OracleExt.sampleStratified,

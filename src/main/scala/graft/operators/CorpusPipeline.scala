@@ -46,7 +46,44 @@ object CorpusPipeline {
     * emits (kept counts, kept volume, token totals).
     */
   def cleanCorpusStats(docs: DataFrame, minQuality: Double): DataFrame =
-    cleanCorpus(docs, minQuality)
+    perSourceStats(cleanCorpus(docs, minQuality))
+
+  /** [[cleanCorpus]] plus a SemDeDup stage: the shingle-clean survivors'
+    * EMBEDDINGS cluster under banded cosine, and each cluster keeps its
+    * quality keeper (longest doc, ties lowest id) — the paraphrase layer
+    * shingle dedup can't see, run LAST so the expensive embedding pass
+    * touches only what survived the cheap filters (the stage ordering a
+    * 100 TB pipeline wants). Docs without an embedding row pass through:
+    * no semantic evidence, no drop.
+    */
+  def cleanCorpusSemantic(docs: DataFrame, embeddings: DataFrame,
+                          minQuality: Double,
+                          threshold: Double = 0.4): DataFrame = {
+    // the cleaning chain feeds three consumers (embedding restriction,
+    // keeper sizes, final anti-join) — barrier it so the lang/quality/
+    // dedup stages run once, not three times
+    val kept = Barriers.materialize(cleanCorpus(docs, minQuality))
+    val keptEmb = embeddings
+      .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    val pairs = VectorOps
+      .nearDupCosine(keptEmb, threshold, dim = VectorOps.dimOf(embeddings))
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val assign = CorpusOps.connectedComponents(
+      keptEmb.select(col("vec_id").as("doc_id")), pairs)
+    val droppedIds = CorpusOps.keepBestPerCluster(assign, kept)
+      .filter(col("dropped")).select("doc_id")
+    kept.join(droppedIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Per-source report of the semantic-stage pipeline. */
+  def cleanCorpusSemanticStats(docs: DataFrame, embeddings: DataFrame,
+                               minQuality: Double,
+                               threshold: Double = 0.4): DataFrame =
+    perSourceStats(cleanCorpusSemantic(docs, embeddings, minQuality,
+      threshold))
+
+  private def perSourceStats(kept: DataFrame): DataFrame =
+    kept
       .withColumn("token_cnt", size(TextOps.tokens(col("text"))).cast("long"))
       .groupBy("source")
       .agg(

@@ -281,6 +281,21 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(kept.select(md5($"text")).distinct().count() == n)
   }
 
+  test("semantic pipeline stage drops paraphrases, passes unembedded docs") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val clean = graft.operators.CorpusPipeline.cleanCorpus(docs, 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val sem = graft.operators.CorpusPipeline
+      .cleanCorpusSemantic(docs, emb, 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    // strictly a subset: the embedding stage removes real paraphrase
+    // clusters on this corpus (25 at sf0.001)
+    assert(sem.subsetOf(clean) && sem.size < clean.size)
+    // docs with no embedding row have no semantic evidence: pass through
+    val embedded = emb.select($"vec_id").as[Long].collect().toSet
+    assert((clean -- embedded).subsetOf(sem))
+  }
+
   test("l2 normalization lands every vector on the unit sphere") {
     val r = VectorOps.normalizeL2(emb)
       .select("norm_before", "norm_after").as[(Double, Double)].collect()
