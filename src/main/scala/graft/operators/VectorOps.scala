@@ -666,11 +666,11 @@ object VectorOps {
     * it); survivors carry the exact-fp `sim_exact` witness, the re-rank
     * rung shared with [[topkCosineInt8]].
     *
-    * Scale shape: codebook and per-query tables are tiny broadcasts
-    * (m·(n/centroidEvery) and |q|·m·(n/centroidEvery) rows); the corpus
-    * appears only as its code rows (n·m ids) — one equi-join on
-    * (sub-space, code), one partial-agg'd groupBy. Nothing n×n, nothing
-    * n×dim at query time.
+    * Scale shape: codebook and per-query tables are tiny FIXED-size
+    * broadcasts (m·maxCodes and |q|·m·maxCodes rows — the codebook is
+    * capped, see the build-site comment); the corpus appears only as its
+    * code rows (n·m ids) — one equi-join on (sub-space, code), one
+    * partial-agg'd groupBy. Nothing n×n, nothing n×dim at query time.
     */
   def topkCosinePq(corpus: DataFrame, k: Int, m: Int = 8,
                    centroidEvery: Int = 50, queryMax: Int = 5,
