@@ -137,13 +137,16 @@ object OracleExt {
              CAST(sum(x * x) AS BIGINT) AS sxx
       FROM fp)
     SELECT n AS n_ranks,
-           CAST(floor((CAST(n*sxy - sx*sy AS DOUBLE)
+           CASE WHEN n < 2 THEN CAST(NULL AS BIGINT)
+           ELSE CAST(floor((CAST(n*sxy - sx*sy AS DOUBLE)
              / CAST(n*sxx - sx*sx AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
-             AS slope_fp,
-           CAST(floor(((CAST(sy AS DOUBLE)
+           END AS slope_fp,
+           CASE WHEN n < 2 THEN CAST(NULL AS BIGINT)
+           ELSE CAST(floor(((CAST(sy AS DOUBLE)
              - (CAST(n*sxy - sx*sy AS DOUBLE)
                 / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-             / n) * 1e6 + 0.5) AS BIGINT) AS intercept_fp
+             / n) * 1e6 + 0.5) AS BIGINT)
+           END AS intercept_fp
     FROM s""")
 
   /** Mirrors TextOps.vocabCoverage(topN): occurrence coverage of the
@@ -1244,7 +1247,11 @@ object OracleExt {
     "emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
   /** Mirrors VectorOps.dimStats: per-value fixed-point longs, exact
-    * integer aggregates, one closing double variance expression.
+    * integer aggregates, one closing double variance expression. The
+    * squared sum stays in DuckDB's native HUGEINT (no BIGINT cast — it
+    * would error at ~9.2 M values/dim), matching the Spark side's
+    * DECIMAL(38,0) accumulator; both convert to double only in the one
+    * closing variance expression.
     */
   def embeddingDimStats(dim: Int): String = s"""
     WITH $EmbCte,
@@ -1255,7 +1262,7 @@ object OracleExt {
     s AS (
       SELECT dim, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x_fp) AS BIGINT) AS sum_fp,
-             CAST(sum(x_fp * x_fp) AS BIGINT) AS sumsq_fp2,
+             sum(x_fp * x_fp) AS sumsq_fp2,
              min(x_fp) AS min_fp, max(x_fp) AS max_fp
       FROM comp GROUP BY dim)
     SELECT dim, n, sum_fp // n AS mean_fp,
@@ -1589,14 +1596,19 @@ object OracleExt {
   }
 
   /** Recall-stable IVF oracle (mirrors VectorOps.topkCosineIvfAuto):
-    * identical to [[similarityTopkIvf]] except nProbe is not a literal —
+    * identical to [[similarityTopkIvf]] except (a) nProbe is not a literal —
     * it is computed from the data as max(1, ceil(probeFraction · #cent)),
     * restated here as a scalar subquery so the oracle tracks the Spark
-    * side's driver-side count at ANY scale factor the driver runs.
+    * side's driver-side count at ANY scale factor the driver runs — and
+    * (b) the query side is the same deterministic md5 sample the Spark op
+    * takes (first `maxQueries` vec_ids by md5(vec_id)), so the declared
+    * query stays linear in corpus size instead of all-vectors-as-queries
+    * quadratic.
     */
   def similarityTopkIvfAuto(k: Int, probeFraction: Double,
-                            centroidEvery: Int): String = {
-    def assign(alias: String, idAs: String, vAs: String, keepSql: String) = s"""
+                            centroidEvery: Int, maxQueries: Int): String = {
+    def assign(alias: String, idAs: String, vAs: String, keepSql: String,
+               from: String = "emb") = s"""
       $alias AS (
         SELECT $idAs, $vAs, centroid_id FROM (
           SELECT e.vec_id AS $idAs, e.v AS $vAs, c.centroid_id,
@@ -1605,7 +1617,7 @@ object OracleExt {
                      / (sqrt(list_dot_product(e.v, e.v))
                         * sqrt(list_dot_product(c.centv, c.centv))) DESC,
                    c.centroid_id) AS crank
-          FROM emb e CROSS JOIN cent c)
+          FROM $from e CROSS JOIN cent c)
         WHERE crank <= $keepSql)"""
     s"""
       WITH $EmbCte,
@@ -1613,8 +1625,13 @@ object OracleExt {
                WHERE vec_id % $centroidEvery = 0),
       np AS (SELECT greatest(1, CAST(ceil($probeFraction * count(*)) AS INT))
                AS nprobe FROM cent),
+      embq AS (SELECT e.* FROM emb e JOIN (
+                 SELECT vec_id FROM emb
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                 LIMIT $maxQueries) qs USING (vec_id)),
       ${assign("ca", "neighbor_id", "cv", "1")},
-      ${assign("qa", "query_id", "qv", "(SELECT nprobe FROM np)")},
+      ${assign("qa", "query_id", "qv", "(SELECT nprobe FROM np)",
+               from = "embq")},
       scored AS (
         SELECT q.query_id, n.neighbor_id,
                round(list_dot_product(q.qv, n.cv)

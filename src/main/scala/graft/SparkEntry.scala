@@ -1396,8 +1396,12 @@ object SparkEntry {
       // centroid lists (fixed nProbe loses recall as centroids grow with
       // n — measured 0.61 → 0.32 across 4× n, tools.Recall); nProbe is
       // derived from the data by one tiny driver count, and the oracle
-      // restates the same derivation as a scalar subquery
-      VectorOps.topkCosineIvfAuto(T.embeddings(s, d), k = 5)
+      // restates the same derivation as a scalar subquery. The query side
+      // is a deterministic 100-query md5 sample (same predicate in the
+      // oracle): all-vectors-as-queries was Θ(f·n²) — the r11 rehearsal's
+      // one measured scale cliff — while the bounded form stays linear in
+      // the corpus with the probe-fraction recall rule unchanged
+      VectorOps.topkCosineIvfAuto(T.embeddings(s, d), k = 5, maxQueries = 100)
         .orderBy("query_id", "rank")),
 
     "similarity_topk_pq" -> ((s, d) =>
@@ -2083,7 +2087,7 @@ object SparkEntry {
     "similarity_topk_ivf" -> OracleExt.similarityTopkIvf(
       k = 5, nProbe = 4, centroidEvery = 50),
     "similarity_topk_ivf_auto" -> OracleExt.similarityTopkIvfAuto(
-      k = 5, probeFraction = 0.4, centroidEvery = 50),
+      k = 5, probeFraction = 0.4, centroidEvery = 50, maxQueries = 100),
     "multimodal_decode_stub" -> OracleExt.multimodalDecodeStub,
     "multimodal_frame_sample" -> OracleExt.multimodalFrameSample(
       frameBytes = 64, stride = 2),

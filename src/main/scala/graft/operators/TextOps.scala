@@ -211,12 +211,23 @@ object TextOps {
     */
   def zipfFitFromVocab(vocab: DataFrame, topN: Int): DataFrame = {
     require(topN >= 2 && topN <= 128, s"topN must be in [2,128], got $topN")
+    // partitionBy(freq % 1) = one constant key (the vocabGrowth idiom): the
+    // ranked frame is ≤ topN ≤ 128 rows after the limit, so one partition
+    // is the point — the non-foldable constant key only silences
+    // WindowExec's no-partition warning, which would otherwise read as a
+    // false scale signal in every bench log
     val ranked = vocab
       .orderBy(col("freq").desc, col("token")).limit(topN)
       .withColumn("rank",
         org.apache.spark.sql.functions.row_number().over(
           org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(col("freq"), lit(1)))
             .orderBy(col("freq").desc, col("token"))).cast("long"))
+    // a degenerate vocabulary (a single distinct token ⇒ one rank) has no
+    // fittable line: n·Σxx − (Σx)² = 0 and the OLS quotient is 0/0 → NaN.
+    // Guard on the ACTUAL rank count, not just the topN parameter: n < 2
+    // yields explicit nulls (and the oracle applies the same CASE), never a
+    // NaN smuggled through the hash compare
     ranked
       .select(
         expr("cast(floor(ln(rank) * 1e6 + 0.5) as bigint)").as("x"),
@@ -227,13 +238,15 @@ object TextOps {
            sum(col("x") * col("x")).as("sxx"))
       .select(
         col("n").as("n_ranks"),
-        expr("""cast(floor((cast(n*sxy - sx*sy as double)
-                / cast(n*sxx - sx*sx as double)) * 1e6 + 0.5) as bigint)""")
+        expr("""case when n < 2 then cast(null as bigint)
+                else cast(floor((cast(n*sxy - sx*sy as double)
+                / cast(n*sxx - sx*sx as double)) * 1e6 + 0.5) as bigint) end""")
           .as("slope_fp"),
-        expr("""cast(floor(((cast(sy as double)
+        expr("""case when n < 2 then cast(null as bigint)
+                else cast(floor(((cast(sy as double)
                 - (cast(n*sxy - sx*sy as double)
                    / cast(n*sxx - sx*sx as double)) * cast(sx as double))
-                / n) * 1e6 + 0.5) as bigint)""")
+                / n) * 1e6 + 0.5) as bigint) end""")
           .as("intercept_fp"))
   }
 

@@ -297,7 +297,8 @@ object VectorOps {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
 
   def topkCosineIvf(corpus: DataFrame, k: Int, nProbe: Int = 4,
-                    centroidEvery: Int = 50): DataFrame = {
+                    centroidEvery: Int = 50,
+                    queries: Option[DataFrame] = None): DataFrame = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
     val cent = ivfCentroids(corpus, centroidEvery)
       .withColumn("centn", l2_norm(col("centv")))
@@ -318,7 +319,8 @@ object VectorOps {
       corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
       "neighbor_id", "cv", keep = 1)
     val queryAssigned = assign(
-      corpus.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      queries.getOrElse(corpus)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       "query_id", "qv", keep = nProbe)
 
     val w = Window.partitionBy("query_id")
@@ -345,16 +347,46 @@ object VectorOps {
     *
     * One extra driver action (a count of the centroid subset) picks
     * nProbe; the plan is otherwise identical to the fixed variant.
+    *
+    * `maxQueries` bounds the QUERY side: the all-vectors-as-queries form is
+    * Θ(probeFraction·n²) — linear per query is the contract, so the declared
+    * query must not grow the query set with the corpus (the r11 sf1
+    * rehearsal measured the quadratic cliff: 5.2 s → 25.3 s at ×10). The
+    * bound is a deterministic md5 sample: rank vec_ids by md5(vec_id) and
+    * keep the first `maxQueries` — corpus-uniform (content-independent),
+    * reproducible on any engine (the oracle restates the same predicate),
+    * and collected via one ids-only TakeOrdered (top-`maxQueries` of n id
+    * rows — no full sort, no driver blow-up). The probe-fraction recall
+    * rule is unchanged; cost becomes Θ(probeFraction·n·maxQueries) — linear
+    * in the corpus.
     */
   def topkCosineIvfAuto(corpus: DataFrame, k: Int,
                         probeFraction: Double = 0.4,
-                        centroidEvery: Int = 50): DataFrame = {
+                        centroidEvery: Int = 50,
+                        maxQueries: Int = 100): DataFrame = {
     require(probeFraction > 0 && probeFraction <= 1,
       s"probeFraction must be in (0,1], got $probeFraction")
+    require(maxQueries >= 1, s"maxQueries must be >= 1, got $maxQueries")
     val nCent = ivfCentroids(corpus, centroidEvery).count()
     val nProbe = math.max(1, math.ceil(probeFraction * nCent).toInt)
-    topkCosineIvf(corpus, k, nProbe, centroidEvery)
+    // Int.MaxValue = the explicit every-vector-queries form (tool-side
+    // recall sweeps); skip the sample entirely rather than globally
+    // sorting the corpus under a no-op limit
+    val qs = if (maxQueries == Int.MaxValue) None
+             else Some(md5SampleQueries(corpus, maxQueries))
+    topkCosineIvf(corpus, k, nProbe, centroidEvery, queries = qs)
   }
+
+  /** Deterministic bounded query sample: the `maxQueries` vec_ids ranked
+    * first by md5(vec_id) (ties: vec_id — md5 collisions don't exist at
+    * these sizes but determinism must not rest on that). Content-independent
+    * and uniform over ids, so the sampled recall estimates the full-query
+    * recall; identical predicate on the DuckDB side keeps the row hash-gated.
+    */
+  private[graft] def md5SampleQueries(corpus: DataFrame,
+                                      maxQueries: Int): DataFrame =
+    corpus.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(maxQueries)
 
   /** Deterministic k-means over the embedding corpus (Lloyd, `maxIter`
     * refine passes with assignment-fixpoint early exit): seeds = the
@@ -537,9 +569,13 @@ object VectorOps {
     * pipeline change). Components are fixed-pointed per value
     * (floor(x·1e6 + 0.5) longs), so every aggregate is an exact integer
     * in any accumulation order; mean is integer division, variance is one
-    * closing double expression from exact longs (no float-sum trap
-    * anywhere). One posexplode + one partial-agg'd groupBy(dim) — a
-    * single corpus pass, 64 output rows regardless of n.
+    * closing double expression from exact integers (no float-sum trap
+    * anywhere). The SQUARED sum accumulates in DECIMAL(38,0), not long:
+    * with |x|≈1 each x_fp² is ~10¹², so a long sum wraps silently at only
+    * ~9.2 M values per dimension — far below corpus scale — while the
+    * 38-digit decimal holds exact to ~10²⁶ values (the DuckDB oracle's
+    * HUGEINT plays the same role there). One posexplode + one partial-agg'd
+    * groupBy(dim) — a single corpus pass, 64 output rows regardless of n.
     */
   def dimStats(corpus: DataFrame): DataFrame = {
     val fp = floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long")
@@ -549,7 +585,10 @@ object VectorOps {
       .groupBy("dim")
       .agg(count(lit(1)).as("n"),
            sum(col("x_fp")).as("sum_fp"),
-           sum(col("x_fp") * col("x_fp")).as("sumsq_fp2"),
+           // per-element product stays in long (≤ ~1e12 ≪ 2⁶³); only the
+           // ACCUMULATION needs the wide type
+           sum((col("x_fp") * col("x_fp")).cast("decimal(38,0)"))
+             .as("sumsq_fp2"),
            min(col("x_fp")).as("min_fp"),
            max(col("x_fp")).as("max_fp"))
       .select(col("dim"), col("n"),

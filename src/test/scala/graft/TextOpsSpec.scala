@@ -47,6 +47,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(slopeFp > -1100000L && slopeFp < -900000L, s"slope_fp=$slopeFp")
   }
 
+  test("zipf fit on a degenerate vocabulary yields explicit nulls, not NaN") {
+    // a single distinct token -> one rank -> n*sxx - sx*sx = 0: the fit is
+    // undefined and must surface as (n_ranks=1, null, null) — a NaN-born
+    // null that skipped the guard would differ engine-to-engine
+    val corpus = Seq((1L, "same same same same", "en", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val row = TextOps.zipfSlope(corpus, topN = 40)
+      .select("n_ranks", "slope_fp", "intercept_fp").head()
+    assert(row.getLong(0) == 1L)
+    assert(row.isNullAt(1) && row.isNullAt(2))
+  }
+
   test("exact dedup groups identical content") {
     val r = TextOps.dedupExact(docs)
       .select("keeper_doc_id", "n_copies").as[(Long, Long)].collect().toSet

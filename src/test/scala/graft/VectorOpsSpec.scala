@@ -202,8 +202,10 @@ class VectorOpsSpec extends AnyFunSuite {
 
   test("auto-probe IVF resolves nProbe from the centroid count") {
     // n=500 at centroidEvery=50 -> 10 centroids; f=0.4 -> nProbe=4, so the
-    // auto variant must equal the fixed-nProbe=4 result exactly
-    val auto = VectorOps.topkCosineIvfAuto(emb, k = 5, probeFraction = 0.4)
+    // all-queries auto form must equal the fixed-nProbe=4 result exactly
+    val auto = VectorOps
+      .topkCosineIvfAuto(emb, k = 5, probeFraction = 0.4,
+        maxQueries = Int.MaxValue)
       .collect().map(_.toSeq).toSet
     val fixed = VectorOps.topkCosineIvf(emb, k = 5, nProbe = 4)
       .collect().map(_.toSeq).toSet
@@ -211,6 +213,27 @@ class VectorOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       VectorOps.topkCosineIvfAuto(emb, k = 5, probeFraction = 0.0)
     }
+  }
+
+  test("bounded auto-probe IVF: md5 query sample, full-form agreement") {
+    // the declared form: 100-query md5 sample. Its result must be exactly
+    // the all-queries result restricted to the sampled query ids — the
+    // bound changes WHICH queries run, never any query's answer
+    val sample = VectorOps.md5SampleQueries(emb, 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(sample.size == 100)
+    val bounded = VectorOps.topkCosineIvfAuto(emb, k = 5)
+      .collect().map(_.toSeq)
+    assert(bounded.map(_.head.asInstanceOf[Long]).toSet == sample)
+    val full = VectorOps
+      .topkCosineIvfAuto(emb, k = 5, maxQueries = Int.MaxValue)
+      .filter(r => sample.contains(r.getLong(0)))
+      .collect().map(_.toSeq)
+    assert(bounded.toSet == full.toSet)
+    // determinism: the sample is a pure function of the ids
+    val again = VectorOps.md5SampleQueries(emb, 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == sample)
   }
 
   test("kmeans partitions every vector and refining helps cohesion") {
