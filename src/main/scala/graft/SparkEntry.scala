@@ -421,6 +421,23 @@ object SparkEntry {
       // batch fixed-point OLS over the drained counts — batch oracle
       graft.streaming.StreamingOps.zipfSlopeStream(s, d, topN = 128)),
 
+    // Update-mode deployment variants: same aggregates as the complete-
+    // mode monitors above, but the sink receives ONLY the keys a trigger
+    // changed (foreachBatch delta log + latest-wins reduction) — per-
+    // trigger sink volume O(changed keys), not O(all keys); the delta
+    // inequality is asserted in StreamingOpsSpec, result equality here by
+    // the same batch oracles.
+    "docs_stream_mix_report_update" -> ((s, d) =>
+      graft.streaming.StreamingOps.mixReportStreamUpdate(s, d)
+        .orderBy("lang", "source")),
+
+    "events_stream_key_skew_update" -> ((s, d) =>
+      graft.streaming.StreamingOps
+        .keySkewStreamUpdate(s, d, "user_id", topK = 20)),
+
+    "docs_stream_vocab_update" -> ((s, d) =>
+      graft.streaming.StreamingOps.vocabularyStreamUpdate(s, d, topN = 50)),
+
     "events_stream_range_join" -> ((s, d) =>
       // stream-stream interval join: incidents x same-user events within
       // +/-10 min, both sides landing through the split-file source; state
@@ -2156,6 +2173,9 @@ object SparkEntry {
     "docs_stream_decontaminate_capped" ->
       OracleExt.docsStreamDecontaminateCapped(2),
     "docs_stream_mix_report" -> OracleExt.corpusMixReport,
+    "docs_stream_mix_report_update" -> OracleExt.corpusMixReport,
+    "events_stream_key_skew_update" -> OracleExt.eventsKeySkew(20),
+    "docs_stream_vocab_update" -> OracleExt.vocabTopTokens,
     "docs_stream_near_minhash_capped" -> OracleExt.dedupNearMinhash,
 
     "multimodal_media_stats" ->

@@ -786,6 +786,133 @@ object StreamingOps {
       runToTable(spark, agg, OutputMode.Complete()), topN)
   }
 
+  // ---- Update-mode deployment variants ---------------------------------
+  //
+  // The complete-mode monitors above re-emit the FULL aggregate table
+  // every trigger: state is bounded (value-domain / vocabulary keys), but
+  // at 100 TB the re-emission, not the state, is the sink bottleneck —
+  // every trigger ships |all keys| rows downstream whether or not they
+  // changed. The deployment-grade form is OutputMode.Update: the sink
+  // receives ONLY the keys whose aggregate changed in that trigger, so
+  // per-trigger sink volume is O(changed keys). The final table is the
+  // latest-wins reduction of the delta log — exactly how an upsert sink
+  // (Kafka compacted topic, keyed KV store, Delta MERGE) consumes it.
+
+  private[graft] def docsStreamSplit(spark: SparkSession, dir: String,
+                                     nFiles: Int): DataFrame =
+    stagedStreamSplit(spark, dir, "documents", nFiles)
+
+  /** Drain an Update-mode aggregation through a foreachBatch DELTA sink:
+    * each trigger appends only that trigger's updated rows, stamped with
+    * the batch id, to a scratch parquet — the upsert-sink shape. Returns
+    * the full delta log (caller reduces latest-wins per key via
+    * [[latestPerKey]]); exposed private[graft] so specs can assert the
+    * per-trigger sink volume really is O(changed keys).
+    *
+    * Same session-conf discipline as [[runToTable]] (stream shuffle
+    * partitions overridden for the query, restored after the drain).
+    */
+  private[graft] def runUpdatesToDeltaLog(spark: SparkSession,
+                                          df: DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(
+      s"graft_updates_${counter.incrementAndGet()}_")
+    val dataDir = base.resolve("data").toString
+    val ckptDir = base.resolve("ckpt").toString
+    val overrides =
+      Map("spark.sql.shuffle.partitions" -> streamShufflePartitions(spark))
+    val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    val q =
+      try df.writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // append = the delta log; an empty trigger appends nothing
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(dataDir)
+        }.start()
+      catch { case t: Throwable => restore(); throw t }
+    try q.processAllAvailable()
+    finally { try q.stop() finally restore() }
+    spark.read.parquet(dataDir)
+  }
+
+  /** Latest-wins reduction of an Update-mode delta log: the newest
+    * batch_id's row per key IS the final aggregate (each update carries
+    * the full new value, not an increment). Post-drain, over |emitted
+    * deltas| rows — bounded by keys × triggers, both small here.
+    */
+  private[graft] def latestPerKey(log: DataFrame,
+                                  keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("batch_id").desc)
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "batch_id")
+  }
+
+  /** Update-mode twin of [[mixReportStream]]: per-(lang, source) counts
+    * maintained live, but the sink sees only the cells a trigger changed.
+    * Final table = latest-wins over the delta log; ppm shares derive
+    * post-drain as in the complete form. Same result, same batch oracle.
+    */
+  def mixReportStreamUpdate(spark: SparkSession, dir: String,
+                            nFiles: Int = 4): DataFrame = {
+    import graft.operators.TextOps.tokens
+    val agg = docsStreamSplit(spark, dir, nFiles)
+      .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val drained = latestPerKey(
+      runUpdatesToDeltaLog(spark, agg), Seq("lang", "source"))
+    val tot = drained.agg(sum(col("n_docs")).as("t_docs"),
+                          sum(col("n_tokens")).as("t_tokens"))
+    drained.crossJoin(broadcast(tot))
+      .withColumn("doc_share_ppm", expr("n_docs * 1000000 div t_docs"))
+      .withColumn("token_share_ppm",
+        expr("n_tokens * 1000000 div t_tokens"))
+      .select("lang", "source", "n_docs", "n_tokens",
+              "doc_share_ppm", "token_share_ppm")
+  }
+
+  /** Update-mode twin of [[keySkewStream]]: per-key counts, delta sink —
+    * only keys that received events in a trigger reach the sink. Same
+    * post-drain total/ppm/top-K projection, same batch oracle.
+    */
+  def keySkewStreamUpdate(spark: SparkSession, dir: String, keyCol: String,
+                          topK: Int, nFiles: Int = 4): DataFrame = {
+    val agg = eventsStreamSplit(spark, dir, nFiles)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_events"))
+    val drained = latestPerKey(runUpdatesToDeltaLog(spark, agg), Seq("key"))
+    val tot = drained.agg(sum(col("n_events")).as("t"))
+    drained.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("n_events * 1000000 div t"))
+      .orderBy(col("n_events").desc, col("key"))
+      .limit(topK)
+      .select("key", "n_events", "share_ppm")
+  }
+
+  /** Update-mode twin of [[vocabularyStream]]: per-token counts, delta
+    * sink — a trigger emits only the tokens its documents contained, not
+    * the whole vocabulary. Deterministic top-N over the latest-wins
+    * reduction; same batch oracle.
+    */
+  def vocabularyStreamUpdate(spark: SparkSession, dir: String,
+                             topN: Int, nFiles: Int = 4): DataFrame = {
+    import graft.operators.TextOps.tokens
+    val agg = docsStreamSplit(spark, dir, nFiles)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+    latestPerKey(runUpdatesToDeltaLog(spark, agg), Seq("token"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topN)
+  }
+
   /** Stream-stream interval join: incidents ("error" events) joined, AS
     * BOTH SIDES LAND, to the same user's events within ±`windowMinutes` —
     * the streaming twin of EventOps.nearbyEventCounts and the one

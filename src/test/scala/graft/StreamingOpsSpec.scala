@@ -709,4 +709,64 @@ class StreamingOpsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("update-mode variants equal their complete-mode twins") {
+    // the three deployment variants: same aggregate, delta sink instead of
+    // full-table re-emission — results must be identical
+    for ((name, twin) <- Seq(
+      "docs_stream_mix_report_update" -> "docs_stream_mix_report",
+      "events_stream_key_skew_update" -> "events_stream_key_skew",
+      "docs_stream_vocab_update" -> "docs_stream_vocab")) {
+      val update = SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toSeq).toSet
+      val complete = SparkEntry.queries(twin)(spark, dir)
+        .collect().map(_.toSeq).toSet
+      assert(update == complete && update.nonEmpty, name)
+    }
+  }
+
+  test("update-mode delta log emits O(changed keys), not O(all keys)") {
+    // the sf0.001 corpus's 31-token vocabulary appears in EVERY trigger
+    // (every key changes every trigger — delta == complete there), so the
+    // O(changed keys) claim needs a source whose triggers touch DISJOINT
+    // keys: three one-file micro-batches with controlled token overlap
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_upd_delta_")
+    val streamDir = base.resolve("in")
+    java.nio.file.Files.createDirectories(streamDir)
+    def writeOne(i: Int, text: String): Unit = {
+      val tmp = base.resolve(s"tmp$i").toString
+      Seq((i.toLong, text)).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.copy(part, streamDir.resolve(s"f$i.parquet"))
+    }
+    // per-file distinct tokens: {a,b} then {b,c} then {d} — only b repeats
+    writeOne(0, "a a b"); writeOne(1, "b c"); writeOne(2, "d")
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(streamDir.toString)
+    val agg = stream
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val log = StreamingOps.runUpdatesToDeltaLog(spark, agg)
+      .localCheckpoint(true)
+    val nBatches = log.select("batch_id").distinct().count()
+    val nKeys = log.select("token").distinct().count()
+    val emitted = log.count()
+    assert(nBatches == 3, s"nBatches=$nBatches")
+    assert(nKeys == 4)
+    // sink volume = Σ per-trigger CHANGED keys (2 + 2 + 1 = 5), not the
+    // Complete-mode nBatches × nKeys = 12 full-table re-emission
+    assert(emitted == 5,
+      s"emitted=$emitted batches=$nBatches keys=$nKeys")
+    // latest-wins reduction = the exact final counts
+    val reduced = StreamingOps.latestPerKey(log, Seq("token"))
+      .as[(String, Long)].collect().toMap
+    assert(reduced == Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+  }
 }
