@@ -90,7 +90,12 @@ object Bench {
     // "only":true marks a subset run so downstream consumers can't mistake
     // it for the full surface (its "total" covers only the named queries)
     val onlyMarker = if (only.isDefined) """"only":true,""" else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$onlyMarker"queries":$qs,"errors":$nErr,"sf":"$sfDir"}"""
+    // protocol stamp: a single-invocation run overwriting bench_out.json
+    // must be self-describing (it has clobbered the committed median-of-3
+    // artifact twice) — consumers read reps/protocol instead of guessing
+    val protocol = if (reps >= 2) s"median-of-$reps" else "single"
+    val protoMarker = s""""reps":$reps,"protocol":"$protocol","""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$onlyMarker$protoMarker"queries":$qs,"errors":$nErr,"sf":"$sfDir"}"""
     // The full per-query map (112 entries at double precision, ~3.5 KB) no
     // longer fits the driver's 2000-char captured tail, so a full-map
     // stdout line is UNPARSEABLE driver-side (BENCH_r06/r07 both recorded
@@ -127,7 +132,7 @@ object Bench {
       timeEntries.foreach { e =>
         if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
       }
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      s"""{"metric":"total","value":$total,"unit":"sec",$protoMarker"queries":${
         kept.mkString("{", ",", "}")
       },"queries_elided":${results.length - kept.length},"full":"$outPath","errors":$nErr,"sf":"$sfDir"}"""
     }

@@ -111,6 +111,33 @@ object SparkEntry {
         .drop("metadata")
         .orderBy("name")),
 
+    "catalog_scan_distributed" -> ((s, d) => {
+      // the 100 M-object listing answer (SCALE.md "Catalogs and listings"):
+      // the driver lists only first-level prefixes, executors recurse in
+      // parallel — declared over a fixture tree with nested prefixes so the
+      // executor-side recursion genuinely runs, and joined against the
+      // single-driver scan of the same tree so the oracle asserts the two
+      // listings agree object-for-object (mtime/etag excluded: they are
+      // fixture-run artifacts, not listing semantics)
+      val root = IoFixtures.freshDir("distscan")
+      IoFixtures.write(root, "p0/a.txt", "alpha")
+      IoFixtures.write(root, "p0/sub/b.json", "{}")
+      IoFixtures.write(root, "p1/c.csv", "x,y")
+      IoFixtures.write(root, "top.bin", "abcd")
+      val uri = IoFixtures.uri(root)
+      val dist = ObjectStoreCatalog.scanCatalogDistributed(s, uri,
+          parallelism = 4)
+        .select("name", "size", "content_type")
+      val single = ObjectStoreCatalog.scanCatalog(s, uri)
+        .select(col("name"), col("size").as("s_size"),
+                col("content_type").as("s_ct"))
+      dist.join(single, Seq("name"), "full_outer")
+        .select(col("name"), col("size"), col("content_type"),
+          (col("size") === col("s_size") && col("content_type") === col("s_ct"))
+            .as("matches_single"))
+        .orderBy("name")
+    }),
+
     "catalog_snapshot_diff" -> ((s, d) =>
       SyncOps.catalogSnapshotDiff(src(s, d), tgt(s, d))
         .filter(col("change") =!= "unchanged")
@@ -2194,6 +2221,15 @@ object SparkEntry {
     "object_delete" ->
       """SELECT * FROM (VALUES ('x.txt', true), ('y.txt', true))
          AS t(object_name, removed) ORDER BY object_name""",
+
+    "catalog_scan_distributed" ->
+      """SELECT * FROM (VALUES
+           ('p0/a.txt', CAST(5 AS BIGINT), 'text/plain', true),
+           ('p0/sub/b.json', CAST(2 AS BIGINT), 'application/json', true),
+           ('p1/c.csv', CAST(3 AS BIGINT), 'text/csv', true),
+           ('top.bin', CAST(4 AS BIGINT), 'application/octet-stream', true))
+         AS t(name, size, content_type, matches_single)
+         ORDER BY name""",
 
     "bucket_ddl" ->
       """SELECT 'fresh-bucket' AS bucket_name, false AS existed_before,

@@ -223,15 +223,24 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
     val doomed = removedNames.select(lit(mid).as("mapping_id"),
                                      col("name").as("object_name"))
     def commitLedger(): Unit = {
-      val base = if (concurrent) readLedger(spark, config.ledgerPath)
-                 else ledger
+      // re-read the CURRENT ledger inside the critical section (never the
+      // cycle snapshot): commits from other mappings in this JVM — or from
+      // other DRIVER PROCESSES, which the file lock serializes — must not
+      // be clobbered by a merge against stale state
+      val base = readLedger(spark, config.ledgerPath)
       val merged = SyncOps.ledgerUpsert(base, updates)
       val afterDelete = merged.join(doomed, Seq("mapping_id", "object_name"),
                                     "left_anti")
       writeLedger(spark, afterDelete, config.ledgerPath)
     }
-    if (concurrent) SyncEngine.ledgerLock.synchronized(commitLedger())
-    else commitLedger()
+    // two locks, two scopes: the JVM lock serializes this driver's threads
+    // (cheap, no FS round-trips while waiting); the lock FILE serializes
+    // across driver processes sharing the ledger path — the cross-process
+    // safety the reference inherited from SQLite's own file locking
+    // (internal/database/database.go:29-43)
+    SyncEngine.ledgerLock.synchronized {
+      SyncEngine.withLedgerFileLock(spark, config.ledgerPath)(commitLedger())
+    }
 
     MappingReport(mid,
       synced = counts.getOrElse("sync_new", 0L) +
@@ -262,11 +271,86 @@ object SyncEngine {
     * mapping (and every engine instance) in this driver JVM — the ledger
     * is one table rewritten whole, so the commit is the single shared
     * resource concurrent sync must serialize (SCALE.md mapping-level
-    * parallelism note). JVM-wide is the right granularity: the driver is
-    * the only writer in this architecture, as the SQLite file was in the
-    * reference's.
+    * parallelism note). Cross-PROCESS commits (two drivers, one ledger
+    * path) are serialized by [[withLedgerFileLock]] underneath; the JVM
+    * lock stays as the cheap first gate so waiting threads don't spin on
+    * filesystem round-trips.
     */
   private[graft] val ledgerLock = new Object
+
+  /** Cross-PROCESS ledger commit lock. [[ledgerLock]] serializes commits
+    * inside one driver JVM; two drivers sharing a ledger path raced the
+    * read-merge-swap silently — the reference got cross-process safety for
+    * free from SQLite's file locking (internal/database/database.go:29-43).
+    * This restores it with an atomic lock FILE:
+    *
+    *  - acquire = write an owner-token file aside, then RENAME it to
+    *    `<ledger>.lock`. Rename-onto-existing fails (returns false) on
+    *    local FS and HDFS, so rename-if-absent is the atomic
+    *    create-no-overwrite primitive — no window where two owners hold.
+    *  - stale break: a lock older than `staleTtlMs` is a crashed owner's;
+    *    it is deleted and acquisition retried. TTL must exceed the longest
+    *    honest commit (the in-lock work is the cheap merge — copies and
+    *    scans happen OUTSIDE, so minutes of TTL is generous).
+    *  - release deletes the lock only if it still carries OUR token (a
+    *    stale-break may have legitimately stolen it mid-body).
+    *
+    * Store caveat, documented not hidden: S3-style object stores have no
+    * atomic rename-if-absent — there, point the ledger at a real
+    * filesystem (HDFS/NFS) or front commits with an external lock service;
+    * a timeout here throws loudly rather than proceeding unlocked.
+    */
+  private[graft] def withLedgerFileLock[A](
+      spark: SparkSession, ledgerPath: String,
+      timeoutMs: Long = 60000, staleTtlMs: Long = 600000)(body: => A): A = {
+    val lock = new org.apache.hadoop.fs.Path(ledgerPath + ".lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = java.util.UUID.randomUUID().toString
+    val staged = new org.apache.hadoop.fs.Path(s"$ledgerPath.lock.$token")
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    try {
+      val out = fs.create(staged, true)
+      try out.write(token.getBytes("UTF-8")) finally out.close()
+      while (!acquired) {
+        acquired =
+          try fs.rename(staged, lock)
+          catch { case _: java.io.IOException => false }
+        if (!acquired) {
+          val held =
+            try Some(fs.getFileStatus(lock))
+            catch { case _: java.io.FileNotFoundException => None }
+          held.foreach { s =>
+            if (System.currentTimeMillis() - s.getModificationTime > staleTtlMs)
+              fs.delete(lock, false) // crashed owner; next rename wins
+          }
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"ledger commit lock timeout after $timeoutMs ms: $lock is " +
+                "held by another driver (or stale below the TTL) — " +
+                "processes sharing a ledger path serialize commits here")
+          Thread.sleep(50)
+        }
+      }
+      body
+    } finally {
+      if (acquired) {
+        // release only OUR lock: if a stale-break stole it, leave theirs
+        val owned =
+          try {
+            val in = fs.open(lock)
+            try {
+              val buf = new Array[Byte](64)
+              val n = in.read(buf)
+              n == token.length && new String(buf, 0, n, "UTF-8") == token
+            } finally in.close()
+          } catch { case _: java.io.IOException => false }
+        if (owned) fs.delete(lock, false)
+      }
+      try fs.delete(staged, false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
 
   /** Execute-once barrier for side-effecting executor outputs: dump to a
     * scratch parquet and read back, so downstream actions replay the file,

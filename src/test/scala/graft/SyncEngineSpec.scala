@@ -125,6 +125,83 @@ class SyncEngineSpec extends AnyFunSuite {
     assert(r3.forall(r => r.synced == 0 && r.skipped == 4))
   }
 
+  test("ledger file lock: two simulated drivers race commits, zero lost rows") {
+    // simulates two DRIVER PROCESSES sharing one ledger path: each thread
+    // bypasses the JVM-wide ledgerLock entirely and relies ONLY on the
+    // lock file around its read-merge-swap — the cross-process protocol
+    // the reference inherited from SQLite's file locking
+    import org.apache.spark.sql.Row
+    import java.util.concurrent.atomic.AtomicInteger
+    val root = Files.createTempDirectory("graft-ledger-race")
+    val path = s"$root/ledger"
+    val inLock = new AtomicInteger(0)
+    val maxIn = new AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def commitRow(mid: String, obj: String): Unit =
+      SyncEngine.withLedgerFileLock(spark, path, timeoutMs = 120000) {
+        val depth = inLock.incrementAndGet()
+        maxIn.updateAndGet(m => math.max(m, depth))
+        try {
+          val base = SyncEngine.readLedger(spark, path)
+          val row = spark.createDataFrame(
+            java.util.Arrays.asList(Row(0L, mid, obj, 1L,
+              new java.sql.Timestamp(0L), "e", "text/plain",
+              new java.sql.Timestamp(0L), "success",
+              Map.empty[String, String])),
+            SyncEngine.LedgerSchema)
+          SyncEngine.writeLedger(spark, base.unionByName(row), path)
+        } finally inLock.decrementAndGet()
+      }
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try for (i <- 0 until 6) commitRow(s"driver$t", s"obj$i")
+        catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, failures)
+    // mutual exclusion actually held (no interleaved critical sections)...
+    assert(maxIn.get == 1, s"max concurrent lock holders = ${maxIn.get}")
+    // ...and the interleaved read-merge-swaps lost NOTHING: all 12 rows,
+    // both drivers' sets complete
+    val fin = SyncEngine.readLedger(spark, path).collect()
+    assert(fin.length == 12)
+    val byDriver = fin.groupBy(_.getAs[String]("mapping_id"))
+      .view.mapValues(_.map(_.getAs[String]("object_name")).toSet).toMap
+    assert(byDriver == Map(
+      "driver0" -> (0 until 6).map(i => s"obj$i").toSet,
+      "driver1" -> (0 until 6).map(i => s"obj$i").toSet))
+    // no lock file left behind after orderly releases
+    assert(!Files.exists(java.nio.file.Paths.get(s"$path.lock")))
+  }
+
+  test("ledger file lock: a stale lock (crashed owner) is broken, not waited out") {
+    val root = Files.createTempDirectory("graft-ledger-stale")
+    val path = s"$root/ledger"
+    // a crashed driver's leftover: a lock file whose mtime is old
+    val lockP = java.nio.file.Paths.get(s"$path.lock")
+    Files.createDirectories(lockP.getParent)
+    Files.write(lockP, "dead-owner".getBytes("UTF-8"))
+    Files.setLastModifiedTime(lockP,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600 * 1000L))
+    var ran = false
+    // TTL far below the lock's age -> broken and acquired immediately;
+    // a live lock (TTL above age) would have timed out instead
+    SyncEngine.withLedgerFileLock(spark, path,
+      timeoutMs = 10000, staleTtlMs = 60000) { ran = true }
+    assert(ran)
+    assert(!Files.exists(lockP))
+    // and a HELD (fresh) lock times out loudly rather than proceeding
+    Files.write(lockP, "live-owner".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      SyncEngine.withLedgerFileLock(spark, path,
+        timeoutMs = 300, staleTtlMs = 3600 * 1000L) { () }
+    }
+    assert(e.getMessage.contains("lock timeout"))
+    Files.delete(lockP)
+  }
+
   test("missing source bucket yields empty catalog, not error") {
     val root = Files.createTempDirectory("graft-missing")
     val df = ObjectStoreCatalog.scanCatalog(spark, s"file://$root/nope")
