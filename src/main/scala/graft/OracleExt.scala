@@ -1603,10 +1603,15 @@ object OracleExt {
     * (b) the query side is the same deterministic md5 sample the Spark op
     * takes (first `maxQueries` vec_ids by md5(vec_id)), so the declared
     * query stays linear in corpus size instead of all-vectors-as-queries
-    * quadratic.
+    * quadratic, and (c) the centroid STRIDE widens once n exceeds
+    * centroidEvery·maxLists (E = max(centroidEvery, ceil(n/maxLists)) — a
+    * scalar subquery here, a driver count on the Spark side), capping the
+    * codebook at ~maxLists so the assignment pass is linear too. Below the
+    * cap E = centroidEvery and the SQL reduces to the uncapped form.
     */
   def similarityTopkIvfAuto(k: Int, probeFraction: Double,
-                            centroidEvery: Int, maxQueries: Int): String = {
+                            centroidEvery: Int, maxQueries: Int,
+                            maxLists: Int): String = {
     def assign(alias: String, idAs: String, vAs: String, keepSql: String,
                from: String = "emb") = s"""
       $alias AS (
@@ -1621,8 +1626,11 @@ object OracleExt {
         WHERE crank <= $keepSql)"""
     s"""
       WITH $EmbCte,
+      ee AS (SELECT greatest($centroidEvery,
+               CAST(ceil(CAST(count(*) AS DOUBLE) / $maxLists) AS BIGINT))
+               AS stride FROM emb),
       cent AS (SELECT vec_id AS centroid_id, v AS centv FROM emb
-               WHERE vec_id % $centroidEvery = 0),
+               WHERE vec_id % (SELECT stride FROM ee) = 0),
       np AS (SELECT greatest(1, CAST(ceil($probeFraction * count(*)) AS INT))
                AS nprobe FROM cent),
       embq AS (SELECT e.* FROM emb e JOIN (

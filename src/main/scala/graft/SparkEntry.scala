@@ -2131,7 +2131,8 @@ object SparkEntry {
     "similarity_topk_ivf" -> OracleExt.similarityTopkIvf(
       k = 5, nProbe = 4, centroidEvery = 50),
     "similarity_topk_ivf_auto" -> OracleExt.similarityTopkIvfAuto(
-      k = 5, probeFraction = 0.4, centroidEvery = 50, maxQueries = 100),
+      k = 5, probeFraction = 0.4, centroidEvery = 50, maxQueries = 100,
+      maxLists = 128),
     "multimodal_decode_stub" -> OracleExt.multimodalDecodeStub,
     "multimodal_frame_sample" -> OracleExt.multimodalFrameSample(
       frameBytes = 64, stride = 2),

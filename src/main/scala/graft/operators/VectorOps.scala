@@ -359,22 +359,42 @@ object VectorOps {
     * rows — no full sort, no driver blow-up). The probe-fraction recall
     * rule is unchanged; cost becomes Θ(probeFraction·n·maxQueries) — linear
     * in the corpus.
+    *
+    * `maxLists` bounds the CODEBOOK: with the raw every-`centroidEvery`-th
+    * seed rule the list count grows with n, making the corpus→centroid
+    * ASSIGNMENT pass Θ(n²/centroidEvery) on its own — the r12 rehearsal
+    * measured exactly that residual after the query bound (×10 point still
+    * super-linear). Production IVF trains a FIXED-size codebook (nlist is
+    * a deployment constant, not a corpus fraction); here the seed stride
+    * widens once n exceeds centroidEvery·maxLists — E = max(centroidEvery,
+    * ⌈n/maxLists⌉) — so lists cap at ~maxLists and assignment is Θ(n·nlist),
+    * linear in the corpus. Below the cap (every declared scale factor)
+    * E = centroidEvery and results are bit-identical to the uncapped form;
+    * recall is governed by the probe FRACTION (a constant share of the
+    * corpus is searched at any list granularity — the IvfScaleProbe
+    * falsification), so the cap trades nothing measurable. The oracle
+    * derives the same E and nProbe with scalar subqueries.
     */
   def topkCosineIvfAuto(corpus: DataFrame, k: Int,
                         probeFraction: Double = 0.4,
                         centroidEvery: Int = 50,
-                        maxQueries: Int = 100): DataFrame = {
+                        maxQueries: Int = 100,
+                        maxLists: Int = 128): DataFrame = {
     require(probeFraction > 0 && probeFraction <= 1,
       s"probeFraction must be in (0,1], got $probeFraction")
     require(maxQueries >= 1, s"maxQueries must be >= 1, got $maxQueries")
-    val nCent = ivfCentroids(corpus, centroidEvery).count()
+    require(maxLists >= 1, s"maxLists must be >= 1, got $maxLists")
+    val n = corpus.count()
+    val stride = math.max(centroidEvery.toLong,
+      math.ceil(n.toDouble / maxLists).toLong).toInt
+    val nCent = ivfCentroids(corpus, stride).count()
     val nProbe = math.max(1, math.ceil(probeFraction * nCent).toInt)
     // Int.MaxValue = the explicit every-vector-queries form (tool-side
     // recall sweeps); skip the sample entirely rather than globally
     // sorting the corpus under a no-op limit
     val qs = if (maxQueries == Int.MaxValue) None
              else Some(md5SampleQueries(corpus, maxQueries))
-    topkCosineIvf(corpus, k, nProbe, centroidEvery, queries = qs)
+    topkCosineIvf(corpus, k, nProbe, stride, queries = qs)
   }
 
   /** Deterministic bounded query sample: the `maxQueries` vec_ids ranked

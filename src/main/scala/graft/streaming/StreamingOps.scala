@@ -545,15 +545,24 @@ object StreamingOps {
         (_: String, rows: Iterator[BandRow], state: GroupState[Array[Long]]) => {
           val seen = if (state.exists) state.get else Array.empty[Long]
           val fresh = rows.map(_.doc_id).toArray.distinct.sorted
-          val out = Iterator.tabulate(fresh.length) { i =>
+          state.update((seen ++ fresh).take(maxPerBand))
+          // LAZY emission from the two local immutable arrays (state is
+          // already updated — safe, the iterator closes over locals only):
+          // a dense band STREAMS its pairs instead of materializing an
+          // O(m²) Vector inside the state function, which is what OOM'd
+          // the ×4 rehearsal under correlated frame features (r12). The
+          // emission contract is unchanged — all in-batch pairs plus
+          // fresh×retained cross-batch pairs, each exactly once; the cap
+          // bounds STATE (so cross-batch growth), while in-batch volume is
+          // bounded by the trigger size the deployment already controls
+          // (maxFilesPerTrigger / maxOffsetsPerTrigger).
+          Iterator.tabulate(fresh.length) { i =>
             val d = fresh(i)
             // pairs vs prior arrivals, plus in-batch pairs vs smaller fresh
             // ids: every cross-arrival pair is emitted exactly once
             (seen.iterator ++ fresh.iterator.take(i))
               .map(o => CandPair(math.min(d, o), math.max(d, o)))
-          }.flatten.toVector
-          state.update((seen ++ fresh).take(maxPerBand))
-          out.iterator
+          }.flatten
         })
     pairs.toDF()
   }
@@ -575,13 +584,25 @@ object StreamingOps {
     * it, at O(frameBytes) primitive ops per reference. (Its first HOF
     * implementation needed repartition barriers here and still lost to
     * predicate re-inlining — see the expression's scaladoc.)
+    *
+    * `maxPerBand` bounds per-band state exactly as the minhash stream's
+    * cap does — 8-dim byte-statistic features are far more CORRELATED
+    * than shingle minhashes, so a frame band can go dense where a shingle
+    * band cannot: the r12 ×4 rehearsal OOM'd the uncapped
+    * (Int.MaxValue) form on exactly that shape. 2048 is an order of
+    * magnitude above the declared corpora's densest frame band, so the
+    * batch oracle still verifies the drained result bit-for-bit; at
+    * deployment scale the cap is the state bound, with the same
+    * loses-only-dropped-members'-later-pairs contract the minhash cap
+    * documents (and its spec asserts).
     */
   def frameNearDupStream(spark: SparkSession, dir: String,
                          threshold: Double = 0.99,
                          frameBytes: Int = 64, stride: Int = 2,
                          dim: Int = 8, bands: Int = 4,
                          rowsPerBand: Int = 16,
-                         nFiles: Int = 4): DataFrame = {
+                         nFiles: Int = 4,
+                         maxPerBand: Int = 2048): DataFrame = {
     import graft.operators.{Barriers, Multimodal, VectorOps}
     import graft.functions.ArrayMath.{dot_product, l2_norm}
     import spark.implicits._
@@ -598,7 +619,7 @@ object StreamingOps {
           .as("band"))
       .as[BandRow]
     val cand = runToTable(spark,
-      bandedCandidatePairs(spark, banded, Int.MaxValue),
+      bandedCandidatePairs(spark, banded, maxPerBand),
       OutputMode.Append())
       .distinct()
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))

@@ -26,15 +26,33 @@ import org.apache.spark.sql.functions._
   *  - ids offset by r × 100M — disjoint, and md5-derived salts/draws
   *    (signatures, sampling) decorrelate across replicas.
   *
+  * Streaming rows rehearse too (r12): the scaled tables are written as
+  * single parquet FILES (the streaming staged sources copy/split
+  * `<dir>/<table>.parquet` as a file, exactly like the driver testdata),
+  * and events replicate by OFFSETTING event/user ids — disjoint users, so
+  * per-user state (sessions, as-of buffers, interval joins) replicates
+  * structurally while per-trigger row volume scales ×N against a CONSTANT
+  * trigger count (split nFiles is fixed). That isolates the claim under
+  * test: state-commit fixed cost (stores × partitions × triggers) must
+  * stay flat while only the data term grows.
+  *
   * Usage: runMain graft.tools.ScaleRehearsal [queries...]
   *   SPARK_GRAFT_SRC (default /root/testdata/sf0.1)
   *   SPARK_GRAFT_SCALES (default "1,2,4,10")
   *   SPARK_GRAFT_REPS (default 2; per-scale median)
-  * Scaled corpora are staged under /tmp/graft-scale/x<N> once.
+  * Scaled corpora are staged under /tmp/graft-scale/v2-x<N> once.
   */
 object ScaleRehearsal {
   val DefaultQueries = Seq("dedup_near_minhash", "dedup_clusters_cosine",
     "similarity_topk_ivf_auto", "dedup_exact_spans")
+
+  /** The 5 heaviest streaming rows (BENCH_r11 medians) — the set VERDICT
+    * r11 asked to rehearse: stream-stream interval join, banded media
+    * near-dup, capped minhash, as-of join, sessionization.
+    */
+  val StreamQueries = Seq("events_stream_range_join",
+    "multimodal_stream_frame_near_dedup", "docs_stream_near_minhash_capped",
+    "events_stream_asof_join", "events_stream_sessionize")
 
   def scaledDocuments(src: DataFrame, n: Int): DataFrame =
     (0 until n).map { r =>
@@ -57,17 +75,52 @@ object ScaleRehearsal {
                  slice(col("embedding"), 1, r)))
     }.reduce(_ unionByName _)
 
+  /** Events scale by id OFFSET only: replica r's users are disjoint from
+    * replica 0's, so sessions / as-of chains / interval-join neighborhoods
+    * replicate instead of interleaving (naive row duplication would fuse
+    * every replica into one user's history — denser state per key, not
+    * more keys, the wrong scaled shape). Time span unchanged: scale grows
+    * keys and rows per trigger, not the window count.
+    */
+  def scaledEvents(src: DataFrame, n: Int): DataFrame =
+    (0 until n).map { r =>
+      if (r == 0) src
+      else src
+        .withColumn("event_id", col("event_id") + lit(r * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(r * 100000000L))
+    }.reduce(_ unionByName _)
+
+  /** Single-FILE parquet write (tmp dir + part-file move): the streaming
+    * staged sources treat `<dir>/<table>.parquet` as a file to copy/split,
+    * exactly the driver testdata layout — a directory there breaks the
+    * stream staging (Files.copy of a directory copies the empty entry).
+    */
+  private def writeSingleFile(df: DataFrame, outFile: String): Unit = {
+    val tmp = new java.io.File(outFile + ".tmpdir")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    val dst = new java.io.File(outFile)
+    if (dst.exists()) dst.delete()
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+  }
+
   private def stage(spark: SparkSession, srcDir: String, n: Int): String = {
-    val out = s"/tmp/graft-scale/x$n"
+    val out = s"/tmp/graft-scale/v2-x$n"
     val done = new java.io.File(s"$out/.staged")
     if (!done.exists()) {
-      scaledDocuments(spark.read.parquet(s"$srcDir/documents.parquet"), n)
-        .repartition(32).write.mode("overwrite")
-        .parquet(s"$out/documents.parquet")
-      scaledEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), n)
-        .repartition(32).write.mode("overwrite")
-        .parquet(s"$out/embeddings.parquet")
-      done.getParentFile.mkdirs(); done.createNewFile()
+      new java.io.File(out).mkdirs()
+      writeSingleFile(
+        scaledDocuments(spark.read.parquet(s"$srcDir/documents.parquet"), n),
+        s"$out/documents.parquet")
+      writeSingleFile(
+        scaledEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), n),
+        s"$out/embeddings.parquet")
+      writeSingleFile(
+        scaledEvents(spark.read.parquet(s"$srcDir/events.parquet"), n),
+        s"$out/events.parquet")
+      done.createNewFile()
     }
     out
   }
@@ -77,7 +130,11 @@ object ScaleRehearsal {
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,2,4,10")
       .split(",").map(_.trim.toInt).toSeq
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val queries = if (args.nonEmpty) args.toSeq else DefaultQueries
+    // "streams" expands to the heavy-streaming set; other args pass through
+    val queries =
+      if (args.nonEmpty)
+        args.toSeq.flatMap(a => if (a == "streams") StreamQueries else Seq(a))
+      else DefaultQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

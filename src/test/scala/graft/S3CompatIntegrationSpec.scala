@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CopyExecutor
+import graft.sources.ObjectStoreCatalog
+
+/** S3-compatible (MinIO-style) integration smoke: one REAL `s3a://` round
+  * trip of put / list / head-enrichment / delete, so the "connectors are
+  * config" parity claim (ObjectStoreCatalog's Hadoop-FS-URI design vs the
+  * reference's provider SDK clients, internal/providers/minio/client.go:
+  * 59-147) has a tested path on a networked CI.
+  *
+  * Gated by environment — in this sandbox (zero egress) every test here
+  * CANCELS, visibly, rather than passing vacuously:
+  *
+  *   GRAFT_S3_TEST_BUCKET=s3a://bucket/graft-it    (enables the suite)
+  *   GRAFT_S3_ENDPOINT=http://localhost:9000       (MinIO-style endpoint;
+  *                                                  optional for real S3)
+  *   AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY     (or any hadoop-aws
+  *                                                  credential provider)
+  *
+  * Classpath note: `hadoop-aws` + the AWS SDK bundle must be on the Spark
+  * classpath (they ship in most distros' jars dir; this offline sandbox's
+  * does not include them — another reason the gate cancels here).
+  */
+class S3CompatIntegrationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Spec.spark
+
+  private val bucket = sys.env.get("GRAFT_S3_TEST_BUCKET")
+
+  private def withS3(testBody: String => Unit): Unit = {
+    assume(bucket.isDefined,
+      "GRAFT_S3_TEST_BUCKET not set — S3-compatible integration smoke " +
+        "skipped (no egress in this environment)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    sys.env.get("GRAFT_S3_ENDPOINT").foreach { ep =>
+      conf.set("fs.s3a.endpoint", ep)
+      conf.set("fs.s3a.path.style.access", "true") // MinIO default
+      conf.set("fs.s3a.connection.ssl.enabled",
+        ep.startsWith("https").toString)
+    }
+    testBody(bucket.get.stripSuffix("/"))
+  }
+
+  test("s3a round trip: put, list, head-enrich, delete") {
+    withS3 { base =>
+      import spark.implicits._
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val src = graft.sources.IoFixtures.freshDir(s"s3it-$runId")
+      graft.sources.IoFixtures.write(src, "a.txt", "alpha")
+      graft.sources.IoFixtures.write(src, "p/b.json", "{}")
+      val dst = s"$base/run-$runId"
+      ObjectStoreCatalog.ensureBucket(spark, dst)
+
+      // put: the distributed copy executor against the s3a target
+      val tasks = Seq(("a.txt", 5L, "text/plain"),
+                      ("p/b.json", 2L, "application/json"))
+        .toDF("name", "size", "content_type")
+      val receipts = CopyExecutor
+        .copyObjects(spark, tasks, graft.sources.IoFixtures.uri(src), dst)
+        .toDF().localCheckpoint(true)
+      assert(receipts.filter($"sync_status" === "success").count() == 2)
+
+      // list: the catalog scan sees exactly what was put
+      val listed = ObjectStoreCatalog.scanCatalog(spark, dst)
+      val names = listed.select("name").as[String].collect().toSet
+      assert(names == Set("a.txt", "p/b.json"))
+
+      // head enrichment: content types derived per key, non-null sizes
+      val head = listed.select("name", "size", "content_type").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(head("a.txt") == (5L, "text/plain"))
+      assert(head("p/b.json") == (2L, "application/json"))
+
+      // delete: orphan executor removes both; the listing drains to empty
+      val orphans = Seq("a.txt", "p/b.json").toDF("name")
+      val removed = CopyExecutor.deleteObjects(spark, orphans, dst)
+        .toDF().localCheckpoint(true)
+      assert(removed.filter($"removed").count() == 2)
+      assert(ObjectStoreCatalog.scanCatalog(spark, dst).count() == 0)
+    }
+  }
+
+  test("s3a sync engine end-to-end against the bucket") {
+    withS3 { base =>
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val src = graft.sources.IoFixtures.freshDir(s"s3it-sync-$runId")
+      graft.sources.IoFixtures.write(src, "f1.txt", "one")
+      graft.sources.IoFixtures.write(src, "f2.txt", "two")
+      val cfg = graft.config.SyncConfig(
+        providers = Seq(
+          graft.config.ProviderConf("local", "file",
+            graft.sources.IoFixtures.uri(src.getParent)),
+          graft.config.ProviderConf("s3", "s3", base)),
+        mappings = Seq(graft.config.MappingConf(
+          "local", src.getFileName.toString, "s3", s"sync-$runId")),
+        ledgerPath = src.resolveSibling(s"ledger-$runId").toString)
+      val report = new SyncEngine(spark, cfg).syncAll()
+      assert(report.head.synced == 2 && report.head.failed == 0)
+      // second cycle: needs-sync predicate skips everything
+      val again = new SyncEngine(spark, cfg).syncAll()
+      assert(again.head.skipped == 2 && again.head.synced == 0)
+    }
+  }
+}

@@ -215,6 +215,28 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("auto-probe IVF caps the codebook: binding maxLists widens the stride") {
+    // n=500, centroidEvery=2, maxLists=5 -> stride = max(2, ceil(500/5)) =
+    // 100 -> 5 lists, nProbe = ceil(0.4*5) = 2: must equal the fixed
+    // variant at exactly that derived granularity, queries restricted to
+    // the same md5 sample
+    val capped = VectorOps.topkCosineIvfAuto(emb, k = 5,
+        centroidEvery = 2, maxLists = 5)
+      .collect().map(_.toSeq).toSet
+    val expected = VectorOps.topkCosineIvf(emb, k = 5, nProbe = 2,
+        centroidEvery = 100,
+        queries = Some(VectorOps.md5SampleQueries(emb, 100)))
+      .collect().map(_.toSeq).toSet
+    assert(capped == expected && capped.nonEmpty)
+    // non-binding cap (every declared scale): identical to the raw rule
+    val free = VectorOps.topkCosineIvfAuto(emb, k = 5)
+      .collect().map(_.toSeq).toSet
+    val freeRaw = VectorOps.topkCosineIvfAuto(emb, k = 5,
+        maxLists = Int.MaxValue)
+      .collect().map(_.toSeq).toSet
+    assert(free == freeRaw)
+  }
+
   test("bounded auto-probe IVF: md5 query sample, full-form agreement") {
     // the declared form: 100-query md5 sample. Its result must be exactly
     // the all-queries result restricted to the sampled query ids — the
