@@ -465,6 +465,22 @@ object SparkEntry {
     "docs_stream_vocab_update" -> ((s, d) =>
       graft.streaming.StreamingOps.vocabularyStreamUpdate(s, d, topN = 50)),
 
+    "events_stream_json_agg_update" -> ((s, d) =>
+      graft.streaming.StreamingOps.jsonPropsAggStreamUpdate(s, d)
+        .orderBy("event_type")),
+
+    "docs_stream_length_quantiles_update" -> ((s, d) =>
+      graft.streaming.StreamingOps.lengthQuantilesStreamUpdate(s, d)
+        .orderBy("source", "pct")),
+
+    "events_stream_dedup_window_update" -> ((s, d) =>
+      // the time-bucketed-key Update form: state keys age out under the
+      // watermark in deployment (the one family where Update-mode state
+      // genuinely DRAINS, not just bounds)
+      graft.streaming.StreamingOps
+        .dedupWindowStreamUpdate(s, d, windowMinutes = 5)
+        .orderBy("event_type")),
+
     "events_stream_range_join" -> ((s, d) =>
       // stream-stream interval join: incidents x same-user events within
       // +/-10 min, both sides landing through the split-file source; state
@@ -2204,6 +2220,9 @@ object SparkEntry {
     "docs_stream_mix_report_update" -> OracleExt.corpusMixReport,
     "events_stream_key_skew_update" -> OracleExt.eventsKeySkew(20),
     "docs_stream_vocab_update" -> OracleExt.vocabTopTokens,
+    "events_stream_json_agg_update" -> OracleExt.eventsJsonAgg,
+    "docs_stream_length_quantiles_update" -> OracleExt.lengthQuantiles,
+    "events_stream_dedup_window_update" -> OracleExt.eventsDedupWindow(5),
     "docs_stream_near_minhash_capped" -> OracleExt.dedupNearMinhash,
 
     "multimodal_media_stats" ->

@@ -934,6 +934,85 @@ object StreamingOps {
       .limit(topN)
   }
 
+  /** Update-mode twin of [[jsonPropsAggStream]]: per-type JSON rollup,
+    * delta sink — a trigger emits only the event types it carried. Same
+    * batch oracle.
+    */
+  def jsonPropsAggStreamUpdate(spark: SparkSession, dir: String,
+                               nFiles: Int = 4): DataFrame = {
+    val propsSchema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.LongType)))
+    val agg = eventsStreamSplit(spark, dir, nFiles)
+      .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           max(col("k")).as("max_k"))
+    latestPerKey(runUpdatesToDeltaLog(spark, agg), Seq("event_type"))
+  }
+
+  /** Update-mode twin of [[lengthQuantilesStream]]: the per-(source,
+    * token-length) histogram cells flow as deltas; the exact integer-rank
+    * quantile pick runs post-drain over the latest-wins cells. Same batch
+    * oracle.
+    */
+  def lengthQuantilesStreamUpdate(spark: SparkSession, dir: String,
+                                  pcts: Seq[Int] = Seq(50, 90, 99),
+                                  nFiles: Int = 4): DataFrame = {
+    require(pcts.nonEmpty, "lengthQuantilesStreamUpdate: pcts must be non-empty")
+    import graft.operators.TextOps.tokens
+    val agg = docsStreamSplit(spark, dir, nFiles)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .groupBy("source", "n_tokens")
+      .agg(count(lit(1)).as("cnt"))
+    val drained = latestPerKey(runUpdatesToDeltaLog(spark, agg),
+      Seq("source", "n_tokens"))
+    val w = Window.partitionBy("source").orderBy("n_tokens")
+    val cum = drained
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val totals = drained.groupBy("source").agg(sum(col("cnt")).as("n"))
+    val ranked = cum.join(broadcast(totals), Seq("source"))
+    pcts.map { p =>
+      ranked
+        .withColumn("r", expr(s"cast(ceil(n * $p / 100.0) as bigint)"))
+        .filter(col("prev") < col("r") && col("r") <= col("cum"))
+        .select(col("source"), lit(p.toLong).as("pct"),
+                col("n_tokens").as("token_len"))
+    }.reduce(_ union _)
+  }
+
+  /** Update-mode twin of [[dedupWindowStream]] — the TIME-BUCKETED-key
+    * case: state keys are (user, type, 5-minute bucket), so under a
+    * watermark old buckets' state is EVICTABLE, not merely bounded — the
+    * one Update-mode family where state genuinely drains in deployment.
+    * The watermark is declared here (the split-file source scatters
+    * arrival in arbitrary event-time order, so the delay is set beyond
+    * the dataset's span exactly as [[rangeJoinStream]] documents — a real
+    * deployment sets it to the ingest disorder bound and old buckets age
+    * out). Per-trigger sink volume = buckets touched by that trigger's
+    * events; the per-type audit rolls up post-drain. Same batch oracle.
+    */
+  def dedupWindowStreamUpdate(spark: SparkSession, dir: String,
+                              windowMinutes: Int,
+                              nFiles: Int = 4): DataFrame = {
+    val bucketUs = windowMinutes * 60L * 1000000L
+    val agg = eventsStreamSplit(spark, dir, nFiles)
+      .withWatermark("ts", "3650 days")
+      .withColumn("bucket", expr(
+        s"(unix_micros(ts) - pmod(unix_micros(ts), ${bucketUs}L)) " +
+          s"div ${bucketUs}L"))
+      .groupBy("user_id", "event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+    latestPerKey(runUpdatesToDeltaLog(spark, agg),
+      Seq("user_id", "event_type", "bucket"))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"),
+           count(lit(1)).as("n_kept"))
+      .withColumn("n_dropped", col("n_events") - col("n_kept"))
+  }
+
   /** Stream-stream interval join: incidents ("error" events) joined, AS
     * BOTH SIDES LAND, to the same user's events within ±`windowMinutes` —
     * the streaming twin of EventOps.nearbyEventCounts and the one

@@ -716,7 +716,10 @@ class StreamingOpsSpec extends AnyFunSuite {
     for ((name, twin) <- Seq(
       "docs_stream_mix_report_update" -> "docs_stream_mix_report",
       "events_stream_key_skew_update" -> "events_stream_key_skew",
-      "docs_stream_vocab_update" -> "docs_stream_vocab")) {
+      "docs_stream_vocab_update" -> "docs_stream_vocab",
+      "events_stream_json_agg_update" -> "events_stream_json_agg",
+      "docs_stream_length_quantiles_update" -> "docs_stream_length_quantiles",
+      "events_stream_dedup_window_update" -> "events_stream_dedup_window")) {
       val update = SparkEntry.queries(name)(spark, dir)
         .collect().map(_.toSeq).toSet
       val complete = SparkEntry.queries(twin)(spark, dir)
