@@ -858,7 +858,19 @@ object StreamingOps {
       catch { case t: Throwable => restore(); throw t }
     try q.processAllAvailable()
     finally { try q.stop() finally restore() }
-    spark.read.parquet(dataDir)
+    // pin the log in block storage, then remove the scratch dirs — the
+    // drain must not leak a delta log + checkpoint per invocation
+    // (bench reps × queries would otherwise accumulate them for the
+    // machine's lifetime)
+    val out = spark.read.parquet(dataDir).localCheckpoint(eager = true)
+    deleteRecursively(base.toFile)
+    out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Latest-wins reduction of an Update-mode delta log: the newest
