@@ -202,6 +202,52 @@ class SyncEngineSpec extends AnyFunSuite {
     Files.delete(lockP)
   }
 
+  test("ledger file lock: a stale-broken owner must not release the breaker's lock") {
+    // owner A's lock goes stale mid-body (TTL below its body duration);
+    // B legitimately breaks it and acquires. When A's release runs, the
+    // token check must leave B's lock IN PLACE — deleting it would let a
+    // third writer in while B commits.
+    val root = Files.createTempDirectory("graft-ledger-steal")
+    val path = s"$root/ledger"
+    val lockP = java.nio.file.Paths.get(s"$path.lock")
+    // force session init NOW: if the lazy SparkSession builds inside the
+    // threads (several seconds under a cold JVM), both reach the lock at
+    // the same instant and B can win the FIRST acquire — inverting the
+    // roles this test's assertions assume (A would then stale-break the
+    // live B: by design for a TTL below the body duration, but not the
+    // scenario under test)
+    spark.sparkContext
+    val bHeld = new java.util.concurrent.CountDownLatch(1)
+    val aDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var bSawLockSurvive = false
+    val a = new Thread(() => {
+      SyncEngine.withLedgerFileLock(spark, path,
+        timeoutMs = 10000, staleTtlMs = 300) {
+        // hold long past our own TTL so B's stale-break fires
+        bHeld.await(15, java.util.concurrent.TimeUnit.SECONDS): Unit
+      }
+      aDone.countDown()
+    })
+    val b = new Thread(() => {
+      // wait out A's TTL, then break + acquire
+      Thread.sleep(500)
+      SyncEngine.withLedgerFileLock(spark, path,
+        timeoutMs = 10000, staleTtlMs = 300) {
+        bHeld.countDown()
+        // A releases while we hold; our lock must survive A's finally
+        aDone.await(15, java.util.concurrent.TimeUnit.SECONDS)
+        Thread.sleep(100) // give A's release a beat to (wrongly) delete
+        bSawLockSurvive = Files.exists(lockP)
+      }
+    })
+    a.start(); b.start(); a.join(20000); b.join(20000)
+    assert(!a.isAlive && !b.isAlive)
+    assert(bSawLockSurvive,
+      "A's release deleted B's lock after B stale-broke A")
+    // B's own release cleans up
+    assert(!Files.exists(lockP))
+  }
+
   test("missing source bucket yields empty catalog, not error") {
     val root = Files.createTempDirectory("graft-missing")
     val df = ObjectStoreCatalog.scanCatalog(spark, s"file://$root/nope")
