@@ -1477,8 +1477,8 @@ object OracleExt {
     * across engines; floor of the same IEEE double never does).
     */
   def kmeansClusterStats(dim: Int, centroidEvery: Int,
-                         iters: Int = 1): String =
-    kmeansSql(dim, centroidEvery, iters, finalRel => s"""
+                         iters: Int = 1, maxClusters: Int = 128): String =
+    kmeansSql(dim, centroidEvery, iters, maxClusters, finalRel => s"""
       SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
              floor(CAST(sum(CAST(floor(csim * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
                / count(*)) / 1e6 AS avg_sim
@@ -1489,8 +1489,8 @@ object OracleExt {
     * the engine-portable floor(x·1e6 + 0.5).
     */
   def kmeansAssignments(dim: Int, centroidEvery: Int,
-                        iters: Int = 1): String =
-    kmeansSql(dim, centroidEvery, iters, finalRel => s"""
+                        iters: Int = 1, maxClusters: Int = 128): String =
+    kmeansSql(dim, centroidEvery, iters, maxClusters, finalRel => s"""
       SELECT vec_id, cluster_id,
              CAST(floor(csim * 1e6 + 0.5) AS BIGINT) AS sim_fp
       FROM $finalRel ORDER BY vec_id""")
@@ -1499,8 +1499,8 @@ object OracleExt {
     * exact-integer-rank bottom-pct cutoff per cluster on fixed-point sim.
     */
   def kmeansOutliers(dim: Int, centroidEvery: Int, iters: Int,
-                     pct: Int): String =
-    kmeansSql(dim, centroidEvery, iters, finalRel => s"""
+                     pct: Int, maxClusters: Int = 128): String =
+    kmeansSql(dim, centroidEvery, iters, maxClusters, finalRel => s"""
       , sim AS (
         SELECT vec_id, cluster_id,
                CAST(floor(csim * 1e6 + 0.5) AS BIGINT) AS sim_fp
@@ -1517,6 +1517,7 @@ object OracleExt {
       ORDER BY cluster_id, rk""")
 
   private def kmeansSql(dim: Int, centroidEvery: Int, iters: Int,
+                        maxClusters: Int,
                         finalSelect: String => String): String = {
     def assignSql(centRel: String, outRel: String) = s"""
       $outRel AS (
@@ -1552,18 +1553,25 @@ object OracleExt {
     }.mkString("\n")
     s"""
       WITH $EmbCte,
+      ee AS (SELECT greatest($centroidEvery,
+               CAST(ceil(CAST(count(*) AS DOUBLE) / $maxClusters) AS BIGINT))
+               AS stride FROM emb),
       cent0 AS (SELECT vec_id AS cluster_id, v AS cv FROM emb
-                WHERE vec_id % $centroidEvery = 0),
+                WHERE vec_id % (SELECT stride FROM ee) = 0),
       $passes
       ${assignSql(s"cent$iters", s"a${iters + 1}")}
       ${finalSelect(s"a${iters + 1}")}"""
   }
 
   /** IVF ANN top-k oracle (mirrors VectorOps.topkCosineIvf): deterministic
-    * centroid subset, nearest-centroid assignment on the UNROUNDED cosine
-    * (ties by centroid_id), nProbe lists per query, exact rerank.
+    * centroid subset (stride capped at ~maxLists lists — the scalar
+    * subquery restates the Spark side's driver count; below the cap it
+    * reduces to the raw every-centroidEvery-th rule), nearest-centroid
+    * assignment on the UNROUNDED cosine (ties by centroid_id), nProbe
+    * lists per query, exact rerank.
     */
-  def similarityTopkIvf(k: Int, nProbe: Int, centroidEvery: Int): String = {
+  def similarityTopkIvf(k: Int, nProbe: Int, centroidEvery: Int,
+                        maxLists: Int): String = {
     def assign(alias: String, idAs: String, vAs: String, keep: Int) = s"""
       $alias AS (
         SELECT $idAs, $vAs, centroid_id FROM (
@@ -1577,8 +1585,11 @@ object OracleExt {
         WHERE crank <= $keep)"""
     s"""
       WITH $EmbCte,
+      ee AS (SELECT greatest($centroidEvery,
+               CAST(ceil(CAST(count(*) AS DOUBLE) / $maxLists) AS BIGINT))
+               AS stride FROM emb),
       cent AS (SELECT vec_id AS centroid_id, v AS centv FROM emb
-               WHERE vec_id % $centroidEvery = 0),
+               WHERE vec_id % (SELECT stride FROM ee) = 0),
       ${assign("ca", "neighbor_id", "cv", 1)},
       ${assign("qa", "query_id", "qv", nProbe)},
       scored AS (
@@ -1770,7 +1781,7 @@ object OracleExt {
     */
   def similarityTopkIvfPq(dim: Int, k: Int, m: Int, centroidEvery: Int,
                           queryMax: Int, refine: Int, nProbe: Int,
-                          maxCodes: Int = 256): String = {
+                          maxCodes: Int = 256, maxLists: Int = 128): String = {
     val sub = dim / m
     def assign(alias: String, idAs: String, keep: Int) = s"""
       $alias AS (
@@ -1785,8 +1796,11 @@ object OracleExt {
         WHERE crank <= $keep)"""
     s"""
     WITH $EmbCte,
+    ee AS (SELECT greatest($centroidEvery,
+             CAST(ceil(CAST(count(*) AS DOUBLE) / $maxLists) AS BIGINT))
+             AS stride FROM emb),
     cent AS (SELECT vec_id AS centroid_id, v AS centv FROM emb
-             WHERE vec_id % $centroidEvery = 0),
+             WHERE vec_id % (SELECT stride FROM ee) = 0),
     ${assign("ca", "neighbor_id", 1)},
     ${assign("qa", "query_id", nProbe)},
     cand AS (

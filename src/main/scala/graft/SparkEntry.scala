@@ -1445,10 +1445,14 @@ object SparkEntry {
         .orderBy("source")),
 
     "similarity_topk_ivf" -> ((s, d) =>
-      // IVF scale-path variant — approximate vs brute force (recall in
+      // IVF fixed-probe variant — approximate vs brute force (recall in
       // VectorOpsSpec), but deterministic: hash-checked against a DuckDB
-      // restatement of the same centroid subset + nProbe search
-      VectorOps.topkCosineIvf(T.embeddings(s, d), k = 5)
+      // restatement of the same centroid subset + nProbe search. r12:
+      // the list count caps at 128 (stride widens past n = 50·128 — the
+      // trained-fixed-nlist shape), same rule as the auto variant, so
+      // the assignment pass is linear; below the cap (every declared
+      // scale) results are bit-identical to the raw every-50th rule
+      VectorOps.topkCosineIvf(T.embeddings(s, d), k = 5, maxLists = 128)
         .orderBy("query_id", "rank")),
 
     "similarity_topk_ivf_auto" -> ((s, d) =>
@@ -2145,7 +2149,7 @@ object SparkEntry {
     "embedding_outliers" -> OracleExt.kmeansOutliers(
       dim = 64, centroidEvery = 50, iters = 2, pct = 10),
     "similarity_topk_ivf" -> OracleExt.similarityTopkIvf(
-      k = 5, nProbe = 4, centroidEvery = 50),
+      k = 5, nProbe = 4, centroidEvery = 50, maxLists = 128),
     "similarity_topk_ivf_auto" -> OracleExt.similarityTopkIvfAuto(
       k = 5, probeFraction = 0.4, centroidEvery = 50, maxQueries = 100,
       maxLists = 128),

@@ -296,11 +296,36 @@ object VectorOps {
     corpus.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
 
+  /** Seed stride for a seed set CAPPED at ~`maxSeeds`: E = max(
+    * centroidEvery, ⌈n/maxSeeds⌉), so the every-E-th seed rule stops
+    * growing the seed count with the corpus — the trained-fixed-size
+    * analog (production IVF/k-means pick nlist/k as deployment constants,
+    * not corpus fractions; the raw rule made every seed-assignment pass
+    * Θ(n²/centroidEvery)). Below the cap E = centroidEvery — bit-identical
+    * to the raw rule at every declared scale factor. One ids-only driver
+    * count; the oracles restate the same E as a scalar subquery.
+    */
+  private[graft] def cappedSeedStride(corpus: DataFrame, centroidEvery: Int,
+                                      maxSeeds: Int): Int = {
+    require(maxSeeds >= 1, s"maxSeeds must be >= 1, got $maxSeeds")
+    val n = corpus.count()
+    math.max(centroidEvery.toLong,
+      math.ceil(n.toDouble / maxSeeds).toLong).toInt
+  }
+
+  /** `maxLists` (default uncapped for the primitive — [[topkCosineIvfAuto]]
+    * derives its own stride and must not double-count): the declared fixed
+    * variant passes 128 so its assignment pass stays linear too.
+    */
   def topkCosineIvf(corpus: DataFrame, k: Int, nProbe: Int = 4,
                     centroidEvery: Int = 50,
-                    queries: Option[DataFrame] = None): DataFrame = {
+                    queries: Option[DataFrame] = None,
+                    maxLists: Int = Int.MaxValue): DataFrame = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
-    val cent = ivfCentroids(corpus, centroidEvery)
+    val stride =
+      if (maxLists == Int.MaxValue) centroidEvery
+      else cappedSeedStride(corpus, centroidEvery, maxLists)
+    val cent = ivfCentroids(corpus, stride)
       .withColumn("centn", l2_norm(col("centv")))
 
     def assign(df: DataFrame, idCol: String, vCol: String, keep: Int) = {
@@ -383,10 +408,7 @@ object VectorOps {
     require(probeFraction > 0 && probeFraction <= 1,
       s"probeFraction must be in (0,1], got $probeFraction")
     require(maxQueries >= 1, s"maxQueries must be >= 1, got $maxQueries")
-    require(maxLists >= 1, s"maxLists must be >= 1, got $maxLists")
-    val n = corpus.count()
-    val stride = math.max(centroidEvery.toLong,
-      math.ceil(n.toDouble / maxLists).toLong).toInt
+    val stride = cappedSeedStride(corpus, centroidEvery, maxLists)
     val nCent = ivfCentroids(corpus, stride).count()
     val nProbe = math.max(1, math.ceil(probeFraction * nCent).toInt)
     // Int.MaxValue = the explicit every-vector-queries form (tool-side
@@ -442,14 +464,19 @@ object VectorOps {
     *  - `avg_sim` floors the integer-micro quotient the same way.
     * Assignment ties break by centroid id.
     *
-    * Scale shape: two broadcast-assignment passes (centroids ≈ n/50, the
-    * IVF broadcast argument) whose arg-max is a map-side partial
-    * `max(struct)` — the n×k scored rows never reach an exchange — plus
-    * one dim×k fixed-point stats groupBy.
+    * Scale shape: two broadcast-assignment passes (k ≤ `maxClusters` —
+    * the seed stride widens once n exceeds centroidEvery·maxClusters, so
+    * k is a deployment constant, not a corpus fraction, and each Lloyd
+    * pass is Θ(n·k), linear; r12 — the raw every-50th rule made the pass
+    * Θ(n²/50)) whose arg-max is a map-side partial `max(struct)` — the
+    * n×k scored rows never reach an exchange — plus one dim×k fixed-point
+    * stats groupBy. The oracles derive the same stride via a scalar
+    * subquery; below the cap results equal the raw rule bit-for-bit.
     */
   def kmeansClusterStats(corpus: DataFrame, dim: Int,
-                         centroidEvery: Int = 50, maxIter: Int = 1): DataFrame =
-    kmeansAssign(corpus, dim, centroidEvery, maxIter)._1
+                         centroidEvery: Int = 50, maxIter: Int = 1,
+                         maxClusters: Int = 128): DataFrame =
+    kmeansAssign(corpus, dim, centroidEvery, maxIter, maxClusters)._1
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),
            (floor(sum(floor(col("csim") * 1e6 + 0.5).cast("long")).cast("double")
@@ -463,12 +490,18 @@ object VectorOps {
     */
   private[graft] def kmeansAssign(
       corpus: DataFrame, dim: Int,
-      centroidEvery: Int, maxIter: Int): (DataFrame, Int) = {
+      centroidEvery: Int, maxIter: Int,
+      maxClusters: Int = 128): (DataFrame, Int) = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    // the IVF seed rule, via the one shared definition (never drifts)
-    val cent0 = ivfCentroids(corpus, centroidEvery)
+    // the IVF seed rule via the one shared definition — with the seed
+    // count CAPPED (k = n/50 clusters at corpus scale is not k-means,
+    // it's a quadratic assignment pass; production picks k as a
+    // deployment constant). Below the cap the stride equals
+    // centroidEvery, bit-identical to the raw rule.
+    val stride = cappedSeedStride(corpus, centroidEvery, maxClusters)
+    val cent0 = ivfCentroids(corpus, stride)
       .select(col("centroid_id").as("cluster_id"),
               asDouble(col("centv")).as("cv"))
 
@@ -538,9 +571,10 @@ object VectorOps {
     * grows with corpus size under the √n centroid rule.
     */
   def kmeansOutliers(corpus: DataFrame, dim: Int, centroidEvery: Int,
-                     maxIter: Int, pct: Int): DataFrame = {
+                     maxIter: Int, pct: Int,
+                     maxClusters: Int = 128): DataFrame = {
     require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
-    val sim = kmeansAssign(corpus, dim, centroidEvery, maxIter)._1
+    val sim = kmeansAssign(corpus, dim, centroidEvery, maxIter, maxClusters)._1
       .select(col("vec_id"), col("cluster_id"),
         floor(col("csim") * 1e6 + 0.5).cast("long").as("sim_fp"))
     val counts = sim.groupBy("cluster_id").agg(count(lit(1)).as("n"))
@@ -815,7 +849,12 @@ object VectorOps {
     val adcInput = nProbe match {
       case None => codes.join(broadcast(qtab), Seq("m", "code_id"))
       case Some(np) =>
-        val cent = corpus.filter(col("vec_id") % centroidEvery === 0)
+        // same capped-seed rule as topkCosineIvf's declared form: the
+        // IVF half's centroid count must not grow with the corpus or its
+        // corpus-assignment pass is the quadratic the PQ half's capped
+        // codebook already avoids
+        val listStride = cappedSeedStride(corpus, centroidEvery, 128)
+        val cent = corpus.filter(col("vec_id") % listStride === 0)
           .select(col("vec_id").as("centroid_id"),
                   col("embedding").as("centv"))
           .withColumn("centn", l2_norm(col("centv")))
