@@ -282,47 +282,90 @@ object SyncEngine {
     * inside one driver JVM; two drivers sharing a ledger path raced the
     * read-merge-swap silently — the reference got cross-process safety for
     * free from SQLite's file locking (internal/database/database.go:29-43).
-    * This restores it with an atomic lock FILE:
+    * This restores it with an atomic create-if-absent lock FILE at
+    * `<ledger>.lock`:
     *
-    *  - acquire = write an owner-token file aside, then RENAME it to
-    *    `<ledger>.lock`. Rename-onto-existing fails (returns false) on
-    *    local FS and HDFS, so rename-if-absent is the atomic
-    *    create-no-overwrite primitive — no window where two owners hold.
+    *  - acquire = ATOMIC create-no-overwrite. On a local filesystem that
+    *    is `File.createNewFile` (O_CREAT|O_EXCL — a kernel primitive); on
+    *    HDFS-like stores it is `fs.create(lock, overwrite = false)`,
+    *    atomic at the NameNode. NOT Hadoop rename: RawLocalFileSystem's
+    *    rename is check-then-rename, and on POSIX a rename onto an
+    *    existing file REPLACES it — two concurrent acquirers could both
+    *    "win" (caught by the racing spec as a concurrent writeLedger
+    *    `_temporary` clobber; r12).
+    *  - the owner token is written right after creation; creation itself
+    *    is the lock, so a reader that races the token write sees an
+    *    empty/foreign token and treats the lock as not-ours — always the
+    *    safe direction.
     *  - stale break: a lock older than `staleTtlMs` is a crashed owner's;
-    *    it is deleted and acquisition retried. TTL must exceed the longest
-    *    honest commit (the in-lock work is the cheap merge — copies and
-    *    scans happen OUTSIDE, so minutes of TTL is generous).
+    *    it is deleted and acquisition retried (two breakers race the
+    *    recreate — the atomic create picks one). TTL must exceed the
+    *    longest honest commit (the in-lock work is the cheap merge —
+    *    copies and scans happen OUTSIDE, so minutes of TTL is generous).
     *  - release deletes the lock only if it still carries OUR token (a
     *    stale-break may have legitimately stolen it mid-body).
     *
     * Store caveat, documented not hidden: S3-style object stores have no
-    * atomic rename-if-absent — there, point the ledger at a real
-    * filesystem (HDFS/NFS) or front commits with an external lock service;
-    * a timeout here throws loudly rather than proceeding unlocked.
+    * atomic create-no-overwrite either — there, point the ledger at a
+    * real filesystem (HDFS/NFS) or front commits with an external lock
+    * service; a timeout here throws loudly rather than proceeding
+    * unlocked.
     */
   private[graft] def withLedgerFileLock[A](
       spark: SparkSession, ledgerPath: String,
-      timeoutMs: Long = 60000, staleTtlMs: Long = 600000)(body: => A): A = {
+      // timeout deliberately EXCEEDS the stale TTL: a crashed owner's
+      // abandoned lock then resolves by waiting out the TTL and breaking
+      // (one slow commit) instead of failing every cycle for TTL minutes
+      // — for a sync engine, eventual progress beats fast failure. An
+      // honest contending hold is seconds (the in-lock work is the cheap
+      // merge), so the long timeout is only ever reached past a crash.
+      timeoutMs: Long = 660000, staleTtlMs: Long = 600000)(body: => A): A = {
     val lock = new org.apache.hadoop.fs.Path(ledgerPath + ".lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val token = java.util.UUID.randomUUID().toString
-    val staged = new org.apache.hadoop.fs.Path(s"$ledgerPath.lock.$token")
+    // local filesystems get the kernel's O_EXCL create; qualify through
+    // the FS so relative ledger paths resolve the same way Hadoop does
+    val localLock: Option[java.io.File] = {
+      val qualified = fs.makeQualified(lock).toUri
+      if (qualified.getScheme == "file")
+        Some(new java.io.File(qualified.getPath))
+      else None
+    }
+    def tryAcquire(): Boolean = localLock match {
+      case Some(f) =>
+        val created = try f.createNewFile()
+                      catch { case _: java.io.IOException => false }
+        if (created)
+          java.nio.file.Files.write(f.toPath, token.getBytes("UTF-8"))
+        created
+      case None =>
+        try {
+          val out = fs.create(lock, false) // atomic create-no-overwrite
+          try out.write(token.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+    }
+    def readToken(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          if (n > 0) Some(new String(buf, 0, n, "UTF-8")) else None
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
     val deadline = System.currentTimeMillis() + timeoutMs
     var acquired = false
     try {
-      val out = fs.create(staged, true)
-      try out.write(token.getBytes("UTF-8")) finally out.close()
       while (!acquired) {
-        acquired =
-          try fs.rename(staged, lock)
-          catch { case _: java.io.IOException => false }
+        acquired = tryAcquire()
         if (!acquired) {
           val held =
             try Some(fs.getFileStatus(lock))
             catch { case _: java.io.FileNotFoundException => None }
           held.foreach { s =>
             if (System.currentTimeMillis() - s.getModificationTime > staleTtlMs)
-              fs.delete(lock, false) // crashed owner; next rename wins
+              fs.delete(lock, false) // crashed owner; next create wins
           }
           if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
@@ -336,19 +379,8 @@ object SyncEngine {
     } finally {
       if (acquired) {
         // release only OUR lock: if a stale-break stole it, leave theirs
-        val owned =
-          try {
-            val in = fs.open(lock)
-            try {
-              val buf = new Array[Byte](64)
-              val n = in.read(buf)
-              n == token.length && new String(buf, 0, n, "UTF-8") == token
-            } finally in.close()
-          } catch { case _: java.io.IOException => false }
-        if (owned) fs.delete(lock, false)
+        if (readToken().contains(token)) fs.delete(lock, false)
       }
-      try fs.delete(staged, false)
-      catch { case _: java.io.IOException => () }
     }
   }
 

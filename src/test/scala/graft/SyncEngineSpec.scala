@@ -210,27 +210,31 @@ class SyncEngineSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft-ledger-steal")
     val path = s"$root/ledger"
     val lockP = java.nio.file.Paths.get(s"$path.lock")
-    // force session init NOW: if the lazy SparkSession builds inside the
-    // threads (several seconds under a cold JVM), both reach the lock at
-    // the same instant and B can win the FIRST acquire — inverting the
-    // roles this test's assertions assume (A would then stale-break the
-    // live B: by design for a TTL below the body duration, but not the
-    // scenario under test)
+    // force session init NOW, and gate B on A's ACQUISITION via a latch,
+    // not a sleep: under a cold/contended JVM (lazy SparkSession, first
+    // FS use, JIT) A's first acquire can take longer than any fixed
+    // sleep, letting B win the first acquire and invert the roles this
+    // test's assertions assume (A would then stale-break the live B: by
+    // design for a TTL below the body duration, but not the scenario
+    // under test)
     spark.sparkContext
+    val aHolds = new java.util.concurrent.CountDownLatch(1)
     val bHeld = new java.util.concurrent.CountDownLatch(1)
     val aDone = new java.util.concurrent.CountDownLatch(1)
     @volatile var bSawLockSurvive = false
     val a = new Thread(() => {
       SyncEngine.withLedgerFileLock(spark, path,
         timeoutMs = 10000, staleTtlMs = 300) {
+        aHolds.countDown()
         // hold long past our own TTL so B's stale-break fires
         bHeld.await(15, java.util.concurrent.TimeUnit.SECONDS): Unit
       }
       aDone.countDown()
     })
     val b = new Thread(() => {
-      // wait out A's TTL, then break + acquire
-      Thread.sleep(500)
+      // start only once A demonstrably holds; the acquire loop itself
+      // waits out A's TTL (retries every 50 ms until the break fires)
+      aHolds.await(15, java.util.concurrent.TimeUnit.SECONDS)
       SyncEngine.withLedgerFileLock(spark, path,
         timeoutMs = 10000, staleTtlMs = 300) {
         bHeld.countDown()
