@@ -861,8 +861,16 @@ object StreamingOps {
     // pin the log in block storage, then remove the scratch dirs — the
     // drain must not leak a delta log + checkpoint per invocation
     // (bench reps × queries would otherwise accumulate them for the
-    // machine's lifetime)
-    val out = spark.read.parquet(dataDir).localCheckpoint(eager = true)
+    // machine's lifetime). An EMPTY source fires no trigger at all, so
+    // the data dir may never have been created — that is a legitimate
+    // empty delta log (schema = aggregate schema + batch_id), not a
+    // read error.
+    val out =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dataDir)))
+        spark.read.parquet(dataDir).localCheckpoint(eager = true)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        df.schema.add("batch_id", org.apache.spark.sql.types.LongType))
     deleteRecursively(base.toFile)
     out
   }
