@@ -96,6 +96,28 @@ object OracleExt {
       FROM docs_tok ORDER BY doc_id""")
   }
 
+  /** Mirrors TextOps.qualityPercentileGate: per-language exact
+    * integer-rank threshold over the fixed-point quality-score histogram,
+    * all ties at the threshold kept.
+    */
+  def qualityPercentileGate(pct: Int): String = docQ(s"""
+    , scored AS (
+      SELECT lang, CAST(floor($qualityExpr * 1e6 + 0.5) AS BIGINT) AS q_fp
+      FROM docs_tok),
+    qhist AS (
+      SELECT lang, q_fp, count(*) AS cnt FROM scored GROUP BY lang, q_fp),
+    cells AS (
+      SELECT lang, q_fp, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY q_fp DESC) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS n
+      FROM qhist)
+    SELECT lang, CAST($pct AS BIGINT) AS pct, q_fp AS threshold_fp,
+           CAST(n AS BIGINT) AS n_docs, CAST(cum AS BIGINT) AS n_kept
+    FROM cells
+    WHERE cum - cnt < CAST(ceil(n * $pct / 100.0) AS BIGINT)
+      AND CAST(ceil(n * $pct / 100.0) AS BIGINT) <= cum
+    ORDER BY lang""")
+
   val tokenCountBpe: String = docQ("""
     SELECT doc_id,
            CAST(len(regexp_extract_all(lower(text),
@@ -1272,6 +1294,23 @@ object OracleExt {
              0.0)) + 0.5) AS BIGINT) AS std_fp,
            min_fp, max_fp
     FROM s ORDER BY dim"""
+
+  /** Mirrors VectorOps.gramUpperTriangle: exact fixed-point upper-triangle
+    * Gram matrix. The self-join form is the oracle's restatement only —
+    * Spark's declared plan folds constant-size per-partition accumulators
+    * instead of joining the exploded corpus. HUGEINT accumulation matches
+    * the Spark side's DECIMAL(38,0).
+    */
+  def embeddingGram(dim: Int): String = s"""
+    WITH $EmbCte,
+    comp AS (
+      SELECT vec_id, m AS dim,
+             CAST(floor(v[m + 1] * 1e6 + 0.5) AS BIGINT) AS x_fp
+      FROM (SELECT vec_id, v, unnest(range(0, $dim)) AS m FROM emb))
+    SELECT a.dim AS dim_i, b.dim AS dim_j,
+           sum(CAST(a.x_fp AS HUGEINT) * b.x_fp) AS sum_fp2
+    FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+    GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Mirrors VectorOps.normalizeL2: unit-sphere projection with the norm
     * before/after as the hashable witness.

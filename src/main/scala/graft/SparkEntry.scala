@@ -737,6 +737,14 @@ object SparkEntry {
       // shortest 10% by exact integer rank, per-source audit
       TextOps.lengthFloor(T.documents(s, d), pct = 10).orderBy("source")),
 
+    "quality_percentile_gate" -> ((s, d) =>
+      // CCNet-shaped per-language quality cut: keep each language's top
+      // 30% by composite quality score, threshold at the exact integer
+      // rank over the fixed-point score histogram (ties keep); one corpus
+      // pass, window over histogram cells only
+      TextOps.qualityPercentileGate(T.documents(s, d), pct = 30)
+        .orderBy("lang")),
+
     "dedup_cross_source" -> ((s, d) =>
       // mirror detection: near-dup candidate pairs counted by unordered
       // source pair — a heavy off-diagonal cell means one source re-hosts
@@ -766,6 +774,14 @@ object SparkEntry {
       // whitening / drift input: per-dimension mean/std/min/max in exact
       // fixed point — one corpus pass, 64 rows out regardless of n
       VectorOps.dimStats(T.embeddings(s, d)).orderBy("dim")),
+
+    "embedding_gram" -> ((s, d) =>
+      // the PCA/whitening factorization input dim_stats only diagonals:
+      // exact fixed-point upper-triangle Gram via constant-size
+      // per-partition accumulators — the shuffle carries partitions×2080
+      // partial rows, never the corpus
+      VectorOps.gramUpperTriangle(T.embeddings(s, d), dim = 64)
+        .orderBy("dim_i", "dim_j")),
 
     "embedding_quantize" -> ((s, d) =>
       VectorOps.quantizeInt8(T.embeddings(s, d)).orderBy("vec_id")),
@@ -2054,6 +2070,7 @@ object SparkEntry {
     "dup_span_fraction" -> OracleExt.dupSpanFraction,
     "rarity_score" -> OracleExt.rarityScore,
     "quality_length_floor" -> OracleExt.lengthFloor(10),
+    "quality_percentile_gate" -> OracleExt.qualityPercentileGate(30),
     "dedup_cross_source" -> OracleExt.crossSourceDupMatrix,
     "docs_stream_vocab" -> OracleExt.vocabTopTokens,
     "sample_token_budget" -> OracleExt.sampleTokenBudget(100000L),
@@ -2066,6 +2083,7 @@ object SparkEntry {
     "doc_chunking" -> OracleExt.docChunking,
     "embedding_quantize" -> OracleExt.embeddingQuantize,
     "embedding_dim_stats" -> OracleExt.embeddingDimStats(64),
+    "embedding_gram" -> OracleExt.embeddingGram(64),
     "embedding_normalize" -> OracleExt.embeddingNormalize,
     "dedup_exact" -> OracleExt.dedupExact,
     "dedup_near_minhash" -> OracleExt.dedupNearMinhash,

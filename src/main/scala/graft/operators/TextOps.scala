@@ -103,6 +103,66 @@ object TextOps {
               col("punct_ratio"), col("quality_score"))
   }
 
+  /** The [[qualityScore]] composite as one self-contained column — must
+    * mirror qualityScore's formula exactly (TextOpsSpec asserts the two
+    * agree value-for-value), so gates can score WITHOUT dropping the
+    * grouping columns qualityScore's projection discards.
+    */
+  private[graft] def qualityScoreExpr: Column = {
+    val toks = tokens(col("text"))
+    round(
+      least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.4 +
+        (markerHits(toks, Stopwords).cast("double") /
+          greatest(size(toks), lit(1)).cast("double")) * 0.3 +
+        (lit(1.0) - least(
+          size(regexp_extract_all(lower(col("text")),
+            lit("[^a-z0-9\\s]"), lit(0))).cast("double") /
+            greatest(length(col("text")), lit(1)).cast("double") * 10.0,
+          lit(1.0))) * 0.3, 6)
+  }
+
+  /** Per-language exact-percentile quality gate — the CCNet-shaped "keep
+    * the top `pct`% by quality WITHIN each language bucket" filter
+    * (per-bucket thresholds stop one high-resource language's score
+    * distribution from setting every other language's bar; a single
+    * global cut would do exactly that). Reference scope: the reference
+    * filters objects per-mapping with fixed predicates
+    * (internal/sync/sync.go:101-164); this is the corpus-quality analog
+    * with a data-derived per-group threshold.
+    *
+    * Threshold = the exact integer-rank cut over the fixed-point score
+    * HISTOGRAM: scores are floor(quality_score·10⁶ + 0.5) longs
+    * (quality_score is the round(·,6) double both engines already agree
+    * on bit-for-bit, so the fixed point is portable), cells rank score
+    * DESC, and the threshold cell is the one whose cumulative count first
+    * reaches r = ⌈n·pct/100⌉. All ties AT the threshold keep, so
+    * n_kept ≥ r — deterministic, documented, and exactly restatable in
+    * SQL (no approximate-percentile sketch, same discipline as
+    * [[lengthQuantiles]]).
+    *
+    * Scale shape: ONE corpus pass (per-row score → map-side-partial
+    * (lang, score_fp) histogram, ≤ 10⁶+1 cells per language since scores
+    * have 6 decimals in [0,1]); the window and the kept-count both run
+    * over CELLS, not docs — n_kept is the threshold cell's own cumulative
+    * count, so no second corpus scan exists to re-shuffle.
+    */
+  def qualityPercentileGate(docs: DataFrame, pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
+    val hist = docs
+      .withColumn("q_fp", floor(qualityScoreExpr * 1e6 + lit(0.5)).cast("long"))
+      .groupBy("lang", "q_fp").agg(count(lit(1)).as("cnt"))
+    val desc = Window.partitionBy("lang").orderBy(col("q_fp").desc)
+    val all = Window.partitionBy("lang")
+    hist
+      .withColumn("cum", sum(col("cnt")).over(desc))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .withColumn("r", expr(s"cast(ceil(n * $pct / 100.0) as bigint)"))
+      .filter(col("cum") - col("cnt") < col("r") && col("r") <= col("cum"))
+      .select(col("lang"), lit(pct.toLong).as("pct"),
+              col("q_fp").as("threshold_fp"), col("n").as("n_docs"),
+              col("cum").as("n_kept"))
+  }
+
   /** Corpus stats per language (token counts via exact integer sums). */
   def textStats(docs: DataFrame): DataFrame =
     docs

@@ -655,6 +655,78 @@ object VectorOps {
         col("min_fp"), col("max_fp"))
   }
 
+  /** Upper-triangle Gram (second-moment) matrix of the embedding corpus —
+    * the input a PCA / whitening step factorizes (the [[dimStats]]
+    * scaladoc's "whitening input", completed: dimStats gives the diagonal
+    * moments, this gives the cross terms). Components use the SAME
+    * per-value fixed point as dimStats (floor(x·10⁶ + 0.5) longs), so
+    * every cell is an exact integer in any accumulation order.
+    *
+    * Scale shape — the one operator where `mapPartitions` genuinely beats
+    * every declarative form: each partition folds its rows into a
+    * CONSTANT-SIZE dim·(dim+1)/2 accumulator (the classic treeAggregate
+    * Gram pattern), so the shuffle carries only `partitions × 2080`
+    * partial rows regardless of n. The SQL alternatives either self-join
+    * the exploded corpus (2080·n join rows through an exchange) or
+    * posexplode twice (4096·n) — both shuffle the corpus, this shuffles
+    * the SUMMARY. Overflow is engineered, not hoped: per-row products are
+    * ≤ 10¹², the Long accumulator flushes into BigInt every 2²⁰ rows
+    * (≤ 10¹⁸ per flush, 9× under 2⁶³), and partials cross the wire as
+    * DECIMAL(38,0) — same accumulator discipline as dimStats, mirrored by
+    * the oracle's HUGEINT.
+    */
+  def gramUpperTriangle(corpus: DataFrame, dim: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(dim >= 1 && dim <= 256, s"dim must be in [1,256], got $dim")
+    val spark = corpus.sparkSession
+    val cells = dim * (dim + 1) / 2
+    val flushEvery = 1 << 20
+    val partials = corpus.select(col("embedding")).rdd.mapPartitions { it =>
+      val acc = Array.fill(cells)(BigInt(0))
+      val cur = new Array[Long](cells)
+      val fp = new Array[Long](dim)
+      var rows = 0
+      def flush(): Unit = {
+        var t = 0
+        while (t < cells) { acc(t) += cur(t); cur(t) = 0L; t += 1 }
+        rows = 0
+      }
+      var any = false
+      while (it.hasNext) {
+        val e = it.next().getSeq[Float](0)
+        var i = 0
+        while (i < dim) {
+          fp(i) = math.floor(e(i).toDouble * 1e6 + 0.5).toLong; i += 1
+        }
+        var t = 0; i = 0
+        while (i < dim) {
+          var j = i
+          while (j < dim) { cur(t) += fp(i) * fp(j); j += 1; t += 1 }
+          i += 1
+        }
+        any = true; rows += 1
+        if (rows == flushEvery) flush()
+      }
+      flush()
+      if (!any) Iterator.empty
+      else {
+        var t = -1
+        (for (i <- 0 until dim; j <- i until dim) yield {
+          t += 1
+          Row(i.toLong, j.toLong, new java.math.BigDecimal(acc(t).bigInteger))
+        }).iterator
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("dim_i", LongType, nullable = false),
+      StructField("dim_j", LongType, nullable = false),
+      StructField("part", DecimalType(38, 0), nullable = false)))
+    spark.createDataFrame(partials, schema)
+      .groupBy("dim_i", "dim_j")
+      .agg(sum(col("part")).as("sum_fp2"))
+  }
+
   def normalizeL2(corpus: DataFrame): DataFrame = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
     val norm = l2_norm(col("embedding"))

@@ -152,6 +152,46 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.values.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("qualityScoreExpr mirrors qualityScore's composite exactly") {
+    val viaExpr = docs.select(col("doc_id"),
+      TextOps.qualityScoreExpr.as("q")).as[(Long, Double)].collect().toMap
+    val viaScore = TextOps.qualityScore(docs)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(viaExpr == viaScore) // bit-for-bit, not approx — the gate's
+                                // fixed point rides this equality
+  }
+
+  test("percentile gate keeps the exact-rank top pct per language, ties keep") {
+    // en: 4 docs with 3 distinct scores; de/es: singletons
+    val d = Seq(
+      (1L, "the of and to in is it on for a", "en", "s", 31L),
+      (2L, "the of and to in is it on for a", "en", "s", 31L), // tie with 1
+      (3L, "zz qq ww", "en", "s", 8L),
+      (4L, "the the the and and of of is a to in it on for", "en", "s", 47L),
+      (5L, "der und die ist das", "de", "s", 19L),
+      (6L, "el la que los es", "es", "s", 16L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val gate = TextOps.qualityPercentileGate(d, pct = 50)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // brute force: per lang, r = ceil(n*0.5); threshold = r-th best score;
+    // kept = all docs scoring >= threshold (ties keep)
+    val scored = d.withColumn("q_fp",
+        floor(TextOps.qualityScoreExpr * 1e6 + lit(0.5)).cast("long"))
+      .select("lang", "q_fp").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted.reverse }
+    scored.foreach { case (lang, desc) =>
+      val r = math.ceil(desc.length * 50 / 100.0).toLong.toInt
+      val thr = desc(r - 1)
+      val kept = desc.count(_ >= thr).toLong
+      assert(gate(lang) == ((thr, desc.length.toLong, kept)),
+        s"lang=$lang expected (thr=$thr, n=${desc.length}, kept=$kept), " +
+          s"got ${gate(lang)}")
+    }
+    // the en tie really exercises ties-keep: docs 1 and 2 share a score
+    assert(gate("en")._3 >= 2)
+  }
+
   test("repetition signals match a brute-force recount") {
     val rep = Seq(
       (1L, "spam spam spam spam spam and more spam", "en", "s", 38L),

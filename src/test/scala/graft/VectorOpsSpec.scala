@@ -44,6 +44,33 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gram upper triangle equals an in-memory exact recount") {
+    val rows = emb.select("embedding").as[Seq[Float]].collect()
+      .map(_.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray)
+    val got = VectorOps.gramUpperTriangle(emb, dim = 64)
+      .select(col("dim_i"), col("dim_j"),
+        col("sum_fp2").cast("string"))
+      .as[(Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> BigInt(r._3)).toMap
+    assert(got.size == 64 * 65 / 2)
+    for ((i, j) <- Seq((0, 0), (0, 63), (17, 17), (5, 41), (63, 63))) {
+      val want = rows.map(v => BigInt(v(i)) * BigInt(v(j))).sum
+      assert(got((i.toLong, j.toLong)) == want, s"cell ($i,$j)")
+    }
+  }
+
+  test("gram partial flush keeps partition accumulators exact across flushes") {
+    // tiny corpus, flush boundary forced by many partitions (each with few
+    // rows) — result must equal the single-partition run bit-for-bit
+    val one = VectorOps.gramUpperTriangle(emb.coalesce(1), dim = 64)
+      .select(col("dim_i"), col("dim_j"), col("sum_fp2").cast("string"))
+      .as[(Long, Long, String)].collect().toSet
+    val many = VectorOps.gramUpperTriangle(emb.repartition(13), dim = 64)
+      .select(col("dim_i"), col("dim_j"), col("sum_fp2").cast("string"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(one == many)
+  }
+
   test("int8 topk: quantized sims track exact sims and ranks are dense") {
     val r = VectorOps.topkCosineInt8(emb, k = 5)
       .select("query_id", "neighbor_id", "sim_q", "sim_exact", "rank")
