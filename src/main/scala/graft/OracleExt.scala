@@ -1303,10 +1303,16 @@ object OracleExt {
     */
   def embeddingGram(dim: Int): String = s"""
     WITH $EmbCte,
+    clean AS (
+      -- same malformed-row predicate as the Spark side: null / short /
+      -- null-component vectors are excluded WHOLE on both engines
+      SELECT vec_id, v FROM emb
+      WHERE v IS NOT NULL AND len(v) >= $dim
+        AND len(list_filter(v, x -> x IS NULL)) = 0),
     comp AS (
       SELECT vec_id, m AS dim,
              CAST(floor(v[m + 1] * 1e6 + 0.5) AS BIGINT) AS x_fp
-      FROM (SELECT vec_id, v, unnest(range(0, $dim)) AS m FROM emb))
+      FROM (SELECT vec_id, v, unnest(range(0, $dim)) AS m FROM clean))
     SELECT a.dim AS dim_i, b.dim AS dim_j,
            sum(CAST(a.x_fp AS HUGEINT) * b.x_fp) AS sum_fp2
     FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND b.dim >= a.dim

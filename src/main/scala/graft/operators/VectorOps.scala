@@ -682,7 +682,20 @@ object VectorOps {
     val spark = corpus.sparkSession
     val cells = dim * (dim + 1) / 2
     val flushEvery = 1 << 20
-    val partials = corpus.select(col("embedding")).rdd.mapPartitions { it =>
+    // malformed rows (null / shorter-than-dim vectors) are EXCLUDED, and
+    // the filter runs in the declarative layer so both engines apply the
+    // identical predicate (the oracle restates `len(v) >= dim`) — without
+    // it Spark would throw where DuckDB's out-of-range list index
+    // silently NULLs, a cross-engine divergence on dirty input
+    val clean = corpus
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= dim &&
+        !exists(col("embedding"), _.isNull))
+      .select(col("embedding"))
+    // toRdd = the UNBOXED read path: InternalRow.getArray.toFloatArray
+    // copies the unsafe buffer straight into a primitive array — the
+    // per-row fold is the 100 TB hot loop, and Row.getSeq would box every
+    // component of every vector on the way in
+    val partials = clean.queryExecution.toRdd.mapPartitions { it =>
       val acc = Array.fill(cells)(BigInt(0))
       val cur = new Array[Long](cells)
       val fp = new Array[Long](dim)
@@ -694,7 +707,7 @@ object VectorOps {
       }
       var any = false
       while (it.hasNext) {
-        val e = it.next().getSeq[Float](0)
+        val e = it.next().getArray(0).toFloatArray()
         var i = 0
         while (i < dim) {
           fp(i) = math.floor(e(i).toDouble * 1e6 + 0.5).toLong; i += 1

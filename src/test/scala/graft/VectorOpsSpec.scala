@@ -59,6 +59,32 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gram excludes malformed vectors whole, same predicate as the oracle") {
+    val good = emb.limit(10)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val badSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding",
+        ArrayType(FloatType, containsNull = true)),
+      StructField("label", IntegerType)))
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(900001L, null, 0),
+        Row(900002L, Seq(1.0f, 2.0f), 0), // shorter than dim
+        Row(900003L, (0 until 64).map(i =>
+          if (i == 7) null else java.lang.Float.valueOf(0.5f)), 0))),
+      badSchema)
+    val mixed = good.select("vec_id", "embedding", "label")
+      .unionByName(bad)
+    val fromMixed = VectorOps.gramUpperTriangle(mixed, dim = 64)
+      .select(col("dim_i"), col("dim_j"), col("sum_fp2").cast("string"))
+      .as[(Long, Long, String)].collect().toSet
+    val fromGood = VectorOps.gramUpperTriangle(good, dim = 64)
+      .select(col("dim_i"), col("dim_j"), col("sum_fp2").cast("string"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(fromMixed == fromGood)
+  }
+
   test("gram partial flush keeps partition accumulators exact across flushes") {
     // tiny corpus, flush boundary forced by many partitions (each with few
     // rows) — result must equal the single-partition run bit-for-bit
