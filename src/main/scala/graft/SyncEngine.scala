@@ -296,20 +296,40 @@ object SyncEngine {
     *  - the owner token is written right after creation; creation itself
     *    is the lock, so a reader that races the token write sees an
     *    empty/foreign token and treats the lock as not-ours — always the
-    *    safe direction.
-    *  - stale break: a lock older than `staleTtlMs` is a crashed owner's;
-    *    it is deleted and acquisition retried (two breakers race the
-    *    recreate — the atomic create picks one). TTL must exceed the
-    *    longest honest commit (the in-lock work is the cheap merge —
-    *    copies and scans happen OUTSIDE, so minutes of TTL is generous).
+    *    safe direction. If the token WRITE fails (disk full, quota), the
+    *    just-created file is deleted before reporting failure — an
+    *    ownerless lock must not outlive its failed acquisition.
+    *  - heartbeat: while held, a daemon thread refreshes the lock's mtime
+    *    every staleTtlMs/3, so an honest commit of ANY duration (the
+    *    in-lock merge is a Spark job — unbounded on a congested cluster)
+    *    never looks crashed. "Stale" therefore means the owner PROCESS is
+    *    gone, not merely slow. (The flip side, documented: a hung-but-
+    *    alive owner keeps beating and holds the lock — the same contract
+    *    as SQLite's process-lifetime file locks; waiters time out loudly.)
+    *  - stale break: a lock whose mtime is older than `staleTtlMs` is a
+    *    dead owner's. Deletion is NOT check-then-delete (a breaker could
+    *    otherwise delete the LIVE lock a faster breaker had just broken
+    *    and re-acquired): breakers serialize through `<ledger>.lock.break`
+    *    (same atomic create primitive) and re-verify staleness UNDER that
+    *    break lock before deleting. While the stale file exists, ordinary
+    *    acquirers' create-if-absent fails, so nothing can interleave
+    *    between the verified delete and the breaker's own re-acquire
+    *    attempt. A crashed BREAKER's orphaned break lock ages out on its
+    *    own short TTL (its critical section is a few syscalls).
     *  - release deletes the lock only if it still carries OUR token (a
-    *    stale-break may have legitimately stolen it mid-body).
+    *    stale-break may have legitimately stolen it mid-body); the token
+    *    read loops to EOF (a single short read must not misread ours as
+    *    foreign and leak the file until the TTL).
     *
     * Store caveat, documented not hidden: S3-style object stores have no
     * atomic create-no-overwrite either — there, point the ledger at a
     * real filesystem (HDFS/NFS) or front commits with an external lock
     * service; a timeout here throws loudly rather than proceeding
     * unlocked.
+    *
+    * `heartbeat = false` exists for specs: it simulates an owner whose
+    * process can no longer refresh (the crash the TTL is for) while the
+    * body still runs.
     */
   private[graft] def withLedgerFileLock[A](
       spark: SparkSession, ledgerPath: String,
@@ -319,53 +339,104 @@ object SyncEngine {
       // — for a sync engine, eventual progress beats fast failure. An
       // honest contending hold is seconds (the in-lock work is the cheap
       // merge), so the long timeout is only ever reached past a crash.
-      timeoutMs: Long = 660000, staleTtlMs: Long = 600000)(body: => A): A = {
+      timeoutMs: Long = 660000, staleTtlMs: Long = 600000,
+      heartbeat: Boolean = true)(body: => A): A = {
     val lock = new org.apache.hadoop.fs.Path(ledgerPath + ".lock")
+    val breakLock = new org.apache.hadoop.fs.Path(ledgerPath + ".lock.break")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val token = java.util.UUID.randomUUID().toString
+    val breakTtlMs = math.max(5000L, staleTtlMs / 10)
     // local filesystems get the kernel's O_EXCL create; qualify through
     // the FS so relative ledger paths resolve the same way Hadoop does
-    val localLock: Option[java.io.File] = {
-      val qualified = fs.makeQualified(lock).toUri
+    def localFile(p: org.apache.hadoop.fs.Path): Option[java.io.File] = {
+      val qualified = fs.makeQualified(p).toUri
       if (qualified.getScheme == "file")
         Some(new java.io.File(qualified.getPath))
       else None
     }
-    def tryAcquire(): Boolean = localLock match {
-      case Some(f) =>
-        val created = try f.createNewFile()
-                      catch { case _: java.io.IOException => false }
-        if (created)
-          java.nio.file.Files.write(f.toPath, token.getBytes("UTF-8"))
-        created
-      case None =>
-        try {
-          val out = fs.create(lock, false) // atomic create-no-overwrite
-          try out.write(token.getBytes("UTF-8")) finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
-    }
+    /** The one atomic create-no-overwrite primitive, content written after
+      * creation; on content-write failure the created file is removed so a
+      * failed acquisition cannot leak an ownerless lock.
+      */
+    def tryCreate(p: org.apache.hadoop.fs.Path, content: String): Boolean =
+      localFile(p) match {
+        case Some(f) =>
+          val created = try f.createNewFile()
+                        catch { case _: java.io.IOException => false }
+          if (created) {
+            try java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+            catch { case e: java.io.IOException => f.delete(); throw e }
+          }
+          created
+        case None =>
+          val out = try Some(fs.create(p, false)) // atomic create-no-overwrite
+                    catch { case _: java.io.IOException => None }
+          out match {
+            case None => false
+            case Some(o) =>
+              try { o.write(content.getBytes("UTF-8")); o.close(); true }
+              catch { case e: java.io.IOException =>
+                try o.close() catch { case _: java.io.IOException => () }
+                try fs.delete(p, false)
+                catch { case _: java.io.IOException => () }
+                throw e
+              }
+          }
+      }
     def readToken(): Option[String] =
       try {
         val in = fs.open(lock)
         try {
           val buf = new Array[Byte](64)
-          val n = in.read(buf)
+          var n = 0
+          var r = in.read(buf, n, buf.length - n)
+          while (r > 0 && n < buf.length) { n += r; r = in.read(buf, n, buf.length - n) }
           if (n > 0) Some(new String(buf, 0, n, "UTF-8")) else None
         } finally in.close()
       } catch { case _: java.io.IOException => None }
+    def status(p: org.apache.hadoop.fs.Path) =
+      try Some(fs.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    /** Delete a stale main lock — only while holding the break lock, and
+      * only after re-verifying (under it) that the observed stale file is
+      * still the one present and still stale. See scaladoc.
+      */
+    def breakStale(observed: org.apache.hadoop.fs.FileStatus): Unit = {
+      val gotBreak =
+        try tryCreate(breakLock, token)
+        catch { case _: java.io.IOException => false }
+      if (!gotBreak) {
+        // possibly a crashed breaker's orphan: syscall-short critical
+        // section, so a short TTL governs it
+        status(breakLock).foreach { b =>
+          if (System.currentTimeMillis() - b.getModificationTime > breakTtlMs)
+            try fs.delete(breakLock, false)
+            catch { case _: java.io.IOException => () }
+        }
+        return // retry on the next poll
+      }
+      try
+        status(lock).foreach { c =>
+          if (c.getModificationTime == observed.getModificationTime &&
+              System.currentTimeMillis() - c.getModificationTime > staleTtlMs)
+            fs.delete(lock, false) // verified dead owner; next create wins
+        }
+      finally {
+        try fs.delete(breakLock, false)
+        catch { case _: java.io.IOException => () }
+      }
+    }
     val deadline = System.currentTimeMillis() + timeoutMs
     var acquired = false
+    var beat: Option[Thread] = None
     try {
       while (!acquired) {
-        acquired = tryAcquire()
+        acquired = try tryCreate(lock, token)
+                   catch { case _: java.io.IOException => false }
         if (!acquired) {
-          val held =
-            try Some(fs.getFileStatus(lock))
-            catch { case _: java.io.FileNotFoundException => None }
-          held.foreach { s =>
+          status(lock).foreach { s =>
             if (System.currentTimeMillis() - s.getModificationTime > staleTtlMs)
-              fs.delete(lock, false) // crashed owner; next create wins
+              breakStale(s)
           }
           if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
@@ -375,11 +446,27 @@ object SyncEngine {
           Thread.sleep(50)
         }
       }
+      if (heartbeat) {
+        val t = new Thread(() => {
+          try {
+            while (!Thread.currentThread().isInterrupted) {
+              Thread.sleep(math.max(50L, staleTtlMs / 3))
+              try fs.setTimes(lock, System.currentTimeMillis(), -1)
+              catch { case _: java.io.IOException => () }
+            }
+          } catch { case _: InterruptedException => () }
+        }, s"graft-ledger-lock-heartbeat")
+        t.setDaemon(true); t.start()
+        beat = Some(t)
+      }
       body
     } finally {
+      beat.foreach { t => t.interrupt(); t.join(1000) }
       if (acquired) {
         // release only OUR lock: if a stale-break stole it, leave theirs
-        if (readToken().contains(token)) fs.delete(lock, false)
+        if (readToken().contains(token))
+          try fs.delete(lock, false)
+          catch { case _: java.io.IOException => () }
       }
     }
   }
@@ -412,6 +499,19 @@ object SyncEngine {
   def readLedger(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // another driver's commit swap (rename dst→old, rename tmp→dst) has a
+    // short dst-absent window; a reader landing inside it must WAIT it
+    // out, not conclude the ledger is empty (an empty read would re-sync
+    // the whole mapping). `.old`/`.tmp` present while dst is absent is
+    // that window's signature; bounded wait, then fall through to
+    // whatever state holds.
+    var waits = 0
+    while (!fs.exists(p) &&
+           (fs.exists(new org.apache.hadoop.fs.Path(path + ".old")) ||
+            fs.exists(new org.apache.hadoop.fs.Path(path + ".tmp"))) &&
+           waits < 50) {
+      Thread.sleep(100); waits += 1
+    }
     if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
       // read with the stored schema first: a pre-mapping (v1) ledger must
       // be migrated, not silently null-filled by a forced schema

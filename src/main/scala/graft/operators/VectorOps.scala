@@ -675,6 +675,12 @@ object VectorOps {
     * DECIMAL(38,0) — same accumulator discipline as dimStats, mirrored by
     * the oracle's HUGEINT.
     */
+  /** |x_fp| bound that keeps a full 2²⁰-row flush window under 2⁶³:
+    * (2.9·10⁶)² · 2²⁰ ≈ 8.8·10¹⁸ < 9.2·10¹⁸. Components beyond |x| = 2.9
+    * throw loudly instead of wrapping silently (see the in-loop check).
+    */
+  private[graft] val MaxGramComponentFp: Long = 2900000L
+
   def gramUpperTriangle(corpus: DataFrame, dim: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -710,7 +716,18 @@ object VectorOps {
         val e = it.next().getArray(0).toFloatArray()
         var i = 0
         while (i < dim) {
-          fp(i) = math.floor(e(i).toDouble * 1e6 + 0.5).toLong; i += 1
+          fp(i) = math.floor(e(i).toDouble * 1e6 + 0.5).toLong
+          // the flush-window bound is ENGINEERED for |x| ≲ 2.9 (2²⁰ rows ×
+          // (2.9e6)² < 2⁶³); a component beyond it must fail LOUDLY here —
+          // silent Long wrap would diverge from the oracle's HUGEINT with
+          // no error anywhere (embeddings are unit-norm-ish in practice;
+          // hitting this means the corpus wasn't normalized)
+          if (math.abs(fp(i)) > MaxGramComponentFp)
+            throw new IllegalArgumentException(
+              s"gramUpperTriangle: |component| ${e(i)} exceeds the " +
+                s"fixed-point accumulator bound (|x| <= ${MaxGramComponentFp / 1e6}); " +
+                "normalize the embedding corpus first")
+          i += 1
         }
         var t = 0; i = 0
         while (i < dim) {

@@ -254,17 +254,23 @@ object StreamingOps {
     * aggregation — state is one row per event type. Shares the batch
     * oracle.
     */
-  def jsonPropsAggStream(spark: SparkSession, dir: String): DataFrame = {
+  def jsonPropsAggStream(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, jsonPropsAgg(eventsStream(spark, dir)),
+      OutputMode.Complete())
+
+  /** Per-type JSON rollup aggregate — one definition for the complete-mode
+    * monitor and its Update-mode twin (the pair must never drift).
+    */
+  private def jsonPropsAgg(src: DataFrame): DataFrame = {
     val propsSchema = org.apache.spark.sql.types.StructType(
       Seq(org.apache.spark.sql.types.StructField(
         "k", org.apache.spark.sql.types.LongType)))
-    val agg = eventsStream(spark, dir)
+    src
       .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
            sum(col("k")).as("sum_k"),
            max(col("k")).as("max_k"))
-    runToTable(spark, agg, OutputMode.Complete())
   }
 
   /** Streaming hot-key X-ray: per-key counts maintained live (complete
@@ -273,11 +279,19 @@ object StreamingOps {
     * batch oracle.
     */
   def keySkewStream(spark: SparkSession, dir: String, keyCol: String,
-                    topK: Int, nFiles: Int = 4): DataFrame = {
-    val agg = eventsStreamSplit(spark, dir, nFiles)
-      .groupBy(col(keyCol).as("key"))
+                    topK: Int, nFiles: Int = 4): DataFrame =
+    keySkewTop(runToTable(spark,
+      keySkewAgg(eventsStreamSplit(spark, dir, nFiles), keyCol),
+      OutputMode.Complete()), topK)
+
+  /** Per-key count aggregate + post-drain total/ppm/top-K projection —
+    * shared by the complete-mode monitor and its Update-mode twin.
+    */
+  private def keySkewAgg(src: DataFrame, keyCol: String): DataFrame =
+    src.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n_events"))
-    val drained = runToTable(spark, agg, OutputMode.Complete())
+
+  private def keySkewTop(drained: DataFrame, topK: Int): DataFrame = {
     val tot = drained.agg(sum(col("n_events")).as("t"))
     drained.crossJoin(broadcast(tot))
       .withColumn("share_ppm", expr("n_events * 1000000 div t"))
@@ -723,12 +737,23 @@ object StreamingOps {
   def lengthQuantilesStream(spark: SparkSession, dir: String,
                             pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     require(pcts.nonEmpty, "lengthQuantilesStream: pcts must be non-empty")
+    lengthQuantilesFrom(runToTable(spark,
+      lengthHistAgg(docsStream(spark, dir)), OutputMode.Complete()), pcts)
+  }
+
+  /** (source, token-length) histogram aggregate + post-drain exact
+    * integer-rank quantile pick — shared by the complete-mode monitor and
+    * its Update-mode twin.
+    */
+  private def lengthHistAgg(src: DataFrame): DataFrame = {
     import graft.operators.TextOps.tokens
-    val agg = docsStream(spark, dir)
-      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+    src.withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
       .groupBy("source", "n_tokens")
       .agg(count(lit(1)).as("cnt"))
-    val drained = runToTable(spark, agg, OutputMode.Complete())
+  }
+
+  private def lengthQuantilesFrom(drained: DataFrame,
+                                  pcts: Seq[Int]): DataFrame = {
     val w = Window.partitionBy("source").orderBy("n_tokens")
     val cum = drained
       .withColumn("cum", sum(col("cnt")).over(w))
@@ -753,13 +778,22 @@ object StreamingOps {
     * corpus. Result equals the batch [[graft.operators.CorpusOps
     * .mixReport]], so the same oracle verifies it.
     */
-  def mixReportStream(spark: SparkSession, dir: String): DataFrame = {
+  def mixReportStream(spark: SparkSession, dir: String): DataFrame =
+    mixReportShares(runToTable(spark,
+      mixReportAgg(docsStream(spark, dir)), OutputMode.Complete()))
+
+  /** (lang, source) composition aggregate + post-drain ppm-share
+    * projection — shared by the complete-mode monitor and its Update-mode
+    * twin.
+    */
+  private def mixReportAgg(src: DataFrame): DataFrame = {
     import graft.operators.TextOps.tokens
-    val agg = docsStream(spark, dir)
-      .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+    src.withColumn("n_toks", size(tokens(col("text"))).cast("long"))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
-    val drained = runToTable(spark, agg, OutputMode.Complete())
+  }
+
+  private def mixReportShares(drained: DataFrame): DataFrame = {
     val tot = drained.agg(sum(col("n_docs")).as("t_docs"),
                           sum(col("n_tokens")).as("t_tokens"))
     drained.crossJoin(broadcast(tot))
@@ -778,16 +812,23 @@ object StreamingOps {
     * TextOps.vocabulary — same oracle.
     */
   def vocabularyStream(spark: SparkSession, dir: String,
-                       topN: Int): DataFrame = {
+                       topN: Int): DataFrame =
+    vocabTopN(runToTable(spark, vocabAgg(docsStream(spark, dir)),
+      OutputMode.Complete()), topN)
+
+  /** Per-token count aggregate + deterministic top-N — shared by the
+    * complete-mode monitor, the Zipf-fit monitor, and the Update-mode
+    * twin.
+    */
+  private def vocabAgg(src: DataFrame): DataFrame = {
     import graft.operators.TextOps.tokens
-    val agg = docsStream(spark, dir)
-      .select(explode(tokens(col("text"))).as("token"))
+    src.select(explode(tokens(col("text"))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
-    runToTable(spark, agg, OutputMode.Complete())
-      .orderBy(col("freq").desc, col("token"))
-      .limit(topN)
   }
+
+  private def vocabTopN(drained: DataFrame, topN: Int): DataFrame =
+    drained.orderBy(col("freq").desc, col("token")).limit(topN)
 
   /** Streaming Zipf health fit: the same vocabulary-bounded complete-mode
     * token-count state as [[vocabularyStream]], with the batch operator's
@@ -798,13 +839,9 @@ object StreamingOps {
     */
   def zipfSlopeStream(spark: SparkSession, dir: String,
                       topN: Int): DataFrame = {
-    import graft.operators.TextOps.tokens
-    val agg = docsStream(spark, dir)
-      .select(explode(tokens(col("text"))).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("freq"))
     graft.operators.TextOps.zipfFitFromVocab(
-      runToTable(spark, agg, OutputMode.Complete()), topN)
+      runToTable(spark, vocabAgg(docsStream(spark, dir)),
+        OutputMode.Complete()), topN)
   }
 
   // ---- Update-mode deployment variants ---------------------------------
@@ -901,41 +938,22 @@ object StreamingOps {
     * post-drain as in the complete form. Same result, same batch oracle.
     */
   def mixReportStreamUpdate(spark: SparkSession, dir: String,
-                            nFiles: Int = 4): DataFrame = {
-    import graft.operators.TextOps.tokens
-    val agg = docsStreamSplit(spark, dir, nFiles)
-      .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
-      .groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
-    val drained = latestPerKey(
-      runUpdatesToDeltaLog(spark, agg), Seq("lang", "source"))
-    val tot = drained.agg(sum(col("n_docs")).as("t_docs"),
-                          sum(col("n_tokens")).as("t_tokens"))
-    drained.crossJoin(broadcast(tot))
-      .withColumn("doc_share_ppm", expr("n_docs * 1000000 div t_docs"))
-      .withColumn("token_share_ppm",
-        expr("n_tokens * 1000000 div t_tokens"))
-      .select("lang", "source", "n_docs", "n_tokens",
-              "doc_share_ppm", "token_share_ppm")
-  }
+                            nFiles: Int = 4): DataFrame =
+    mixReportShares(latestPerKey(
+      runUpdatesToDeltaLog(spark,
+        mixReportAgg(docsStreamSplit(spark, dir, nFiles))),
+      Seq("lang", "source")))
 
   /** Update-mode twin of [[keySkewStream]]: per-key counts, delta sink —
     * only keys that received events in a trigger reach the sink. Same
     * post-drain total/ppm/top-K projection, same batch oracle.
     */
   def keySkewStreamUpdate(spark: SparkSession, dir: String, keyCol: String,
-                          topK: Int, nFiles: Int = 4): DataFrame = {
-    val agg = eventsStreamSplit(spark, dir, nFiles)
-      .groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("n_events"))
-    val drained = latestPerKey(runUpdatesToDeltaLog(spark, agg), Seq("key"))
-    val tot = drained.agg(sum(col("n_events")).as("t"))
-    drained.crossJoin(broadcast(tot))
-      .withColumn("share_ppm", expr("n_events * 1000000 div t"))
-      .orderBy(col("n_events").desc, col("key"))
-      .limit(topK)
-      .select("key", "n_events", "share_ppm")
-  }
+                          topK: Int, nFiles: Int = 4): DataFrame =
+    keySkewTop(latestPerKey(
+      runUpdatesToDeltaLog(spark,
+        keySkewAgg(eventsStreamSplit(spark, dir, nFiles), keyCol)),
+      Seq("key")), topK)
 
   /** Update-mode twin of [[vocabularyStream]]: per-token counts, delta
     * sink — a trigger emits only the tokens its documents contained, not
@@ -943,34 +961,21 @@ object StreamingOps {
     * reduction; same batch oracle.
     */
   def vocabularyStreamUpdate(spark: SparkSession, dir: String,
-                             topN: Int, nFiles: Int = 4): DataFrame = {
-    import graft.operators.TextOps.tokens
-    val agg = docsStreamSplit(spark, dir, nFiles)
-      .select(explode(tokens(col("text"))).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("freq"))
-    latestPerKey(runUpdatesToDeltaLog(spark, agg), Seq("token"))
-      .orderBy(col("freq").desc, col("token"))
-      .limit(topN)
-  }
+                             topN: Int, nFiles: Int = 4): DataFrame =
+    vocabTopN(latestPerKey(
+      runUpdatesToDeltaLog(spark,
+        vocabAgg(docsStreamSplit(spark, dir, nFiles))),
+      Seq("token")), topN)
 
   /** Update-mode twin of [[jsonPropsAggStream]]: per-type JSON rollup,
     * delta sink — a trigger emits only the event types it carried. Same
     * batch oracle.
     */
   def jsonPropsAggStreamUpdate(spark: SparkSession, dir: String,
-                               nFiles: Int = 4): DataFrame = {
-    val propsSchema = org.apache.spark.sql.types.StructType(
-      Seq(org.apache.spark.sql.types.StructField(
-        "k", org.apache.spark.sql.types.LongType)))
-    val agg = eventsStreamSplit(spark, dir, nFiles)
-      .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-           sum(col("k")).as("sum_k"),
-           max(col("k")).as("max_k"))
-    latestPerKey(runUpdatesToDeltaLog(spark, agg), Seq("event_type"))
-  }
+                               nFiles: Int = 4): DataFrame =
+    latestPerKey(runUpdatesToDeltaLog(spark,
+      jsonPropsAgg(eventsStreamSplit(spark, dir, nFiles))),
+      Seq("event_type"))
 
   /** Update-mode twin of [[lengthQuantilesStream]]: the per-(source,
     * token-length) histogram cells flow as deltas; the exact integer-rank
@@ -981,26 +986,10 @@ object StreamingOps {
                                   pcts: Seq[Int] = Seq(50, 90, 99),
                                   nFiles: Int = 4): DataFrame = {
     require(pcts.nonEmpty, "lengthQuantilesStreamUpdate: pcts must be non-empty")
-    import graft.operators.TextOps.tokens
-    val agg = docsStreamSplit(spark, dir, nFiles)
-      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
-      .groupBy("source", "n_tokens")
-      .agg(count(lit(1)).as("cnt"))
-    val drained = latestPerKey(runUpdatesToDeltaLog(spark, agg),
-      Seq("source", "n_tokens"))
-    val w = Window.partitionBy("source").orderBy("n_tokens")
-    val cum = drained
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("prev", col("cum") - col("cnt"))
-    val totals = drained.groupBy("source").agg(sum(col("cnt")).as("n"))
-    val ranked = cum.join(broadcast(totals), Seq("source"))
-    pcts.map { p =>
-      ranked
-        .withColumn("r", expr(s"cast(ceil(n * $p / 100.0) as bigint)"))
-        .filter(col("prev") < col("r") && col("r") <= col("cum"))
-        .select(col("source"), lit(p.toLong).as("pct"),
-                col("n_tokens").as("token_len"))
-    }.reduce(_ union _)
+    lengthQuantilesFrom(latestPerKey(
+      runUpdatesToDeltaLog(spark,
+        lengthHistAgg(docsStreamSplit(spark, dir, nFiles))),
+      Seq("source", "n_tokens")), pcts)
   }
 
   /** Update-mode twin of [[dedupWindowStream]] — the TIME-BUCKETED-key
@@ -1020,11 +1009,22 @@ object StreamingOps {
     val bucketUs = windowMinutes * 60L * 1000000L
     val agg = eventsStreamSplit(spark, dir, nFiles)
       .withWatermark("ts", "3650 days")
-      .withColumn("bucket", expr(
-        s"(unix_micros(ts) - pmod(unix_micros(ts), ${bucketUs}L)) " +
-          s"div ${bucketUs}L"))
-      .groupBy("user_id", "event_type", "bucket")
+      // the time key MUST be window(ts): eviction exists only when a
+      // grouping expression carries the event-time watermark METADATA —
+      // a bucket id derived via unix_micros(ts) is a plain long, the
+      // planner installs no eviction predicate, and the "state drains"
+      // contract silently becomes "state grows forever" (caught in the
+      // r12 self-review). window() with the default epoch-aligned start
+      // is the same partition of time the integer bucket id described.
+      .groupBy(col("user_id"), col("event_type"),
+        window(col("ts"), s"$windowMinutes minutes"))
       .agg(count(lit(1)).as("n"))
+      // post-agg projection back to the integer bucket id the delta log,
+      // oracle, and latestPerKey key on (exact: window.start is
+      // epoch-aligned, so start µs div bucketUs is the id)
+      .select(col("user_id"), col("event_type"),
+        expr(s"unix_micros(window.start) div ${bucketUs}L").as("bucket"),
+        col("n"))
     latestPerKey(runUpdatesToDeltaLog(spark, agg),
       Seq("user_id", "event_type", "bucket"))
       .groupBy("event_type")

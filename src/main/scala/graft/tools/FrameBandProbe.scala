@@ -30,9 +30,11 @@ object FrameBandProbe {
         explode(array(VectorOps.bandKeyCols(col("embedding"), 8,
           bands, rowsPerBand): _*)).as("band"))
       .groupBy("band").agg(count(lit(1)).as("m"))
+    // coalesce: zero band rows (empty / all-malformed corpus) aggregate
+    // to NULL, and the probe should report 0 pairs, not NPE mid-sweep
     val row = perBand.agg(
-      sum(expr("m * (m - 1) div 2")).as("pairs"),
-      max(col("m")).as("densest")).head()
+      coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("pairs"),
+      coalesce(max(col("m")), lit(0L)).as("densest")).head()
     (row.getLong(0), row.getLong(1))
   }
 

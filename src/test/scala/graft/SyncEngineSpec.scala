@@ -223,8 +223,10 @@ class SyncEngineSpec extends AnyFunSuite {
     val aDone = new java.util.concurrent.CountDownLatch(1)
     @volatile var bSawLockSurvive = false
     val a = new Thread(() => {
+      // heartbeat OFF: simulates a crashed owner (a live one refreshes
+      // mtime every TTL/3 and can never be broken — asserted separately)
       SyncEngine.withLedgerFileLock(spark, path,
-        timeoutMs = 10000, staleTtlMs = 300) {
+        timeoutMs = 10000, staleTtlMs = 300, heartbeat = false) {
         aHolds.countDown()
         // hold long past our own TTL so B's stale-break fires
         bHeld.await(15, java.util.concurrent.TimeUnit.SECONDS): Unit
@@ -248,8 +250,41 @@ class SyncEngineSpec extends AnyFunSuite {
     assert(!a.isAlive && !b.isAlive)
     assert(bSawLockSurvive,
       "A's release deleted B's lock after B stale-broke A")
-    // B's own release cleans up
+    // B's own release cleans up — and the breaker's break-lock too
     assert(!Files.exists(lockP))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$path.lock.break")))
+  }
+
+  test("ledger file lock: heartbeat keeps an honest long hold unbreakable") {
+    // an owner whose commit outlives the TTL is SLOW, not dead: the
+    // mtime heartbeat (TTL/3) must keep its lock fresh so a contender
+    // times out loudly instead of breaking a live lock mid-write
+    val root = Files.createTempDirectory("graft-ledger-beat")
+    val path = s"$root/ledger"
+    spark.sparkContext
+    val aHolds = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val a = new Thread(() => {
+      SyncEngine.withLedgerFileLock(spark, path,
+        timeoutMs = 10000, staleTtlMs = 300) {
+        aHolds.countDown()
+        release.await(15, java.util.concurrent.TimeUnit.SECONDS): Unit
+      }
+    })
+    a.start()
+    aHolds.await(15, java.util.concurrent.TimeUnit.SECONDS)
+    // wait well past the TTL, then contend with a timeout ABOVE the TTL:
+    // without the heartbeat this break would succeed (the steal test's
+    // heartbeat=false path); with it, the contender must time out
+    Thread.sleep(900)
+    val e = intercept[IllegalStateException] {
+      SyncEngine.withLedgerFileLock(spark, path,
+        timeoutMs = 700, staleTtlMs = 300) { () }
+    }
+    assert(e.getMessage.contains("lock timeout"))
+    release.countDown(); a.join(20000)
+    assert(!a.isAlive)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$path.lock")))
   }
 
   test("missing source bucket yields empty catalog, not error") {
