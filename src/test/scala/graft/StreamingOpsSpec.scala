@@ -174,6 +174,44 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == all -- lost)
   }
 
+  test("window(ts) key evicts aggregation state; a derived bucket key does not") {
+    // the r12 self-review finding behind dedupWindowStreamUpdate's fix:
+    // eviction exists only when a grouping expression carries event-time
+    // watermark METADATA. Prove it at runtime on both shapes — the
+    // window(ts) form removes state rows once the watermark passes, the
+    // unix_micros-derived long form never removes any.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def evictedRows(timeKey: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column): Long = {
+      val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+      val src = mem.toDF().toDF("ts", "user_id", "event_type")
+        .withWatermark("ts", "1 minute")
+      val agg = src.groupBy(col("user_id"), col("event_type"), timeKey(src))
+        .agg(count(lit(1)).as("n"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-evict-")
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .format("noop").start()
+      try {
+        def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+        mem.addData((ts(1), 1L, "a")); q.processAllAvailable()
+        mem.addData((ts(2), 1L, "a")); q.processAllAvailable() // watermark → 01:59
+        mem.addData((ts(3), 1L, "a")); q.processAllAvailable() // hour-1 state evictable
+        mem.addData((ts(4), 1L, "a")); q.processAllAvailable()
+        q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      } finally q.stop()
+    }
+    val windowed = evictedRows(_ => window(col("ts"), "5 minutes"))
+    val derived = evictedRows(_ =>
+      expr("unix_micros(ts) div 300000000").as("bucket"))
+    assert(windowed > 0,
+      s"window(ts) grouping must evict watermark-expired state (got $windowed)")
+    assert(derived == 0,
+      s"derived-long grouping must show the defect: no eviction (got $derived)")
+  }
+
   test("streaming decontamination with a binding bench cap matches its oracle shape") {
     // bench-capped stream = uncapped stream minus the contribution of
     // shingles shared by > cap benchmark docs; recompute that expectation
