@@ -307,15 +307,29 @@ object SyncEngine {
     *    alive owner keeps beating and holds the lock — the same contract
     *    as SQLite's process-lifetime file locks; waiters time out loudly.)
     *  - stale break: a lock whose mtime is older than `staleTtlMs` is a
-    *    dead owner's. Deletion is NOT check-then-delete (a breaker could
-    *    otherwise delete the LIVE lock a faster breaker had just broken
-    *    and re-acquired): breakers serialize through `<ledger>.lock.break`
-    *    (same atomic create primitive) and re-verify staleness UNDER that
-    *    break lock before deleting. While the stale file exists, ordinary
-    *    acquirers' create-if-absent fails, so nothing can interleave
-    *    between the verified delete and the breaker's own re-acquire
-    *    attempt. A crashed BREAKER's orphaned break lock ages out on its
-    *    own short TTL (its critical section is a few syscalls).
+    *    dead owner's. Deletion is NOT bare check-then-delete (a breaker
+    *    could otherwise delete the LIVE lock a faster breaker had just
+    *    broken and re-acquired): breakers serialize through
+    *    `<ledger>.lock.break` (same atomic create primitive, token
+    *    content, token-checked release) and re-verify UNDER it that the
+    *    lock file is STILL the observed one (same mtime) and still
+    *    stale before deleting. While the stale file exists, ordinary
+    *    acquirers' create-if-absent fails; after the verified delete any
+    *    acquirer — the breaker or a bystander — may win the next create,
+    *    which is fine (the breaker then just keeps polling). A crashed
+    *    BREAKER's orphaned break file ages out on its own short TTL via a
+    *    double-observed delete. Honest residual, stated precisely: the
+    *    orphan cleanup is not itself atomic (no meta-lock turtle stack),
+    *    so a breaker stalled past `breakTtlMs` (≥ 5 s inside a
+    *    few-syscall section) can lose its break file to a peer, two
+    *    verify-and-delete sections can then overlap, and the slower one
+    *    could delete a lock re-created in its stat-to-delete microsecond
+    *    window. Closing that last window needs an atomic compare-and-
+    *    delete no Hadoop filesystem offers — it is exactly where the
+    *    documented "front commits with an external lock service"
+    *    escalation applies; short of it, the stack of preconditions
+    *    (dead owner + stalled breaker + orphan-broken break file +
+    *    µs-window create) is the accepted residual.
     *  - release deletes the lock only if it still carries OUR token (a
     *    stale-break may have legitimately stolen it mid-body); the token
     *    read loops to EOF (a single short read must not misread ours as
@@ -383,9 +397,9 @@ object SyncEngine {
               }
           }
       }
-    def readToken(): Option[String] =
+    def readTokenOf(p: org.apache.hadoop.fs.Path): Option[String] =
       try {
-        val in = fs.open(lock)
+        val in = fs.open(p)
         try {
           val buf = new Array[Byte](64)
           var n = 0
@@ -407,11 +421,20 @@ object SyncEngine {
         catch { case _: java.io.IOException => false }
       if (!gotBreak) {
         // possibly a crashed breaker's orphan: syscall-short critical
-        // section, so a short TTL governs it
+        // section, so a short TTL governs it. Double-observe before the
+        // delete (same mtime, still beyond TTL) so a FRESH break file
+        // created between our stat and delete is very unlikely to be the
+        // one removed; the residual race is documented in the scaladoc —
+        // main-lock safety never rests on it (the verified delete below
+        // re-checks under whatever serialization held).
         status(breakLock).foreach { b =>
           if (System.currentTimeMillis() - b.getModificationTime > breakTtlMs)
-            try fs.delete(breakLock, false)
-            catch { case _: java.io.IOException => () }
+            status(breakLock).foreach { b2 =>
+              if (b2.getModificationTime == b.getModificationTime &&
+                  System.currentTimeMillis() - b2.getModificationTime > breakTtlMs)
+                try fs.delete(breakLock, false)
+                catch { case _: java.io.IOException => () }
+            }
         }
         return // retry on the next poll
       }
@@ -419,11 +442,15 @@ object SyncEngine {
         status(lock).foreach { c =>
           if (c.getModificationTime == observed.getModificationTime &&
               System.currentTimeMillis() - c.getModificationTime > staleTtlMs)
-            fs.delete(lock, false) // verified dead owner; next create wins
+            try fs.delete(lock, false) // verified dead owner; next create wins
+            catch { case _: java.io.IOException => () } // transient: retry next poll
         }
       finally {
-        try fs.delete(breakLock, false)
-        catch { case _: java.io.IOException => () }
+        // release only OUR break file: a concurrent orphan-break may have
+        // legitimately replaced it while we stalled
+        if (readTokenOf(breakLock).contains(token))
+          try fs.delete(breakLock, false)
+          catch { case _: java.io.IOException => () }
       }
     }
     val deadline = System.currentTimeMillis() + timeoutMs
@@ -464,7 +491,7 @@ object SyncEngine {
       beat.foreach { t => t.interrupt(); t.join(1000) }
       if (acquired) {
         // release only OUR lock: if a stale-break stole it, leave theirs
-        if (readToken().contains(token))
+        if (readTokenOf(lock).contains(token))
           try fs.delete(lock, false)
           catch { case _: java.io.IOException => () }
       }
@@ -503,14 +530,31 @@ object SyncEngine {
     // short dst-absent window; a reader landing inside it must WAIT it
     // out, not conclude the ledger is empty (an empty read would re-sync
     // the whole mapping). `.old`/`.tmp` present while dst is absent is
-    // that window's signature; bounded wait, then fall through to
-    // whatever state holds.
+    // that window's signature; bounded wait.
+    val oldP = new org.apache.hadoop.fs.Path(path + ".old")
+    val tmpP = new org.apache.hadoop.fs.Path(path + ".tmp")
     var waits = 0
-    while (!fs.exists(p) &&
-           (fs.exists(new org.apache.hadoop.fs.Path(path + ".old")) ||
-            fs.exists(new org.apache.hadoop.fs.Path(path + ".tmp"))) &&
+    while (!fs.exists(p) && (fs.exists(oldP) || fs.exists(tmpP)) &&
            waits < 50) {
       Thread.sleep(100); waits += 1
+    }
+    // signature STILL present after 5 s ⇒ the committer is dead (the swap
+    // is two renames — milliseconds when alive), and falling through to
+    // an empty read would be DATA LOSS one step later: the next commit
+    // would merge against empty and its own swap deletes `.old`, the only
+    // surviving copy. RECOVER instead: roll the crashed commit FORWARD if
+    // its tmp completed (tmp is fully written before the first rename —
+    // `_SUCCESS` is the witness), else roll BACK to `.old`. A rename that
+    // loses a (vanishingly rare) race with a resurrected committer just
+    // returns false — dst then holds that committer's result, also fine.
+    if (!fs.exists(p)) {
+      try {
+        if (fs.exists(tmpP) &&
+            fs.exists(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS")))
+          fs.rename(tmpP, p)
+        else if (fs.exists(oldP))
+          fs.rename(oldP, p)
+      } catch { case _: java.io.IOException => () }
     }
     if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
       // read with the stored schema first: a pre-mapping (v1) ledger must
@@ -535,8 +579,19 @@ object SyncEngine {
     val dst = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(dst)) fs.rename(dst, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // rename results are CHECKED: a silent false here would leave the
+    // swap half-done with no error anywhere (Hadoop rename reports
+    // failure by return value, not exception). A false can also mean an
+    // unlocked reader's crash-recovery (readLedger) rolled our tmp
+    // forward during a long pause — dst then already holds this commit,
+    // which the second check tolerates.
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new IllegalStateException(
+        s"ledger swap: rename $dst -> $old failed")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst) &&
+        !fs.exists(dst))
+      throw new IllegalStateException(
+        s"ledger swap: rename $tmp -> $dst failed")
     if (fs.exists(old)) fs.delete(old, true)
   }
 }

@@ -716,13 +716,22 @@ object VectorOps {
         val e = it.next().getArray(0).toFloatArray()
         var i = 0
         while (i < dim) {
+          // non-finite first: floor(NaN·1e6).toLong is silently 0 and ±Inf
+          // SATURATES to Long.Min/MaxValue (where math.abs(MinValue) is
+          // still negative and would slip an abs-based bound) — both must
+          // fail loudly, since the DuckDB oracle's CAST errors where Spark
+          // would silently diverge
+          if (!java.lang.Float.isFinite(e(i)))
+            throw new IllegalArgumentException(
+              s"gramUpperTriangle: non-finite component ${e(i)} at dim $i")
           fp(i) = math.floor(e(i).toDouble * 1e6 + 0.5).toLong
           // the flush-window bound is ENGINEERED for |x| ≲ 2.9 (2²⁰ rows ×
           // (2.9e6)² < 2⁶³); a component beyond it must fail LOUDLY here —
           // silent Long wrap would diverge from the oracle's HUGEINT with
           // no error anywhere (embeddings are unit-norm-ish in practice;
-          // hitting this means the corpus wasn't normalized)
-          if (math.abs(fp(i)) > MaxGramComponentFp)
+          // hitting this means the corpus wasn't normalized). Two-sided
+          // compare, NOT math.abs: abs(Long.MinValue) is negative
+          if (fp(i) > MaxGramComponentFp || fp(i) < -MaxGramComponentFp)
             throw new IllegalArgumentException(
               s"gramUpperTriangle: |component| ${e(i)} exceeds the " +
                 s"fixed-point accumulator bound (|x| <= ${MaxGramComponentFp / 1e6}); " +

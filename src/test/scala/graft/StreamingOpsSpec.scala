@@ -191,6 +191,10 @@ class StreamingOpsSpec extends AnyFunSuite {
       val agg = src.groupBy(col("user_id"), col("event_type"), timeKey(src))
         .agg(count(lit(1)).as("n"))
       val ckpt = java.nio.file.Files.createTempDirectory("graft-evict-")
+      def deleteRec(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRec)
+        f.delete(): Unit
+      }
       val q = agg.writeStream.outputMode("update")
         .option("checkpointLocation", ckpt.toString)
         .format("noop").start()
@@ -201,7 +205,10 @@ class StreamingOpsSpec extends AnyFunSuite {
         mem.addData((ts(3), 1L, "a")); q.processAllAvailable() // hour-1 state evictable
         mem.addData((ts(4), 1L, "a")); q.processAllAvailable()
         q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
-      } finally q.stop()
+      } finally {
+        q.stop()
+        deleteRec(ckpt.toFile) // no checkpoint-tree leak per run
+      }
     }
     val windowed = evictedRows(_ => window(col("ts"), "5 minutes"))
     val derived = evictedRows(_ =>

@@ -265,10 +265,13 @@ class SyncEngineSpec extends AnyFunSuite {
     val aHolds = new java.util.concurrent.CountDownLatch(1)
     val release = new java.util.concurrent.CountDownLatch(1)
     val a = new Thread(() => {
+      // TTL 2 s → heartbeat every ~666 ms → ~1.3 s of scheduling slack
+      // before a missed beat could LOOK stale: wide enough that a loaded
+      // CI box's GC/scheduler jitter can't flake this test
       SyncEngine.withLedgerFileLock(spark, path,
-        timeoutMs = 10000, staleTtlMs = 300) {
+        timeoutMs = 30000, staleTtlMs = 2000) {
         aHolds.countDown()
-        release.await(15, java.util.concurrent.TimeUnit.SECONDS): Unit
+        release.await(30, java.util.concurrent.TimeUnit.SECONDS): Unit
       }
     })
     a.start()
@@ -276,10 +279,10 @@ class SyncEngineSpec extends AnyFunSuite {
     // wait well past the TTL, then contend with a timeout ABOVE the TTL:
     // without the heartbeat this break would succeed (the steal test's
     // heartbeat=false path); with it, the contender must time out
-    Thread.sleep(900)
+    Thread.sleep(4000)
     val e = intercept[IllegalStateException] {
       SyncEngine.withLedgerFileLock(spark, path,
-        timeoutMs = 700, staleTtlMs = 300) { () }
+        timeoutMs = 3000, staleTtlMs = 2000) { () }
     }
     assert(e.getMessage.contains("lock timeout"))
     release.countDown(); a.join(20000)
