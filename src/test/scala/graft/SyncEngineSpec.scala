@@ -125,6 +125,59 @@ class SyncEngineSpec extends AnyFunSuite {
     assert(r3.forall(r => r.synced == 0 && r.skipped == 4))
   }
 
+  test("crashed commit swap recovers: roll forward to complete .tmp, back to .old") {
+    import org.apache.spark.sql.Row
+    def mkLedger(root: java.nio.file.Path, rows: Seq[String]): String = {
+      val path = s"$root/ledger"
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(o => Row(0L, "m", o, 1L,
+          new java.sql.Timestamp(0L), "e", "text/plain",
+          new java.sql.Timestamp(0L), "success",
+          Map.empty[String, String])): _*),
+        SyncEngine.LedgerSchema)
+      SyncEngine.writeLedger(spark, df, path)
+      path
+    }
+    val fsConf = spark.sparkContext.hadoopConfiguration
+
+    // roll FORWARD: committer died between rename(dst→old) and
+    // rename(tmp→dst) — dst absent, old = previous state, tmp = the
+    // completed new merge (with _SUCCESS). The read must return the NEW
+    // rows, and falling to empty would be the data-loss path.
+    val r1 = Files.createTempDirectory("graft-swap-fwd")
+    val p1 = mkLedger(r1, Seq("obj0"))
+    val fs = new org.apache.hadoop.fs.Path(p1).getFileSystem(fsConf)
+    // stage the crash: current dst becomes .old; a NEWER merge sits in .tmp
+    val two = SyncEngine.readLedger(spark, p1).unionByName(
+      spark.createDataFrame(java.util.Arrays.asList(Row(0L, "m", "obj1", 1L,
+        new java.sql.Timestamp(0L), "e", "text/plain",
+        new java.sql.Timestamp(0L), "success", Map.empty[String, String])),
+        SyncEngine.LedgerSchema)).localCheckpoint(true)
+    two.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("mapping_id").parquet(p1 + ".tmp")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p1),
+      new org.apache.hadoop.fs.Path(p1 + ".old")))
+    val fwd = SyncEngine.readLedger(spark, p1)
+      .select("object_name").collect().map(_.getString(0)).toSet
+    assert(fwd == Set("obj0", "obj1"), s"roll-forward read $fwd")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p1)),
+      "recovery must restore the dst path itself")
+
+    // roll BACK: committer died mid-tmp-write (no _SUCCESS) after the
+    // first rename — .old is the only good copy; the read must return it
+    val r2 = Files.createTempDirectory("graft-swap-back")
+    val p2 = mkLedger(r2, Seq("objA", "objB"))
+    val fs2 = new org.apache.hadoop.fs.Path(p2).getFileSystem(fsConf)
+    assert(fs2.rename(new org.apache.hadoop.fs.Path(p2),
+      new org.apache.hadoop.fs.Path(p2 + ".old")))
+    Files.createDirectories(java.nio.file.Paths.get(p2 + ".tmp"))
+    Files.write(java.nio.file.Paths.get(p2 + ".tmp/part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // torn write, no _SUCCESS
+    val back = SyncEngine.readLedger(spark, p2)
+      .select("object_name").collect().map(_.getString(0)).toSet
+    assert(back == Set("objA", "objB"), s"roll-back read $back")
+  }
+
   test("ledger file lock: two simulated drivers race commits, zero lost rows") {
     // simulates two DRIVER PROCESSES sharing one ledger path: each thread
     // bypasses the JVM-wide ledgerLock entirely and relies ONLY on the
