@@ -2091,6 +2091,38 @@ object OracleExt {
     """ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
               event_type, value, props FROM events)"""
 
+  /** Mirrors LayoutOps.zorderSkippingReport: identical quantile-binning
+    * and z-interleave arithmetic (the shared term builder emits the `//`
+    * dialect here), fixed-width z buckets vs time buckets.
+    */
+  def zorderLayout(bits: Int, buckets: Int): String = {
+    val nBins = 1L << bits
+    val zWidth = (1L << (2 * bits)) / buckets
+    val z = graft.operators.LayoutOps.zExprSql("u_bin", "t_bin", bits, "//")
+    s"""WITH $EvCte,
+    st AS (SELECT max(user_id) AS max_u, min(epoch_us(ts)) AS min_t,
+                  max(epoch_us(ts)) AS max_t FROM ev),
+    b AS (
+      SELECT user_id, ts,
+             user_id * $nBins // (max_u + 1) AS u_bin,
+             (epoch_us(ts) - min_t) * $nBins // (max_t - min_t + 1) AS t_bin
+      FROM ev, st),
+    zb AS (SELECT *, $z AS z FROM b),
+    r AS (
+      SELECT 'zorder' AS layout, z // $zWidth AS bucket,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min(user_id) AS min_user, max(user_id) AS max_user,
+             min(epoch_us(ts)) AS min_t_us, max(epoch_us(ts)) AS max_t_us
+      FROM zb GROUP BY 2
+      UNION ALL
+      SELECT 'time', t_bin // ${nBins / buckets},
+             CAST(count(*) AS BIGINT),
+             min(user_id), max(user_id),
+             min(epoch_us(ts)), max(epoch_us(ts))
+      FROM b GROUP BY 2)
+    SELECT * FROM r ORDER BY layout, bucket"""
+  }
+
   /** Oracle for the SALTED join: plain join + aggregate. Salting is pure
     * execution mechanics — the salt column joins against an exploded copy
     * of itself and is dropped — so the salted plan must produce exactly

@@ -1564,6 +1564,16 @@ object SparkEntry {
     "events_json_agg" -> ((s, d) =>
       EventOps.jsonPropsAgg(T.events(s, d)).orderBy("event_type")),
 
+    "events_zorder_layout" -> ((s, d) =>
+      // Z-order (Morton) layout skipping report: quantile-bin user and
+      // time to 8 bits, interleave with portable div/mod arithmetic,
+      // fixed-width z buckets — the per-file min/max footer stats a
+      // zorder write (repartitionByRange(z) + sortWithinPartitions)
+      // would produce, contrasted against the time-sorted layout; one
+      // partial-agg groupBy per layout, no global sort anywhere
+      graft.operators.LayoutOps.zorderSkippingReport(T.events(s, d))
+        .orderBy("layout", "bucket")),
+
     "events_skew_join" -> ((s, d) => {
       // SkewOps.saltedJoin under parity: the salted plan must emit exactly
       // the unsalted join's rows (the oracle is the plain join) — salting
@@ -2189,6 +2199,7 @@ object SparkEntry {
     "events_sliding_window" -> OracleExt.eventsSlidingWindow,
     "events_json_agg" -> OracleExt.eventsJsonAgg,
     "events_skew_join" -> OracleExt.eventsSkewJoin,
+    "events_zorder_layout" -> OracleExt.zorderLayout(bits = 8, buckets = 16),
     "events_sessionize" -> OracleExt.eventsSessionize,
     "events_funnel" -> OracleExt.eventsFunnel,
     "events_top_percent" -> OracleExt.eventsTopPercent(1),

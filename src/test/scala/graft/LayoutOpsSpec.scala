@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LayoutOps
+
+class LayoutOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Spec.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def events = graft.sources.Tables.events(spark, dir)
+
+  test("z expression equals the bit-interleave model on both dialects' math") {
+    // the Spark dialect's div is the only operator difference; evaluate
+    // the generated expression and compare against a plain Scala Morton
+    // interleave for exhaustive small values
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, k) =>
+        acc | (((a >> k) & 1L) << (2 * k + 1)) | (((b >> k) & 1L) << (2 * k))
+      }
+    val pairs = for (a <- 0L to 15L; b <- 0L to 15L) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .withColumn("z", expr(LayoutOps.zExprSql("a", "b", 4, "div")))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      assert(z == morton(a, b, 4), s"z($a,$b)")
+    }
+    // adjacent-in-both-dims points stay close on the curve: z of (a,b)
+    // and (a, b+1) differ only below bit 2*bits for the shared prefix
+    assert(morton(3, 3, 4) == 15L) // 0b1111: full low-bits locality
+  }
+
+  test("zorder buckets shrink user spans that a time layout cannot") {
+    val rep = LayoutOps.zorderSkippingReport(events)
+      .select("layout", "bucket", "n_events", "min_user", "max_user")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val byLayout = rep.groupBy(_._1)
+    val total = events.count()
+    // both layouts partition the corpus exactly
+    byLayout.values.foreach(rows => assert(rows.map(_._3).sum == total))
+    def avgUserSpan(l: String): Double = {
+      val rows = byLayout(l)
+      rows.map(r => (r._5 - r._4).toDouble).sum / rows.length
+    }
+    val (zSpan, tSpan) = (avgUserSpan("zorder"), avgUserSpan("time"))
+    // the time layout's files each span ~the full user range; the z-order
+    // layout's files constrain the user dimension too — that shrink IS
+    // the second-predicate pruning. 2x is a loose floor (the 16-bucket
+    // split gives each z file a quarter of the user bins).
+    assert(zSpan * 2 < tSpan, s"zorder avg user span $zSpan vs time $tSpan")
+  }
+
+  test("binning is load-bearing: raw-width interleave degenerates to a time sort") {
+    // interleave RAW user_id (8 significant bits) with raw seconds (31
+    // bits) and bucket by the top z bits: every varying high bit comes
+    // from the time dimension, so the layout collapses to time buckets
+    // and the user span stays unconstrained — the degeneration the
+    // quantile-binning step exists to prevent
+    val raw = events
+      .withColumn("t_s", expr("unix_micros(ts) div 1000000 % 2147483648"))
+      .withColumn("z", expr(LayoutOps.zExprSql("user_id", "t_s", 31, "div")))
+    val top = raw.select(max(col("z")).as("mz")).head().getLong(0)
+    val width = math.max(1L, top / 16)
+    val spans = raw.withColumn("bucket", expr(s"z div ${width}L"))
+      .groupBy("bucket")
+      .agg((max(col("user_id")) - min(col("user_id"))).as("uspan"),
+           count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(avg(col("uspan"))).head().getDouble(0)
+    val full = events.select(
+      (max(col("user_id")) - min(col("user_id"))).cast("double")).head().getDouble(0)
+    assert(spans > full * 0.5,
+      s"raw interleave should NOT constrain users (avg span $spans of $full)")
+  }
+}
