@@ -49,6 +49,34 @@ object LayoutOps {
     terms.mkString("(", " + ", ")")
   }
 
+  /** The WRITE path the report predicts: bin, z-value, range-partition by
+    * z into `files` output files, sort within each, write parquet. After
+    * this, each parquet file's min/max footer covers a contiguous z range
+    * — the narrow per-file user AND time spans
+    * [[zorderSkippingReport]] tabulates — so a reader with predicates on
+    * either dimension prunes whole files. `repartitionByRange` samples z
+    * to build balanced range bounds (one extra pass over a single long
+    * column — the standard price of a clustered write); the z column
+    * itself is dropped before writing, it is layout, not data.
+    */
+  def zorderWrite(events: DataFrame, path: String, bits: Int = 8,
+                  files: Int = 16): Unit = {
+    val nBins = 1L << bits
+    val stats = events.agg(
+      max(col("user_id")).as("max_u"),
+      expr("min(unix_micros(ts))").as("min_t"),
+      expr("max(unix_micros(ts))").as("max_t"))
+    events.crossJoin(broadcast(stats))
+      .withColumn("u_bin", expr(s"user_id * $nBins div (max_u + 1)"))
+      .withColumn("t_bin",
+        expr(s"(unix_micros(ts) - min_t) * $nBins div (max_t - min_t + 1)"))
+      .withColumn("z", expr(zExprSql("u_bin", "t_bin", bits, "div")))
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("u_bin", "t_bin", "z", "max_u", "min_t", "max_t")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
   /** Per-bucket min/max skipping report for the z-order layout vs the
     * time-sorted layout over the events table: `buckets` rows per layout,
     * each with the row count and the user/time spans a file at that curve

@@ -53,6 +53,29 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(zSpan * 2 < tSpan, s"zorder avg user span $zSpan vs time $tSpan")
   }
 
+  test("zorderWrite delivers the report's prediction in real file footers") {
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder-")
+      .resolve("events").toString
+    LayoutOps.zorderWrite(events, out, files = 8)
+    // per-FILE spans, read back from the actual written layout
+    val perFile = spark.read.parquet(out)
+      .withColumn("file", expr("input_file_name()"))
+      .groupBy("file")
+      .agg((max(col("user_id")) - min(col("user_id"))).as("uspan"),
+           count(lit(1)).as("n"))
+    val nFiles = perFile.count()
+    assert(nFiles >= 6, s"range partitioner should spread files, got $nFiles")
+    val avgSpan = perFile.agg(avg(col("uspan"))).head().getDouble(0)
+    val full = events.agg((max(col("user_id")) - min(col("user_id")))
+      .cast("double")).head().getDouble(0)
+    // time-sorted files would each span ~the full user range; the written
+    // z layout must constrain it (matching the report's bucket table)
+    assert(avgSpan < full * 0.6,
+      s"written files' avg user span $avgSpan vs full range $full")
+    // rows survive the layout unchanged
+    assert(spark.read.parquet(out).count() == events.count())
+  }
+
   test("binning is load-bearing: raw-width interleave degenerates to a time sort") {
     // interleave RAW user_id (8 significant bits) with raw seconds (31
     // bits) and bucket by the top z bits: every varying high bit comes
