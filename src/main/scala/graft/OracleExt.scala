@@ -2091,7 +2091,7 @@ object OracleExt {
     """ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
               event_type, value, props FROM events)"""
 
-  /** Mirrors LayoutOps.zorderSkippingReport: identical quantile-binning
+  /** Mirrors LayoutOps.zorderSkippingReport: identical equal-width binning
     * and z-interleave arithmetic (the shared term builder emits the `//`
     * dialect here), fixed-width z buckets vs time buckets.
     */
@@ -2100,11 +2100,12 @@ object OracleExt {
     val zWidth = (1L << (2 * bits)) / buckets
     val z = graft.operators.LayoutOps.zExprSql("u_bin", "t_bin", bits, "//")
     s"""WITH $EvCte,
-    st AS (SELECT max(user_id) AS max_u, min(epoch_us(ts)) AS min_t,
+    st AS (SELECT min(user_id) AS min_u, max(user_id) AS max_u,
+                  min(epoch_us(ts)) AS min_t,
                   max(epoch_us(ts)) AS max_t FROM ev),
     b AS (
       SELECT user_id, ts,
-             user_id * $nBins // (max_u + 1) AS u_bin,
+             (user_id - min_u) * $nBins // (max_u - min_u + 1) AS u_bin,
              (epoch_us(ts) - min_t) * $nBins // (max_t - min_t + 1) AS t_bin
       FROM ev, st),
     zb AS (SELECT *, $z AS z FROM b),

@@ -1565,8 +1565,9 @@ object SparkEntry {
       EventOps.jsonPropsAgg(T.events(s, d)).orderBy("event_type")),
 
     "events_zorder_layout" -> ((s, d) =>
-      // Z-order (Morton) layout skipping report: quantile-bin user and
-      // time to 8 bits, interleave with portable div/mod arithmetic,
+      // Z-order (Morton) layout skipping report: equal-width-bin user and
+      // time to 8 bits (each over its observed min-max), interleave with
+      // portable div/mod arithmetic,
       // fixed-width z buckets — the per-file min/max footer stats a
       // zorder write (repartitionByRange(z) + sortWithinPartitions)
       // would produce, contrasted against the time-sorted layout; one

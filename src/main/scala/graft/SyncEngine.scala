@@ -523,7 +523,11 @@ object SyncEngine {
     StructField("sync_status", StringType),
     StructField("metadata", MapType(StringType, StringType), nullable = true)))
 
-  def readLedger(spark: SparkSession, path: String): DataFrame = {
+  // swapWaitSleepMs exists for specs (the recovery spec stages permanent
+  // crash signatures and must not pay the full 5 s production wait); the
+  // default 50 × 100 ms bound is the production behavior
+  def readLedger(spark: SparkSession, path: String,
+                 swapWaitSleepMs: Long = 100): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // another driver's commit swap (rename dst→old, rename tmp→dst) has a
@@ -536,7 +540,7 @@ object SyncEngine {
     var waits = 0
     while (!fs.exists(p) && (fs.exists(oldP) || fs.exists(tmpP)) &&
            waits < 50) {
-      Thread.sleep(100); waits += 1
+      Thread.sleep(swapWaitSleepMs); waits += 1
     }
     // signature STILL present after 5 s ⇒ the committer is dead (the swap
     // is two renames — milliseconds when alive), and falling through to

@@ -17,11 +17,17 @@ import org.apache.spark.sql.functions._
   * added value, graded with the other [EXT] pipeline operators.
   *
   * Engineering choices, each load-bearing at scale:
-  *  - Dimensions are first QUANTILE-BINNED to `bits`-bit integers
-  *    (equal-width over the observed min/max, one tiny agg + broadcast) —
+  *  - Dimensions are first EQUAL-WIDTH BINNED to `bits`-bit integers over
+  *    each dimension's OBSERVED [min, max] (one tiny agg + broadcast; the
+  *    min subtraction matters for BOTH dims — an offset id domain, e.g.
+  *    the rehearsal's `user_id + r·10⁸` replicas, would otherwise crowd
+  *    into the top bins and collapse that dimension out of the curve) —
   *    interleaving raw values would let the wider dimension's high bits
-  *    dominate the curve (a 31-bit timestamp against an 8-bit user id
-  *    degenerates to a time sort; measured in LayoutOpsSpec).
+  *    dominate (a 31-bit timestamp against an 8-bit user id degenerates
+  *    to a time sort; measured in LayoutOpsSpec). Under heavy VALUE skew
+  *    an equal-frequency (rank) binning clusters tighter still — that
+  *    variant costs a per-dimension quantile pass; the equal-width form
+  *    is the cheap standard and is what the oracle restates.
   *  - The z-value is PURE div/mod/multiply integer arithmetic — one term
   *    builder emits Spark (`div`) and DuckDB (`//`) dialects of the same
   *    expression, so the oracle runs the identical formula; no
@@ -49,6 +55,25 @@ object LayoutOps {
     terms.mkString("(", " + ", ")")
   }
 
+  /** Shared binning block for the report and the write (one definition —
+    * the report must keep predicting exactly what the write produces):
+    * equal-width `bits`-bit bins over each dimension's observed
+    * [min, max], z = Morton interleave of the two bins.
+    */
+  private def binnedWithZ(events: DataFrame, bits: Int): DataFrame = {
+    val nBins = 1L << bits
+    val stats = events.agg(
+      min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+      expr("min(unix_micros(ts))").as("min_t"),
+      expr("max(unix_micros(ts))").as("max_t"))
+    events.crossJoin(broadcast(stats))
+      .withColumn("u_bin",
+        expr(s"(user_id - min_u) * $nBins div (max_u - min_u + 1)"))
+      .withColumn("t_bin",
+        expr(s"(unix_micros(ts) - min_t) * $nBins div (max_t - min_t + 1)"))
+      .withColumn("z", expr(zExprSql("u_bin", "t_bin", bits, "div")))
+  }
+
   /** The WRITE path the report predicts: bin, z-value, range-partition by
     * z into `files` output files, sort within each, write parquet. After
     * this, each parquet file's min/max footer covers a contiguous z range
@@ -60,22 +85,12 @@ object LayoutOps {
     * itself is dropped before writing, it is layout, not data.
     */
   def zorderWrite(events: DataFrame, path: String, bits: Int = 8,
-                  files: Int = 16): Unit = {
-    val nBins = 1L << bits
-    val stats = events.agg(
-      max(col("user_id")).as("max_u"),
-      expr("min(unix_micros(ts))").as("min_t"),
-      expr("max(unix_micros(ts))").as("max_t"))
-    events.crossJoin(broadcast(stats))
-      .withColumn("u_bin", expr(s"user_id * $nBins div (max_u + 1)"))
-      .withColumn("t_bin",
-        expr(s"(unix_micros(ts) - min_t) * $nBins div (max_t - min_t + 1)"))
-      .withColumn("z", expr(zExprSql("u_bin", "t_bin", bits, "div")))
+                  files: Int = 16): Unit =
+    binnedWithZ(events, bits)
       .repartitionByRange(files, col("z"))
       .sortWithinPartitions(col("z"))
-      .drop("u_bin", "t_bin", "z", "max_u", "min_t", "max_t")
+      .drop("u_bin", "t_bin", "z", "min_u", "max_u", "min_t", "max_t")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-  }
 
   /** Per-bucket min/max skipping report for the z-order layout vs the
     * time-sorted layout over the events table: `buckets` rows per layout,
@@ -88,16 +103,14 @@ object LayoutOps {
     require(buckets >= 2 && Integer.bitCount(buckets) == 1,
       s"buckets must be a power of two >= 2, got $buckets")
     require(2 * bits <= 62, s"2*bits must fit a long, got $bits")
+    // buckets beyond the bin count would make a bucket divisor ZERO —
+    // under Spark's non-ANSI mode that is a silent null bucket for every
+    // row (and an engine divergence: DuckDB errors), so it must be loud
+    require(buckets <= (1L << bits),
+      s"buckets ($buckets) must not exceed 2^bits (${1L << bits})")
     val nBins = 1L << bits
     val zWidth = (1L << (2 * bits)) / buckets
-    val stats = events.agg(
-      max(col("user_id")).as("max_u"),
-      expr("min(unix_micros(ts))").as("min_t"),
-      expr("max(unix_micros(ts))").as("max_t"))
-    val binned = events.crossJoin(broadcast(stats))
-      .withColumn("u_bin", expr(s"user_id * $nBins div (max_u + 1)"))
-      .withColumn("t_bin",
-        expr(s"(unix_micros(ts) - min_t) * $nBins div (max_t - min_t + 1)"))
+    val binned = binnedWithZ(events, bits)
     def report(df: DataFrame, layout: String) =
       df.groupBy("bucket").agg(
           count(lit(1)).as("n_events"),
@@ -107,10 +120,7 @@ object LayoutOps {
           expr("max(unix_micros(ts))").as("max_t_us"))
         .withColumn("layout", lit(layout))
     val zorder = report(
-      binned.withColumn("z",
-          expr(zExprSql("u_bin", "t_bin", bits, "div")))
-        .withColumn("bucket", expr(s"z div ${zWidth}L")),
-      "zorder")
+      binned.withColumn("bucket", expr(s"z div ${zWidth}L")), "zorder")
     val time = report(
       binned.withColumn("bucket", expr(s"t_bin div ${nBins / buckets}L")),
       "time")

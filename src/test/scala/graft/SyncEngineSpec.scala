@@ -157,7 +157,7 @@ class SyncEngineSpec extends AnyFunSuite {
       .partitionBy("mapping_id").parquet(p1 + ".tmp")
     assert(fs.rename(new org.apache.hadoop.fs.Path(p1),
       new org.apache.hadoop.fs.Path(p1 + ".old")))
-    val fwd = SyncEngine.readLedger(spark, p1)
+    val fwd = SyncEngine.readLedger(spark, p1, swapWaitSleepMs = 1)
       .select("object_name").collect().map(_.getString(0)).toSet
     assert(fwd == Set("obj0", "obj1"), s"roll-forward read $fwd")
     assert(fs.exists(new org.apache.hadoop.fs.Path(p1)),
@@ -173,7 +173,7 @@ class SyncEngineSpec extends AnyFunSuite {
     Files.createDirectories(java.nio.file.Paths.get(p2 + ".tmp"))
     Files.write(java.nio.file.Paths.get(p2 + ".tmp/part-00000.parquet"),
       Array[Byte](1, 2, 3)) // torn write, no _SUCCESS
-    val back = SyncEngine.readLedger(spark, p2)
+    val back = SyncEngine.readLedger(spark, p2, swapWaitSleepMs = 1)
       .select("object_name").collect().map(_.getString(0)).toSet
     assert(back == Set("objA", "objB"), s"roll-back read $back")
   }
