@@ -2096,6 +2096,13 @@ object OracleExt {
     * dialect here), fixed-width z buckets vs time buckets.
     */
   def zorderLayout(bits: Int, buckets: Int): String = {
+    // same guards as the Spark mirror — an out-of-range buckets would
+    // otherwise interpolate a literal zero divisor into the SQL
+    require(buckets >= 2 && Integer.bitCount(buckets) == 1,
+      s"buckets must be a power of two >= 2, got $buckets")
+    require(2 * bits <= 62, s"2*bits must fit a long, got $bits")
+    require(buckets <= (1L << bits),
+      s"buckets ($buckets) must not exceed 2^bits (${1L << bits})")
     val nBins = 1L << bits
     val zWidth = (1L << (2 * bits)) / buckets
     val z = graft.operators.LayoutOps.zExprSql("u_bin", "t_bin", bits, "//")

@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * Engineering choices, each load-bearing at scale:
   *  - Dimensions are first EQUAL-WIDTH BINNED to `bits`-bit integers over
   *    each dimension's OBSERVED [min, max] (one tiny agg + broadcast; the
-  *    min subtraction matters for BOTH dims — an offset id domain, e.g.
-  *    the rehearsal's `user_id + r·10⁸` replicas, would otherwise crowd
-  *    into the top bins and collapse that dimension out of the curve) —
+  *    min subtraction matters for BOTH dims — an offset id domain would
+  *    otherwise crowd into the top bins and collapse that dimension out
+  *    of the curve; LayoutOpsSpec's shifted-domain test is the
+  *    discriminating guard, since any corpus whose min is 0 makes the
+  *    two forms agree bitwise) —
   *    interleaving raw values would let the wider dimension's high bits
   *    dominate (a 31-bit timestamp against an 8-bit user id degenerates
   *    to a time sort; measured in LayoutOpsSpec). Under heavy VALUE skew

@@ -53,6 +53,30 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(zSpan * 2 < tSpan, s"zorder avg user span $zSpan vs time $tSpan")
   }
 
+  test("offset id domains keep their user dimension (min-based binning)") {
+    // the regression guard for the symmetric min subtraction: shift every
+    // user_id into a high offset range. The raw [0, max] binning formula
+    // maps all of them into the top bins (constant interleaved user bits
+    // → the layout silently collapses to a time sort and spans stay
+    // full); the [min, max] form must keep the same span shrink the
+    // unshifted corpus shows. NOTE the rehearsal CANNOT catch this — its
+    // replica 0 stays un-offset so the combined min is 0 and both
+    // formulas agree bitwise there; only this shifted-domain assertion
+    // discriminates.
+    val shifted = events.withColumn("user_id",
+      col("user_id") + lit(1000000000L))
+    val rep = LayoutOps.zorderSkippingReport(shifted)
+      .select("layout", "min_user", "max_user")
+      .as[(String, Long, Long)].collect()
+    def avgSpan(l: String): Double = {
+      val rows = rep.filter(_._1 == l)
+      rows.map(r => (r._3 - r._2).toDouble).sum / rows.length
+    }
+    val (z, t) = (avgSpan("zorder"), avgSpan("time"))
+    assert(z * 2 < t,
+      s"offset domain must keep user-span shrink: zorder $z vs time $t")
+  }
+
   test("zorderWrite delivers the report's prediction in real file footers") {
     val out = java.nio.file.Files.createTempDirectory("graft-zorder-")
       .resolve("events").toString
@@ -81,7 +105,7 @@ class LayoutOpsSpec extends AnyFunSuite {
     // bits) and bucket by the top z bits: every varying high bit comes
     // from the time dimension, so the layout collapses to time buckets
     // and the user span stays unconstrained — the degeneration the
-    // quantile-binning step exists to prevent
+    // equal-width binning step exists to prevent
     val raw = events
       .withColumn("t_s", expr("unix_micros(ts) div 1000000 % 2147483648"))
       .withColumn("z", expr(LayoutOps.zExprSql("user_id", "t_s", 31, "div")))
