@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
   *    builder emits Spark (`div`) and DuckDB (`//`) dialects of the same
   *    expression, so the oracle runs the identical formula; no
   *    engine-specific bit-shift semantics anywhere.
+  *  - Morton, not Hilbert: the Hilbert curve has strictly better
+  *    locality (no Morton "seams" where consecutive z values jump across
+  *    the plane) but needs per-level rotation state — not expressible as
+  *    one flat arithmetic expression both engines share. The seam cost
+  *    only shaves the constant in the span shrink; Hilbert is the
+  *    documented upgrade path if a deployment measures the seams
+  *    mattering at its file count.
   *  - Buckets are FIXED-WIDTH z-ranges (`z div width`), so the report is
   *    one partial-agg'd groupBy — no ntile window, no global sort. The
   *    production write path is `repartitionByRange(z)` +

@@ -33,6 +33,27 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(morton(3, 3, 4) == 15L) // 0b1111: full low-bits locality
   }
 
+  test("z expression property: seeded random values across bit widths") {
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, k) =>
+        acc | (((a >> k) & 1L) << (2 * k + 1)) | (((b >> k) & 1L) << (2 * k))
+      }
+    val rng = new scala.util.Random(42) // fixed seed — deterministic spec
+    for (bits <- Seq(1, 8, 16, 31)) {
+      val bound = 1L << bits
+      val cases = Seq.fill(50)(
+        (math.abs(rng.nextLong()) % bound, math.abs(rng.nextLong()) % bound)) ++
+        Seq((0L, 0L), (bound - 1, bound - 1), (bound - 1, 0L), (0L, bound - 1))
+      val got = cases.toDF("a", "b")
+        .withColumn("z", expr(LayoutOps.zExprSql("a", "b", bits, "div")))
+        .as[(Long, Long, Long)].collect()
+      got.foreach { case (a, b, z) =>
+        assert(z == morton(a, b, bits), s"bits=$bits z($a,$b)")
+        assert(z >= 0, s"bits=$bits produced a negative z") // 2·31 ≤ 62
+      }
+    }
+  }
+
   test("zorder buckets shrink user spans that a time layout cannot") {
     val rep = LayoutOps.zorderSkippingReport(events)
       .select("layout", "bucket", "n_events", "min_user", "max_user")
