@@ -118,6 +118,21 @@ object OracleExt {
       AND CAST(ceil(n * $pct / 100.0) AS BIGINT) <= cum
     ORDER BY lang""")
 
+  /** Mirrors TextOps.tokenFertility: per-lang BPE-ish subword count per
+    * whitespace word, exact integer ppm, null for a zero-word language.
+    */
+  val tokenFertility: String = docQ("""
+    , per AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS sum_words,
+             CAST(sum(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe
+      FROM docs_tok GROUP BY lang)
+    SELECT lang, n_docs, sum_words, sum_bpe,
+           CASE WHEN sum_words = 0 THEN NULL
+                ELSE sum_bpe * 1000000 // sum_words END AS fertility_ppm
+    FROM per ORDER BY lang""")
+
   val tokenCountBpe: String = docQ("""
     SELECT doc_id,
            CAST(len(regexp_extract_all(lower(text),
@@ -1294,6 +1309,40 @@ object OracleExt {
              0.0)) + 0.5) AS BIGINT) AS std_fp,
            min_fp, max_fp
     FROM s ORDER BY dim"""
+
+  /** Mirrors VectorOps.dimDrift: conditional half-sums in one grouped
+    * pass, HUGEINT squared sums, same closing mean/std arithmetic as
+    * embeddingDimStats.
+    */
+  def embeddingDimDrift(dim: Int): String = {
+    def sideSel(tag: String, cond: String) = s"""
+      CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n_$tag,
+      CAST(sum(CASE WHEN $cond THEN x_fp ELSE 0 END) AS BIGINT) AS sum_$tag,
+      sum(CASE WHEN $cond THEN CAST(x_fp AS HUGEINT) * x_fp
+               ELSE 0 END) AS sumsq_$tag"""
+    def meanStd(tag: String) = s"""
+      CASE WHEN n_$tag = 0 THEN NULL
+           ELSE sum_$tag // n_$tag END AS mean_${tag}_fp,
+      CASE WHEN n_$tag = 0 THEN NULL
+           ELSE CAST(floor(sqrt(greatest(
+             CAST(sumsq_$tag AS DOUBLE) / n_$tag
+             - (CAST(sum_$tag AS DOUBLE) / n_$tag)
+               * (CAST(sum_$tag AS DOUBLE) / n_$tag), 0.0)) + 0.5)
+             AS BIGINT) END AS std_${tag}_fp"""
+    s"""
+    WITH $EmbCte,
+    comp AS (
+      SELECT (vec_id % 2 = 0) AS in_a, m AS dim,
+             CAST(floor(v[m + 1] * 1e6 + 0.5) AS BIGINT) AS x_fp
+      FROM (SELECT vec_id, v, unnest(range(0, $dim)) AS m FROM emb)),
+    s AS (
+      SELECT dim, ${sideSel("a", "in_a")}, ${sideSel("b", "NOT in_a")}
+      FROM comp GROUP BY dim)
+    SELECT dim, n_a, n_b, mean_a_fp, std_a_fp, mean_b_fp, std_b_fp,
+           mean_a_fp - mean_b_fp AS mean_delta_fp
+    FROM (SELECT dim, n_a, n_b, ${meanStd("a")}, ${meanStd("b")} FROM s)
+    ORDER BY dim"""
+  }
 
   /** Mirrors VectorOps.gramUpperTriangle: exact fixed-point upper-triangle
     * Gram matrix. The self-join form is the oracle's restatement only —

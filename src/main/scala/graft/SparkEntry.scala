@@ -737,6 +737,13 @@ object SparkEntry {
       // shortest 10% by exact integer rank, per-source audit
       TextOps.lengthFloor(T.documents(s, d), pct = 10).orderBy("source")),
 
+    "token_fertility" -> ((s, d) =>
+      // tokenizer health per language: BPE-ish subwords per whitespace
+      // word in exact integer ppm — the metric multilingual tokenizer
+      // work tracks (ballooning fertility = a language paying its
+      // training budget several times over)
+      TextOps.tokenFertility(T.documents(s, d)).orderBy("lang")),
+
     "quality_percentile_gate" -> ((s, d) =>
       // CCNet-shaped per-language quality cut: keep each language's top
       // 30% by composite quality score, threshold at the exact integer
@@ -774,6 +781,12 @@ object SparkEntry {
       // whitening / drift input: per-dimension mean/std/min/max in exact
       // fixed point — one corpus pass, 64 rows out regardless of n
       VectorOps.dimStats(T.embeddings(s, d)).orderBy("dim")),
+
+    "embedding_drift" -> ((s, d) =>
+      // snapshot drift monitor: per-dim mean/std across the two vec_id
+      // parity halves (deterministic snapshot stand-in), exact deltas —
+      // ONE pass, both halves via conditional sums in the same groupBy
+      VectorOps.dimDrift(T.embeddings(s, d)).orderBy("dim")),
 
     "embedding_gram" -> ((s, d) =>
       // the PCA/whitening factorization input dim_stats only diagonals:
@@ -2082,6 +2095,7 @@ object SparkEntry {
     "rarity_score" -> OracleExt.rarityScore,
     "quality_length_floor" -> OracleExt.lengthFloor(10),
     "quality_percentile_gate" -> OracleExt.qualityPercentileGate(30),
+    "token_fertility" -> OracleExt.tokenFertility,
     "dedup_cross_source" -> OracleExt.crossSourceDupMatrix,
     "docs_stream_vocab" -> OracleExt.vocabTopTokens,
     "sample_token_budget" -> OracleExt.sampleTokenBudget(100000L),
@@ -2095,6 +2109,7 @@ object SparkEntry {
     "embedding_quantize" -> OracleExt.embeddingQuantize,
     "embedding_dim_stats" -> OracleExt.embeddingDimStats(64),
     "embedding_gram" -> OracleExt.embeddingGram(64),
+    "embedding_drift" -> OracleExt.embeddingDimDrift(64),
     "embedding_normalize" -> OracleExt.embeddingNormalize,
     "dedup_exact" -> OracleExt.dedupExact,
     "dedup_near_minhash" -> OracleExt.dedupNearMinhash,

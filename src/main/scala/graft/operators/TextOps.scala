@@ -175,6 +175,30 @@ object TextOps {
         (sum(col("token_cnt").cast("long")).cast("double") /
           count(lit(1)).cast("double")).as("avg_tokens"))
 
+  /** Tokenizer fertility per language — subword tokens emitted per
+    * whitespace word, the standard tokenizer-health metric (a language
+    * whose fertility balloons is being shredded into characters and pays
+    * its training budget several times over; multilingual tokenizer
+    * papers track exactly this ratio per language). BPE-ish subword
+    * counts ride [[bpeTokenCount]]; the ratio is exact integer ppm
+    * (never a cross-engine float), zero-word languages yield null rather
+    * than a division error. One corpus pass, map-side partial sums,
+    * |langs| rows out.
+    */
+  def tokenFertility(docs: DataFrame): DataFrame = {
+    val ws = size(tokens(col("text"))).cast("long")
+    docs
+      .withColumn("n_bpe", bpeTokenCount(col("text")).cast("long"))
+      .withColumn("n_words", ws)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_words")).as("sum_words"),
+           sum(col("n_bpe")).as("sum_bpe"))
+      .withColumn("fertility_ppm",
+        expr("case when sum_words = 0 then cast(null as bigint) " +
+             "else sum_bpe * 1000000 div sum_words end"))
+  }
+
   /** Repetition signals per document — the Gopher-style quality gate that
     * drops degenerate/boilerplate text before training (Rae et al. 2021,
     * §A1.1 repetition filters): how much of a doc is the same 2-gram said

@@ -675,6 +675,45 @@ object VectorOps {
     * DECIMAL(38,0) — same accumulator discipline as dimStats, mirrored by
     * the oracle's HUGEINT.
     */
+  /** Snapshot drift monitor — the check [[dimStats]] feeds: per-dimension
+    * mean/std compared across two corpus halves (vec_id parity is the
+    * deterministic stand-in for "previous vs current snapshot"; a real
+    * deployment passes a snapshot-id predicate instead). A dimension
+    * whose mean shifts or variance collapses between snapshots flags an
+    * upstream embedding-model or preprocessing change before it poisons
+    * a training run. Same exactness discipline as dimStats (fixed-point
+    * longs, DECIMAL(38,0) squared sums, one closing double per cell) —
+    * and ONE corpus pass: both halves aggregate in the same groupBy via
+    * conditional sums, not two filtered scans.
+    */
+  def dimDrift(corpus: DataFrame): DataFrame = {
+    val fp = floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+    val comp = corpus
+      .select((col("vec_id") % 2 === 0).as("in_a"),
+              posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("in_a"), col("dim").cast("long").as("dim"), fp.as("x_fp"))
+    def side(cond: Column, tag: String) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(cond, col("x_fp")).otherwise(0L)).as(s"sum_$tag"),
+      sum(when(cond, (col("x_fp") * col("x_fp")).cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as(s"sumsq_$tag"))
+    val aggs = side(col("in_a"), "a") ++ side(!col("in_a"), "b")
+    def meanStd(tag: String) = Seq(
+      expr(s"case when n_$tag = 0 then cast(null as bigint) " +
+           s"else sum_$tag div n_$tag end").as(s"mean_${tag}_fp"),
+      expr(s"""case when n_$tag = 0 then cast(null as bigint)
+               else cast(floor(sqrt(greatest(
+                 cast(sumsq_$tag as double) / n_$tag
+                 - (cast(sum_$tag as double) / n_$tag)
+                   * (cast(sum_$tag as double) / n_$tag), 0.0)) + 0.5)
+                 as bigint) end""").as(s"std_${tag}_fp"))
+    comp.groupBy("dim")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("dim"), col("n_a"), col("n_b")) ++
+        meanStd("a") ++ meanStd("b"): _*)
+      .withColumn("mean_delta_fp", col("mean_a_fp") - col("mean_b_fp"))
+  }
+
   /** |x_fp| bound that keeps a full 2²⁰-row flush window under 2⁶³:
     * (2.9·10⁶)² · 2²⁰ ≈ 8.8·10¹⁸ < 9.2·10¹⁸. Components beyond |x| = 2.9
     * throw loudly instead of wrapping silently (see the in-loop check).

@@ -152,6 +152,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.values.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("token fertility matches a brute-force regex recount, zero-word safe") {
+    val d = Seq(
+      (1L, "hello world", "en", "s", 11L),          // 2 words, 2 subwords
+      (2L, "don't stop-me now", "en", "s", 17L),    // punct splits subwords
+      (3L, "!!!", "xx", "s", 3L),                   // words=1, bpe=3
+      (4L, "", "zz", "s", 0L)                       // zero words → null ppm
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.tokenFertility(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    val bpe = "[a-z]+|[0-9]+|[^a-z0-9\\s]".r
+    def counts(texts: Seq[String]) = {
+      val w = texts.map(_.split("\\s+").count(_.nonEmpty)).sum.toLong
+      val b = texts.map(t => bpe.findAllIn(t.toLowerCase).size).sum.toLong
+      (w, b, if (w == 0) -1L else b * 1000000L / w)
+    }
+    assert(got("en") == counts(Seq("hello world", "don't stop-me now")))
+    assert(got("xx") == counts(Seq("!!!")))
+    assert(got("zz") == ((0L, 0L, -1L))) // null fertility, not an error
+  }
+
   test("qualityScoreExpr mirrors qualityScore's composite exactly") {
     val viaExpr = docs.select(col("doc_id"),
       TextOps.qualityScoreExpr.as("q")).as[(Long, Double)].collect().toMap

@@ -44,6 +44,25 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dim drift equals dimStats run separately on each parity half") {
+    val drift = VectorOps.dimDrift(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def half(parity: Int) = VectorOps.dimStats(
+        emb.filter($"vec_id" % 2 === parity))
+      .select("dim", "n", "mean_fp", "std_fp")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val (a, b) = (half(0), half(1))
+    assert(drift.size == 64)
+    for (d <- Seq(0L, 17L, 63L)) {
+      val r = drift(d)
+      assert((r.getLong(1), r.getLong(3), r.getLong(4)) ==
+        ((a(d)._2, a(d)._3, a(d)._4)), s"half A dim $d")
+      assert((r.getLong(2), r.getLong(5), r.getLong(6)) ==
+        ((b(d)._2, b(d)._3, b(d)._4)), s"half B dim $d")
+      assert(r.getLong(7) == a(d)._3 - b(d)._3, s"delta dim $d")
+    }
+  }
+
   test("gram upper triangle equals an in-memory exact recount") {
     val rows = emb.select("embedding").as[Seq[Float]].collect()
       .map(_.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray)
