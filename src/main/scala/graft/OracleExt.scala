@@ -1331,10 +1331,16 @@ object OracleExt {
              AS BIGINT) END AS std_${tag}_fp"""
     s"""
     WITH $EmbCte,
+    clean AS (
+      -- same malformed-row predicate as the Spark side (and as the gram
+      -- operator): null / short / null-component vectors excluded whole
+      SELECT vec_id, v FROM emb
+      WHERE v IS NOT NULL AND len(v) >= $dim
+        AND len(list_filter(v, x -> x IS NULL)) = 0),
     comp AS (
       SELECT (vec_id % 2 = 0) AS in_a, m AS dim,
              CAST(floor(v[m + 1] * 1e6 + 0.5) AS BIGINT) AS x_fp
-      FROM (SELECT vec_id, v, unnest(range(0, $dim)) AS m FROM emb)),
+      FROM (SELECT vec_id, v, unnest(range(0, $dim)) AS m FROM clean)),
     s AS (
       SELECT dim, ${sideSel("a", "in_a")}, ${sideSel("b", "NOT in_a")}
       FROM comp GROUP BY dim)

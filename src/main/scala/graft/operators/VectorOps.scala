@@ -631,11 +631,28 @@ object VectorOps {
     * HUGEINT plays the same role there). One posexplode + one partial-agg'd
     * groupBy(dim) — a single corpus pass, 64 output rows regardless of n.
     */
+  /** THE per-component fixed point (µunits) — one definition shared by
+    * dimStats, dimDrift, and the gram fold's Scala twin; a precision
+    * change here is the only place to make it.
+    */
+  private[graft] def fpMicro(x: Column): Column =
+    floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long")
+
+  /** Closing std-from-exact-sums SQL (variance in (µunit)², std back in
+    * µunits) over the named n/sum/sumsq columns — shared by dimStats and
+    * dimDrift so the drift spec's "equals dimStats per half" invariant
+    * cannot drift apart.
+    */
+  private def stdClosingSql(n: String, sum: String, sumsq: String): String =
+    s"""cast(floor(sqrt(greatest(
+          cast($sumsq as double) / $n
+          - (cast($sum as double) / $n) * (cast($sum as double) / $n),
+          0.0)) + 0.5) as bigint)"""
+
   def dimStats(corpus: DataFrame): DataFrame = {
-    val fp = floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long")
     corpus
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("dim").cast("long").as("dim"), fp.as("x_fp"))
+      .select(col("dim").cast("long").as("dim"), fpMicro(col("x")).as("x_fp"))
       .groupBy("dim")
       .agg(count(lit(1)).as("n"),
            sum(col("x_fp")).as("sum_fp"),
@@ -647,11 +664,7 @@ object VectorOps {
            max(col("x_fp")).as("max_fp"))
       .select(col("dim"), col("n"),
         expr("sum_fp div n").as("mean_fp"),
-        // variance in (µunit)² from exact longs; std back in µunits
-        expr("""cast(floor(sqrt(greatest(
-                  cast(sumsq_fp2 as double) / n
-                  - (cast(sum_fp as double) / n) * (cast(sum_fp as double) / n),
-                  0.0)) + 0.5) as bigint)""").as("std_fp"),
+        expr(stdClosingSql("n", "sum_fp", "sumsq_fp2")).as("std_fp"),
         col("min_fp"), col("max_fp"))
   }
 
@@ -675,45 +688,6 @@ object VectorOps {
     * DECIMAL(38,0) — same accumulator discipline as dimStats, mirrored by
     * the oracle's HUGEINT.
     */
-  /** Snapshot drift monitor — the check [[dimStats]] feeds: per-dimension
-    * mean/std compared across two corpus halves (vec_id parity is the
-    * deterministic stand-in for "previous vs current snapshot"; a real
-    * deployment passes a snapshot-id predicate instead). A dimension
-    * whose mean shifts or variance collapses between snapshots flags an
-    * upstream embedding-model or preprocessing change before it poisons
-    * a training run. Same exactness discipline as dimStats (fixed-point
-    * longs, DECIMAL(38,0) squared sums, one closing double per cell) —
-    * and ONE corpus pass: both halves aggregate in the same groupBy via
-    * conditional sums, not two filtered scans.
-    */
-  def dimDrift(corpus: DataFrame): DataFrame = {
-    val fp = floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long")
-    val comp = corpus
-      .select((col("vec_id") % 2 === 0).as("in_a"),
-              posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("in_a"), col("dim").cast("long").as("dim"), fp.as("x_fp"))
-    def side(cond: Column, tag: String) = Seq(
-      sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"),
-      sum(when(cond, col("x_fp")).otherwise(0L)).as(s"sum_$tag"),
-      sum(when(cond, (col("x_fp") * col("x_fp")).cast("decimal(38,0)"))
-        .otherwise(lit(0).cast("decimal(38,0)"))).as(s"sumsq_$tag"))
-    val aggs = side(col("in_a"), "a") ++ side(!col("in_a"), "b")
-    def meanStd(tag: String) = Seq(
-      expr(s"case when n_$tag = 0 then cast(null as bigint) " +
-           s"else sum_$tag div n_$tag end").as(s"mean_${tag}_fp"),
-      expr(s"""case when n_$tag = 0 then cast(null as bigint)
-               else cast(floor(sqrt(greatest(
-                 cast(sumsq_$tag as double) / n_$tag
-                 - (cast(sum_$tag as double) / n_$tag)
-                   * (cast(sum_$tag as double) / n_$tag), 0.0)) + 0.5)
-                 as bigint) end""").as(s"std_${tag}_fp"))
-    comp.groupBy("dim")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(Seq(col("dim"), col("n_a"), col("n_b")) ++
-        meanStd("a") ++ meanStd("b"): _*)
-      .withColumn("mean_delta_fp", col("mean_a_fp") - col("mean_b_fp"))
-  }
-
   /** |x_fp| bound that keeps a full 2²⁰-row flush window under 2⁶³:
     * (2.9·10⁶)² · 2²⁰ ≈ 8.8·10¹⁸ < 9.2·10¹⁸. Components beyond |x| = 2.9
     * throw loudly instead of wrapping silently (see the in-loop check).
@@ -803,6 +777,48 @@ object VectorOps {
     spark.createDataFrame(partials, schema)
       .groupBy("dim_i", "dim_j")
       .agg(sum(col("part")).as("sum_fp2"))
+  }
+
+  /** Snapshot drift monitor — the check [[dimStats]] feeds: per-dimension
+    * mean/std compared across two corpus halves (vec_id parity is the
+    * deterministic stand-in for "previous vs current snapshot"; a real
+    * deployment passes a snapshot-id predicate instead). A dimension
+    * whose mean shifts or variance collapses between snapshots flags an
+    * upstream embedding-model or preprocessing change before it poisons
+    * a training run. Shares dimStats' exactness machinery ([[fpMicro]],
+    * the closing-std SQL) so the per-half numbers can never drift from
+    * what dimStats itself would report — and ONE corpus pass: both
+    * halves aggregate in the same groupBy via conditional sums, not two
+    * filtered scans. Malformed rows (null / short / null-component
+    * vectors) are excluded whole by the same declarative predicate the
+    * gram operator uses, restated identically in the oracle.
+    */
+  def dimDrift(corpus: DataFrame, dim: Int = 64): DataFrame = {
+    val comp = corpus
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= dim &&
+        !exists(col("embedding"), _.isNull))
+      .select((col("vec_id") % 2 === 0).as("in_a"),
+              posexplode(col("embedding")).as(Seq("dim", "x")))
+      .filter(col("dim") < dim)
+      .select(col("in_a"), col("dim").cast("long").as("dim"),
+              fpMicro(col("x")).as("x_fp"))
+    def side(cond: Column, tag: String) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(cond, col("x_fp")).otherwise(0L)).as(s"sum_$tag"),
+      sum(when(cond, (col("x_fp") * col("x_fp")).cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as(s"sumsq_$tag"))
+    val aggs = side(col("in_a"), "a") ++ side(!col("in_a"), "b")
+    def meanStd(tag: String) = Seq(
+      expr(s"case when n_$tag = 0 then cast(null as bigint) " +
+           s"else sum_$tag div n_$tag end").as(s"mean_${tag}_fp"),
+      expr(s"case when n_$tag = 0 then cast(null as bigint) else " +
+           stdClosingSql(s"n_$tag", s"sum_$tag", s"sumsq_$tag") + " end")
+        .as(s"std_${tag}_fp"))
+    comp.groupBy("dim")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("dim"), col("n_a"), col("n_b")) ++
+        meanStd("a") ++ meanStd("b"): _*)
+      .withColumn("mean_delta_fp", col("mean_a_fp") - col("mean_b_fp"))
   }
 
   def normalizeL2(corpus: DataFrame): DataFrame = {

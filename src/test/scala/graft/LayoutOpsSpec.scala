@@ -13,14 +13,17 @@ class LayoutOpsSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private def events = graft.sources.Tables.events(spark, dir)
 
+  // the ONE in-spec Morton model both tests assert against (a at odd
+  // bits, b at even) — a convention change must update exactly one place
+  private def morton(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, k) =>
+      acc | (((a >> k) & 1L) << (2 * k + 1)) | (((b >> k) & 1L) << (2 * k))
+    }
+
   test("z expression equals the bit-interleave model on both dialects' math") {
     // the Spark dialect's div is the only operator difference; evaluate
-    // the generated expression and compare against a plain Scala Morton
-    // interleave for exhaustive small values
-    def morton(a: Long, b: Long, bits: Int): Long =
-      (0 until bits).foldLeft(0L) { (acc, k) =>
-        acc | (((a >> k) & 1L) << (2 * k + 1)) | (((b >> k) & 1L) << (2 * k))
-      }
+    // the generated expression and compare against the Scala Morton
+    // model for exhaustive small values
     val pairs = for (a <- 0L to 15L; b <- 0L to 15L) yield (a, b)
     val got = pairs.toDF("a", "b")
       .withColumn("z", expr(LayoutOps.zExprSql("a", "b", 4, "div")))
@@ -34,10 +37,6 @@ class LayoutOpsSpec extends AnyFunSuite {
   }
 
   test("z expression property: seeded random values across bit widths") {
-    def morton(a: Long, b: Long, bits: Int): Long =
-      (0 until bits).foldLeft(0L) { (acc, k) =>
-        acc | (((a >> k) & 1L) << (2 * k + 1)) | (((b >> k) & 1L) << (2 * k))
-      }
     val rng = new scala.util.Random(42) // fixed seed — deterministic spec
     for (bits <- Seq(1, 8, 16, 31)) {
       val bound = 1L << bits

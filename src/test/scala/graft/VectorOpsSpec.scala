@@ -63,6 +63,29 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dim drift excludes malformed vectors whole, like gram") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val good = emb.limit(8)
+    val badSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding",
+        ArrayType(FloatType, containsNull = true)),
+      StructField("label", IntegerType)))
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(900001L, null, 0),
+        Row(900002L, Seq(1.0f, 2.0f), 0),
+        Row(900004L, (0 until 64).map(i =>
+          if (i == 3) null else java.lang.Float.valueOf(0.25f)), 0))),
+      badSchema)
+    val mixed = good.select("vec_id", "embedding", "label").unionByName(bad)
+    val fromMixed = VectorOps.dimDrift(mixed).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    val fromGood = VectorOps.dimDrift(good).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(fromMixed == fromGood)
+  }
+
   test("gram upper triangle equals an in-memory exact recount") {
     val rows = emb.select("embedding").as[Seq[Float]].collect()
       .map(_.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray)
