@@ -8,11 +8,20 @@ import graft.streaming.ContinuousSync
 /** CLI entry point mirroring the reference binary
   * (`cmd/cloud-data-sync/main.go`):
   *
-  *   --config <path>    JSON config; created with defaults when absent
-  *                      (main.go:26-35)
-  *   --continuous       sync every --interval seconds until interrupted
-  *                      (main.go:87-106)
-  *   --interval <sec>   cycle period, default 300 (main.go:23)
+  *   --config <path>      JSON config; created with defaults when absent
+  *                        (main.go:26-35)
+  *   --generate-config    write the default config to --config and exit 0
+  *                        (main.go:21,31-39)
+  *   --continuous         sync every --interval seconds until interrupted
+  *                        (main.go:87-106)
+  *   --once               explicit single-cycle mode (main.go:22). NOTE the
+  *                        polarity inversion vs the reference: the reference
+  *                        defaults to continuous and `--once` opts OUT;
+  *                        this binary defaults to once and `--continuous`
+  *                        opts IN (documented in README). `--once` is
+  *                        accepted for reference-parity muscle memory and
+  *                        wins over `--continuous` when both are given.
+  *   --interval <sec>     cycle period, default 300 (main.go:23)
   *
   * Exit code 0 when every mapping synced, 1 on config errors or any
   * failed mapping — the reference's log.Fatalf surface.
@@ -49,6 +58,8 @@ object Main {
   def run(spark: SparkSession, args: Array[String]): Int = {
     var configPath = "config.json"
     var continuous = false
+    var once = false
+    var generateOnly = false
     var intervalSec = 300L
     var i = 0
     while (i < args.length) {
@@ -64,8 +75,25 @@ object Main {
               return 1
           }
         case "--continuous" => continuous = true; i += 1
+        case "--once" => once = true; i += 1
+        case "--generate-config" => generateOnly = true; i += 1
         case other =>
           System.err.println(s"[sync] unknown argument: $other"); return 1
+      }
+    }
+    if (once) continuous = false // explicit --once beats --continuous
+
+    if (generateOnly) {
+      // generate-and-exit, never syncs (main.go:31-39); unlike loadOrCreate
+      // this OVERWRITES an existing file, matching SaveDefaultConfig
+      return try {
+        SyncConfig.saveDefault(configPath)
+        System.err.println(s"[sync] generated default config at $configPath")
+        0
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[sync] error generating config: ${e.getMessage}")
+          1
       }
     }
 

@@ -55,9 +55,33 @@ object Barriers {
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        // (isLocallyCheckpointed is private[spark]; the session strategy
+        // tells us the same thing — LogicalRDD frames come from the
+        // localCheckpoint/checkpoint strategies and only local ones warn.)
+        if (df.sparkSession.conf.get(StrategyKey, "localCheckpoint") == "localCheckpoint")
+          muteUnpersistWarn(lr.rdd.getClass.getName)
         lr.rdd.unpersist(false)
       case _ => df.unpersist(false)
     }
+
+  /** `RDD.unpersist` on a locally-checkpointed RDD logs a WARN that the
+    * lineage "cannot be recomputed after unpersisting" — for release()
+    * that is the POINT (the frame is dead by contract, see above), yet the
+    * warning lands in every bench log and reads as a false scale signal
+    * (same class of noise as WindowExec's no-partition warning, r11).
+    * The warning can't be avoided at the source — there is no
+    * unpersist-without-warning API — so the concrete RDD class's logger is
+    * raised to ERROR, once per class. Scope is tight: release() is the
+    * only call site in this codebase that unpersists local checkpoints,
+    * and the logger (e.g. o.a.s.rdd.MapPartitionsRDD) emits nothing else
+    * at WARN in our paths.
+    */
+  private val mutedLoggers =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def muteUnpersistWarn(loggerName: String): Unit =
+    if (mutedLoggers.add(loggerName))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        loggerName, org.apache.logging.log4j.Level.ERROR)
 
   /** Materialize `df` under the session-configured strategy. `eager` forces
     * computation now (iterative loops want this — the round's work must

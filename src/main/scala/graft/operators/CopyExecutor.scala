@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.TaskConf
 
 import java.net.URI
 
@@ -39,8 +40,11 @@ object CopyExecutor {
     val ts = tasks.select(col("name"), col("size"), col("content_type")).as[CopyTask]
     val repartitioned =
       if (partitions > 0) ts.repartition(partitions) else ts
+    // Session conf rides the closure so task-side FileSystems see the
+    // ProviderFactory endpoints/credentials (not just core-site defaults).
+    val taskConf = TaskConf(spark)
     repartitioned.mapPartitions { it =>
-      val conf = new Configuration()
+      val conf = taskConf.value
       val srcFs = FileSystem.get(URI.create(srcBucket), conf)
       val dstFs = FileSystem.get(URI.create(dstBucket), conf)
       val buf = new Array[Byte](1 << 20)
@@ -97,9 +101,10 @@ object CopyExecutor {
   def compactObjects(spark: SparkSession, bins: DataFrame,
                      srcBucket: String, dstBucket: String): Dataset[CompactReceipt] = {
     import spark.implicits._
+    val taskConf = TaskConf(spark)
     bins.select(col("target_name"), col("members")).as[CompactionBin]
       .mapPartitions { it =>
-        val conf = new Configuration()
+        val conf = taskConf.value
         val srcFs = FileSystem.get(URI.create(srcBucket), conf)
         val dstFs = FileSystem.get(URI.create(dstBucket), conf)
         val buf = new Array[Byte](1 << 20)
@@ -145,8 +150,9 @@ object CopyExecutor {
   def deleteObjects(spark: SparkSession, orphans: DataFrame,
                     dstBucket: String): Dataset[DeleteReceipt] = {
     import spark.implicits._
+    val taskConf = TaskConf(spark)
     orphans.select(col("name")).as[DeleteTask].mapPartitions { it =>
-      val fs = FileSystem.get(URI.create(dstBucket), new Configuration())
+      val fs = FileSystem.get(URI.create(dstBucket), taskConf.value)
       it.map { t =>
         val path = new Path(dstBucket + "/" + t.name)
         try {

@@ -18,15 +18,14 @@ object CorpusPipeline {
     * candidate pairs resolved by dropping the larger doc_id.
     */
   def cleanCorpus(docs: DataFrame, minQuality: Double): DataFrame = {
-    val lang = TextOps.langId(docs)
-      .filter(col("predicted_lang") === "en")
-      .select("doc_id")
-    val quality = TextOps.qualityScore(docs)
-      .filter(col("quality_score") >= minQuality)
-      .select("doc_id")
+    // Language and quality are pure per-row predicates — filter INLINE on
+    // the shared single-column expressions rather than joining langId /
+    // qualityScore projections back on doc_id (each such join is a full
+    // corpus self-shuffle at 100×; r12 verdict item 3). One scan of
+    // `docs` now feeds the dedup window directly.
     val candidates = docs
-      .join(lang, Seq("doc_id"))
-      .join(quality, Seq("doc_id"))
+      .filter(TextOps.predictedLangExpr === "en" &&
+              TextOps.qualityScoreExpr >= minQuality)
 
     // exact dedup: keep the lowest doc_id per content hash
     val keepers = candidates

@@ -57,20 +57,27 @@ object TextOps {
   private def markerHits(toks: Column, markers: Seq[String]): Column =
     graft.functions.MarkerCount.marker_count(toks, markers)
 
-  def langId(docs: DataFrame): DataFrame = {
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"),
+                predictedLangExpr.as("predicted_lang"))
+
+  /** The [[langId]] prediction as one self-contained column (the
+    * [[qualityScoreExpr]] analog) so pipelines can FILTER on language
+    * inline instead of joining a langId projection back on doc_id —
+    * langId is a pure per-row function, and a doc_id self-join of the
+    * corpus to evaluate it is a full shuffle at scale (r12 verdict
+    * item 3). [[langId]] itself is built from this expression, so the
+    * two can't drift. Catalyst's subexpression elimination shares the
+    * repeated tokens/score subtrees inside whole-stage codegen.
+    */
+  private[graft] def predictedLangExpr: Column = {
     val toks = tokens(col("text"))
-    val scored = docs.select(
-      col("doc_id") +: col("lang").as("labeled_lang") +:
-        LangProfiles.map { case (l, ms) => markerHits(toks, ms).as(s"score_$l") }: _*)
-    val best = LangProfiles.map { case (l, _) => col(s"score_$l") }
-      .reduce((a, b) => greatest(a, b))
+    val scores = LangProfiles.map { case (l, ms) => l -> markerHits(toks, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // first matching profile wins ties (when-chain short-circuits in order)
-    val pred = LangProfiles.foldLeft(when(lit(false), lit("")): Column) {
-      case (chain, (l, _)) =>
-        chain.when(col(s"score_$l") === best && best > 0, lit(l))
+    scores.foldLeft(when(lit(false), lit("")): Column) {
+      case (chain, (l, s)) => chain.when(s === best && best > 0, lit(l))
     }.otherwise(lit("und"))
-    scored.withColumn("predicted_lang", pred)
-      .select("doc_id", "labeled_lang", "predicted_lang")
   }
 
   /** Quality scoring: token count, mean word length, stopword ratio,

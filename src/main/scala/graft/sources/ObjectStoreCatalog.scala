@@ -69,9 +69,27 @@ object ObjectStoreCatalog {
     * first-level prefixes, executors recurse in parallel — the listing
     * equivalent of partitioned scan, so a 100 M-object bucket never
     * materializes on the driver (SURVEY.md §7.4: never collect catalogs).
+    *
+    * Skew handling (r12 verdict item 5): a first-level prefix holding 90 M
+    * objects must not recurse inside ONE task. Before the scan, a bounded
+    * number of cheap split rounds probes each pending prefix one level
+    * (`listStatus`, names only — object rows never touch the driver): a
+    * prefix whose direct entry count exceeds `splitThreshold` is split —
+    * its direct files become a shallow work item and each child directory
+    * becomes its own pending prefix. After `maxSplitDepth` rounds (or when
+    * nothing is oversized) the surviving prefixes scan recursively in
+    * parallel. Driver traffic per round is directory NAMES at split
+    * boundaries only — O(#dirs), not O(#objects).
+    *
+    * Task-side FileSystems are built from [[TaskConf]] (the session conf),
+    * so s3a/gcs/abfs endpoint + credential keys set by ProviderFactory are
+    * visible inside tasks — a bare `new Configuration()` would silently
+    * drop them on a real cluster (r12 verdict item 2).
     */
   def scanCatalogDistributed(spark: SparkSession, bucketUri: String,
-                             parallelism: Int = 32): DataFrame = {
+                             parallelism: Int = 32,
+                             splitThreshold: Int = 4096,
+                             maxSplitDepth: Int = 4): DataFrame = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val fs = FileSystem.get(URI.create(bucketUri), conf)
     val root = new Path(bucketUri)
@@ -80,15 +98,57 @@ object ObjectStoreCatalog {
         spark.sparkContext.emptyRDD[Row], CatalogSchema)
     val (dirs, files) = fs.listStatus(root).partition(_.isDirectory)
     val topRows = files.map(st => toRow(bucketUri, relName(bucketUri, st.getPath), st))
-    val prefixes = dirs.map(_.getPath.toString)
-    val nested = spark.sparkContext
-      .parallelize(prefixes.toSeq, math.max(1, math.min(parallelism, prefixes.length)))
+    val taskConf = TaskConf(spark)
+    val sc = spark.sparkContext
+
+    // Split rounds: pending prefixes whose direct fan-out is oversized are
+    // replaced by (shallow item for their direct files) + child prefixes.
+    final case class Probe(uri: String, oversized: Boolean, children: Seq[String])
+    var pending: Seq[String] = dirs.map(_.getPath.toString).toSeq
+    var recursiveItems = Vector.empty[String] // scan subtree in one task
+    var shallowItems = Vector.empty[String]   // direct files only (children split off)
+    var round = 0
+    while (pending.nonEmpty && round < maxSplitDepth) {
+      val thr = splitThreshold
+      val probes = sc
+        .parallelize(pending, math.max(1, math.min(parallelism, pending.length)))
+        .map { p =>
+          val tfs = FileSystem.get(URI.create(p), taskConf.value)
+          val entries = tfs.listStatus(new Path(p))
+          val kids = entries.filter(_.isDirectory)
+          // Oversized = too many direct entries; splitting only helps if
+          // there are child dirs to hand out.
+          Probe(p, entries.length > thr && kids.nonEmpty,
+                kids.map(_.getPath.toString).toSeq)
+        }
+        .collect()
+      val (fat, lean) = probes.partition(_.oversized)
+      recursiveItems ++= lean.map(_.uri)
+      shallowItems ++= fat.map(_.uri)
+      pending = fat.flatMap(_.children).toSeq
+      round += 1
+    }
+    recursiveItems ++= pending // depth budget exhausted: scan as-is
+
+    val recRdd = sc
+      .parallelize(recursiveItems, math.max(1, math.min(parallelism, math.max(1, recursiveItems.length))))
       .mapPartitions { it =>
-        val c = new Configuration()
+        val c = taskConf.value
         it.flatMap(p => listPrefix(c, p, prefixOf(bucketUri, p)))
       }
+    val shallowRdd = sc
+      .parallelize(shallowItems, math.max(1, math.min(parallelism, math.max(1, shallowItems.length))))
+      .mapPartitions { it =>
+        val c = taskConf.value
+        it.flatMap { p =>
+          val tfs = FileSystem.get(URI.create(p), c)
+          val pfx = prefixOf(bucketUri, p)
+          tfs.listStatus(new Path(p)).iterator.filterNot(_.isDirectory)
+            .map(st => toRow(bucketUri, pfx + st.getPath.getName, st))
+        }
+      }
     spark.createDataFrame(
-      nested ++ spark.sparkContext.parallelize(topRows.toSeq, 1), CatalogSchema)
+      recRdd ++ shallowRdd ++ sc.parallelize(topRows.toSeq, 1), CatalogSchema)
   }
 
   private def prefixOf(bucketUri: String, dirUri: String): String = {

@@ -46,4 +46,33 @@ class MainSpec extends AnyFunSuite {
     // validation fails before any sync runs, so nothing is written
     assert(Main.run(spark, Array("--config", bad.toString)) == 1)
   }
+
+  test("--generate-config writes defaults and exits without syncing") {
+    val root = Files.createTempDirectory("graft-cli3")
+    val cfg = root.resolve("gen.json")
+    assert(Main.run(spark, Array("--generate-config", "--config", cfg.toString)) == 0)
+    assert(Files.exists(cfg))
+    assert(graft.config.SyncConfig.load(cfg.toString).validate().isEmpty)
+    // generate-and-exit OVERWRITES (SaveDefaultConfig semantics): clobber a
+    // stale file and confirm the content is the pristine default again
+    write(cfg, """{"providers": []}""")
+    assert(Main.run(spark, Array("--generate-config", "--config", cfg.toString)) == 0)
+    assert(graft.config.SyncConfig.load(cfg.toString).providers.nonEmpty)
+  }
+
+  test("--once wins over --continuous and runs a single cycle") {
+    val root = Files.createTempDirectory("graft-cli4")
+    write(root.resolve("src/b.txt"), "world")
+    val cfgPath = root.resolve("config.json")
+    write(cfgPath,
+      s"""{"providers": [{"id": "local", "type": "file", "uri": "file://$root"}],
+          "mappings": [{"sourceProviderId": "local", "sourceBucket": "src",
+                        "targetProviderId": "local", "targetBucket": "dst"}],
+          "ledgerPath": "$root/ledger"}""")
+    // --once + --continuous must return (continuous mode would block on
+    // awaitTermination), proving --once forced the single cycle
+    assert(Main.run(spark, Array("--config", cfgPath.toString,
+                                 "--once", "--continuous")) == 0)
+    assert(new String(Files.readAllBytes(root.resolve("dst/b.txt"))) == "world")
+  }
 }
