@@ -1299,7 +1299,9 @@ object OracleExt {
     s AS (
       SELECT dim, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x_fp) AS BIGINT) AS sum_fp,
-             sum(x_fp * x_fp) AS sumsq_fp2,
+             -- promote before multiplying (BIGINT·BIGINT would error at
+             -- |x| ≈ 3034) — one discipline with embeddingDimDrift/gram
+             sum(CAST(x_fp AS HUGEINT) * x_fp) AS sumsq_fp2,
              min(x_fp) AS min_fp, max(x_fp) AS max_fp
       FROM comp GROUP BY dim)
     SELECT dim, n, sum_fp // n AS mean_fp,

@@ -267,6 +267,32 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
 
 object SyncEngine {
 
+  /** One TTL constant shared by the lock's staleness machinery and
+    * readLedger's proof-of-life check, so the two heuristics can't drift.
+    */
+  private[graft] val DefaultStaleTtlMs: Long = 600000L
+
+  /** Object-store schemes whose `create(path, overwrite = false)` is
+    * check-then-create rather than atomic — a ledger lock there is a
+    * broken mutex. abfs/abfss are deliberately NOT listed: on
+    * hierarchical-namespace accounts the driver's conditional create IS
+    * atomic (and non-HNS abfs is a misconfiguration with louder failures
+    * than this one). HDFS, file, and NFS-backed file are the supported
+    * homes for the ledger.
+    */
+  private[graft] val NonAtomicCreateSchemes: Set[String] =
+    Set("s3a", "s3", "s3n", "gs", "wasb", "wasbs", "oss", "cos", "swift")
+
+  private[graft] def requireAtomicCreateScheme(scheme: Option[String]): Unit =
+    scheme.map(_.toLowerCase).filter(NonAtomicCreateSchemes).foreach { s =>
+      throw new IllegalStateException(
+        s"ledger lock on '$s://' cannot be atomic: create-no-overwrite is " +
+        "check-then-create on this store, so two drivers could both acquire " +
+        "the commit lock and race the read-merge-swap. Point ledgerPath at " +
+        "a real filesystem (file://, HDFS, NFS mount) or serialize commits " +
+        "with an external lock service.")
+    }
+
   /** Serializes ledger read-merge-swap commits across every concurrent
     * mapping (and every engine instance) in this driver JVM — the ledger
     * is one table rewritten whole, so the commit is the single shared
@@ -335,11 +361,12 @@ object SyncEngine {
     *    read loops to EOF (a single short read must not misread ours as
     *    foreign and leak the file until the TTL).
     *
-    * Store caveat, documented not hidden: S3-style object stores have no
-    * atomic create-no-overwrite either — there, point the ledger at a
-    * real filesystem (HDFS/NFS) or front commits with an external lock
-    * service; a timeout here throws loudly rather than proceeding
-    * unlocked.
+    * Store caveat, ENFORCED not just documented: S3-style object stores
+    * have no atomic create-no-overwrite either — acquisition checks the
+    * ledger scheme against [[NonAtomicCreateSchemes]] and throws up front,
+    * so an s3a:// ledger fails loudly instead of proceeding with a broken
+    * mutex. Point the ledger at a real filesystem (HDFS/NFS) or front
+    * commits with an external lock service.
     *
     * `heartbeat = false` exists for specs: it simulates an owner whose
     * process can no longer refresh (the crash the TTL is for) while the
@@ -353,11 +380,22 @@ object SyncEngine {
       // — for a sync engine, eventual progress beats fast failure. An
       // honest contending hold is seconds (the in-lock work is the cheap
       // merge), so the long timeout is only ever reached past a crash.
-      timeoutMs: Long = 660000, staleTtlMs: Long = 600000,
+      timeoutMs: Long = 660000, staleTtlMs: Long = DefaultStaleTtlMs,
       heartbeat: Boolean = true)(body: => A): A = {
     val lock = new org.apache.hadoop.fs.Path(ledgerPath + ".lock")
     val breakLock = new org.apache.hadoop.fs.Path(ledgerPath + ".lock.break")
+    // Enforce the documented contract BEFORE building a mutex that isn't
+    // one: on stores whose create(overwrite=false) is check-then-create
+    // (two drivers can both "win"), the code must throw loudly here, not
+    // proceed with a broken lock and silently race the read-merge-swap.
+    // Raw-URI check first — it needs no connector jar on the classpath.
+    requireAtomicCreateScheme(
+      Option(new org.apache.hadoop.fs.Path(ledgerPath).toUri.getScheme))
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // and again post-qualification, catching a scheme-less ledgerPath
+    // resolved by a non-atomic DEFAULT filesystem
+    requireAtomicCreateScheme(
+      Option(fs.makeQualified(lock).toUri.getScheme))
     val token = java.util.UUID.randomUUID().toString
     val breakTtlMs = math.max(5000L, staleTtlMs / 10)
     // local filesystems get the kernel's O_EXCL create; qualify through
@@ -527,7 +565,8 @@ object SyncEngine {
   // crash signatures and must not pay the full 5 s production wait); the
   // default 50 × 100 ms bound is the production behavior
   def readLedger(spark: SparkSession, path: String,
-                 swapWaitSleepMs: Long = 100): DataFrame = {
+                 swapWaitSleepMs: Long = 100,
+                 lockStaleTtlMs: Long = DefaultStaleTtlMs): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // another driver's commit swap (rename dst→old, rename tmp→dst) has a
@@ -542,15 +581,31 @@ object SyncEngine {
            waits < 50) {
       Thread.sleep(swapWaitSleepMs); waits += 1
     }
-    // signature STILL present after 5 s ⇒ the committer is dead (the swap
-    // is two renames — milliseconds when alive), and falling through to
-    // an empty read would be DATA LOSS one step later: the next commit
-    // would merge against empty and its own swap deletes `.old`, the only
-    // surviving copy. RECOVER instead: roll the crashed commit FORWARD if
-    // its tmp completed (tmp is fully written before the first rename —
-    // `_SUCCESS` is the witness), else roll BACK to `.old`. A rename that
-    // loses a (vanishingly rare) race with a resurrected committer just
-    // returns false — dst then holds that committer's result, also fine.
+    // signature STILL present after 5 s ⇒ the committer is PROBABLY dead
+    // (the swap is two renames — milliseconds when alive), and falling
+    // through to an empty read would be DATA LOSS one step later: the next
+    // commit would merge against empty and its own swap deletes `.old`,
+    // the only surviving copy. But "probably" isn't a license to mutate
+    // dst under a LIVE committer merely stalled past the heuristic (GC
+    // pause, FS stall — the in-lock work is unbounded): the committer
+    // holds `<path>.lock` with a heartbeat-refreshed mtime, so a FRESH
+    // lock is proof of life — keep waiting while it stays fresh. Only a
+    // lock that is absent or older than the stale TTL (the same TTL the
+    // lock's own breaker uses) clears recovery to proceed.
+    val lockP = new org.apache.hadoop.fs.Path(path + ".lock")
+    def committerAlive: Boolean =
+      try System.currentTimeMillis() -
+            fs.getFileStatus(lockP).getModificationTime < lockStaleTtlMs
+      catch { case _: java.io.IOException => false }
+    while (!fs.exists(p) && (fs.exists(oldP) || fs.exists(tmpP)) &&
+           committerAlive) {
+      Thread.sleep(swapWaitSleepMs)
+    }
+    // RECOVER: roll the crashed commit FORWARD if its tmp completed (tmp
+    // is fully written before the first rename — `_SUCCESS` is the
+    // witness), else roll BACK to `.old`. A rename that loses a
+    // (vanishingly rare) race with a resurrected committer just returns
+    // false — dst then holds that committer's result, also fine.
     if (!fs.exists(p)) {
       try {
         if (fs.exists(tmpP) &&

@@ -71,10 +71,25 @@ object LayoutOps {
     */
   private def binnedWithZ(events: DataFrame, bits: Int): DataFrame = {
     val nBins = 1L << bits
+    // (x - min) * nBins must fit a Long, so the observed span is capped at
+    // 2⁶³/nBins; a snowflake-style 64-bit id domain would otherwise wrap to
+    // NEGATIVE bins/z SILENTLY on Spark (DuckDB errors natively — its own
+    // loud guard). Checked once on the 1-row stats frame, in DECIMAL so
+    // the check itself cannot wrap (max − min overflows Long too when the
+    // domain straddles the full range).
+    val maxSpan = Long.MaxValue >> bits
+    def guarded(lo: String, hi: String, what: String) =
+      expr(s"""if(cast($hi as decimal(38,0)) - $lo > ${maxSpan}L,
+        raise_error(concat('zorder: observed $what span ',
+          cast(cast($hi as decimal(38,0)) - $lo as string),
+          ' exceeds $maxSpan; bin arithmetic would overflow — reduce bits or pre-scale')),
+        $lo)""").as(lo)
     val stats = events.agg(
       min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
       expr("min(unix_micros(ts))").as("min_t"),
       expr("max(unix_micros(ts))").as("max_t"))
+      .select(guarded("min_u", "max_u", "user_id"), col("max_u"),
+              guarded("min_t", "max_t", "ts-micros"), col("max_t"))
     events.crossJoin(broadcast(stats))
       .withColumn("u_bin",
         expr(s"(user_id - min_u) * $nBins div (max_u - min_u + 1)"))

@@ -426,9 +426,16 @@ object VectorOps {
     * recall; identical predicate on the DuckDB side keeps the row hash-gated.
     */
   private[graft] def md5SampleQueries(corpus: DataFrame,
-                                      maxQueries: Int): DataFrame =
-    corpus.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+                                      maxQueries: Int): DataFrame = {
+    // ids-only TakeOrdered (the documented shape): rank a vec_id-only
+    // projection so the top-k heap carries 8-byte ids, not 64-float
+    // vectors, then broadcast the tiny winner set back onto the corpus —
+    // the embedding column rides only the maxQueries survivors.
+    val ids = corpus.select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(maxQueries)
+    corpus.join(broadcast(ids), Seq("vec_id"))
+  }
 
   /** Deterministic k-means over the embedding corpus (Lloyd, `maxIter`
     * refine passes with assignment-fixpoint early exit): seeds = the
@@ -656,9 +663,11 @@ object VectorOps {
       .groupBy("dim")
       .agg(count(lit(1)).as("n"),
            sum(col("x_fp")).as("sum_fp"),
-           // per-element product stays in long (≤ ~1e12 ≪ 2⁶³); only the
-           // ACCUMULATION needs the wide type
-           sum((col("x_fp") * col("x_fp")).cast("decimal(38,0)"))
+           // promote BEFORE squaring (decimal·long, not long·long): a
+           // component beyond |x| ≈ 3034 would wrap x_fp² in Long silently
+           // while the oracle's HUGEINT stays exact — same discipline as
+           // the oracle's CAST(x_fp AS HUGEINT) * x_fp
+           sum(col("x_fp").cast("decimal(38,0)") * col("x_fp"))
              .as("sumsq_fp2"),
            min(col("x_fp")).as("min_fp"),
            max(col("x_fp")).as("max_fp"))
@@ -805,7 +814,8 @@ object VectorOps {
     def side(cond: Column, tag: String) = Seq(
       sum(when(cond, 1L).otherwise(0L)).as(s"n_$tag"),
       sum(when(cond, col("x_fp")).otherwise(0L)).as(s"sum_$tag"),
-      sum(when(cond, (col("x_fp") * col("x_fp")).cast("decimal(38,0)"))
+      // promote BEFORE squaring — see dimStats' sumsq_fp2 note
+      sum(when(cond, col("x_fp").cast("decimal(38,0)") * col("x_fp"))
         .otherwise(lit(0).cast("decimal(38,0)"))).as(s"sumsq_$tag"))
     val aggs = side(col("in_a"), "a") ++ side(!col("in_a"), "b")
     def meanStd(tag: String) = Seq(

@@ -142,4 +142,31 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(spans > full * 0.5,
       s"raw interleave should NOT constrain users (avg span $spans of $full)")
   }
+
+  test("snowflake-scale id spans fail loudly instead of wrapping to negative bins") {
+    // span > 2^63/2^8: (id - min) * 256 would overflow Long and interleave
+    // garbage; the guard must throw, not produce a silent corrupt layout
+    val wide = Seq((0L, "2024-01-01 00:00:00"),
+                   (Long.MaxValue / 128, "2024-01-01 01:00:00"))
+      .toDF("user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val e = intercept[Exception] {
+      LayoutOps.zorderSkippingReport(wide, bits = 8, buckets = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("span")), msgs(e).mkString(" | "))
+
+    // a full-range domain also wraps the max-min span arithmetic itself;
+    // the decimal-space check still catches it
+    val full = Seq((Long.MinValue + 1, "2024-01-01 00:00:00"),
+                   (Long.MaxValue, "2024-01-01 01:00:00"))
+      .toDF("user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val e2 = intercept[Exception] {
+      LayoutOps.zorderSkippingReport(full, bits = 8, buckets = 2).collect()
+    }
+    assert(msgs(e2).exists(_.contains("span")), msgs(e2).mkString(" | "))
+  }
 }

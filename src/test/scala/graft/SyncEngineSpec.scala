@@ -176,6 +176,41 @@ class SyncEngineSpec extends AnyFunSuite {
     val back = SyncEngine.readLedger(spark, p2, swapWaitSleepMs = 1)
       .select("object_name").collect().map(_.getString(0)).toSet
     assert(back == Set("objA", "objB"), s"roll-back read $back")
+
+    // a FRESH commit lock is proof of life: the committer may just be
+    // stalled (GC pause) between its two swap renames, and recovery
+    // renaming dst underneath it would corrupt the swap. The reader must
+    // keep waiting until the lock goes stale, THEN recover.
+    val r3 = Files.createTempDirectory("graft-swap-wait")
+    val p3 = mkLedger(r3, Seq("objW"))
+    val fs3 = new org.apache.hadoop.fs.Path(p3).getFileSystem(fsConf)
+    assert(fs3.rename(new org.apache.hadoop.fs.Path(p3),
+      new org.apache.hadoop.fs.Path(p3 + ".old")))
+    Files.write(java.nio.file.Paths.get(p3 + ".lock"),
+      "live-committer".getBytes("UTF-8")) // fresh mtime = now
+    val t0 = System.nanoTime()
+    val waited = SyncEngine.readLedger(spark, p3, swapWaitSleepMs = 5,
+        lockStaleTtlMs = 800)
+      .select("object_name").collect().map(_.getString(0)).toSet
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(waited == Set("objW"), s"deferred recovery read $waited")
+    assert(elapsedMs >= 700,
+      s"recovery must defer to the fresh lock (~800 ms TTL), took $elapsedMs ms")
+  }
+
+  test("ledger lock refuses non-atomic create schemes up front") {
+    // s3a create-no-overwrite is check-then-create: two drivers can both
+    // "acquire" — the contract is to throw loudly, never run the body
+    val e = intercept[IllegalStateException] {
+      SyncEngine.withLedgerFileLock(spark, "s3a://bucket/ledger") { 42 }
+    }
+    assert(e.getMessage.contains("cannot be atomic"), e.getMessage)
+    // the check needs no connector jar (raw-URI scheme check fires first:
+    // this classpath has no s3a filesystem at all)
+    val e2 = intercept[IllegalStateException] {
+      SyncEngine.withLedgerFileLock(spark, "gs://bucket/ledger") { 42 }
+    }
+    assert(e2.getMessage.contains("cannot be atomic"))
   }
 
   test("ledger file lock: two simulated drivers race commits, zero lost rows") {
