@@ -2191,6 +2191,41 @@ object OracleExt {
     SELECT * FROM r ORDER BY layout, bucket"""
   }
 
+  /** Mirrors LayoutOps.zorderRankSkippingReport: equal-FREQUENCY bins via
+    * exact starting rank over each dimension's distinct-value histogram
+    * (user ids raw; time at second resolution), same z-interleave and
+    * fixed-width z buckets. Window default frames agree across engines
+    * here because the histogram rows are distinct in the ORDER BY key
+    * (no peers for RANGE framing to disagree on).
+    */
+  def zorderRankLayout(bits: Int, buckets: Int): String = {
+    require(buckets >= 2 && Integer.bitCount(buckets) == 1,
+      s"buckets must be a power of two >= 2, got $buckets")
+    require(2 * bits <= 62, s"2*bits must fit a long, got $bits")
+    require(buckets <= (1L << bits),
+      s"buckets ($buckets) must not exceed 2^bits (${1L << bits})")
+    val nBins = 1L << bits
+    val zWidth = (1L << (2 * bits)) / buckets
+    val z = graft.operators.LayoutOps.zExprSql("u_bin", "t_bin", bits, "//")
+    def binCte(src: String, v: String) = s"""
+      SELECT $v, least(${nBins - 1},
+               (sum(cnt) OVER (ORDER BY $v) - cnt) * $nBins // sum(cnt) OVER ())
+               AS ${if (v == "user_id") "u_bin" else "t_bin"}
+      FROM (SELECT $v, count(*) AS cnt FROM $src GROUP BY 1)"""
+    s"""WITH $EvCte,
+    evs AS (SELECT user_id, ts, epoch_us(ts) // 1000000 AS ts_s FROM ev),
+    ub AS (${binCte("evs", "user_id")}),
+    tb AS (${binCte("evs", "ts_s")}),
+    zb AS (
+      SELECT e.user_id, e.ts, $z AS z
+      FROM evs e JOIN ub USING (user_id) JOIN tb USING (ts_s))
+    SELECT 'zorder_rank' AS layout, z // $zWidth AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(user_id) AS min_user, max(user_id) AS max_user,
+           min(epoch_us(ts)) AS min_t_us, max(epoch_us(ts)) AS max_t_us
+    FROM zb GROUP BY 2 ORDER BY 2"""
+  }
+
   /** Oracle for the SALTED join: plain join + aggregate. Salting is pure
     * execution mechanics — the salt column joins against an exploded copy
     * of itself and is dropped — so the salted plan must produce exactly

@@ -1588,6 +1588,13 @@ object SparkEntry {
       graft.operators.LayoutOps.zorderSkippingReport(T.events(s, d))
         .orderBy("layout", "bucket")),
 
+    "events_zorder_layout_rank" -> ((s, d) =>
+      // equal-FREQUENCY (rank) binning twin: exact starting-rank bins over
+      // each dimension's distinct-value histogram — the tighter-clustering
+      // form under value skew, priced at one quantile pass per dimension
+      graft.operators.LayoutOps.zorderRankSkippingReport(T.events(s, d))
+        .orderBy("bucket")),
+
     "events_skew_join" -> ((s, d) => {
       // SkewOps.saltedJoin under parity: the salted plan must emit exactly
       // the unsalted join's rows (the oracle is the plain join) — salting
@@ -2216,6 +2223,8 @@ object SparkEntry {
     "events_json_agg" -> OracleExt.eventsJsonAgg,
     "events_skew_join" -> OracleExt.eventsSkewJoin,
     "events_zorder_layout" -> OracleExt.zorderLayout(bits = 8, buckets = 16),
+    "events_zorder_layout_rank" ->
+      OracleExt.zorderRankLayout(bits = 8, buckets = 16),
     "events_sessionize" -> OracleExt.eventsSessionize,
     "events_funnel" -> OracleExt.eventsFunnel,
     "events_top_percent" -> OracleExt.eventsTopPercent(1),

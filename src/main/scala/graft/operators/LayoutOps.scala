@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   *    to a time sort; measured in LayoutOpsSpec). Under heavy VALUE skew
   *    an equal-frequency (rank) binning clusters tighter still — that
   *    variant costs a per-dimension quantile pass; the equal-width form
-  *    is the cheap standard and is what the oracle restates.
+  *    is the cheap standard. BOTH are implemented and oracle-checked:
+  *    [[zorderSkippingReport]] (equal-width) and
+  *    [[zorderRankSkippingReport]] (rank); LayoutOpsSpec measures when
+  *    the extra pass pays.
   *  - The z-value is PURE div/mod/multiply integer arithmetic — one term
   *    builder emits Spark (`div`) and DuckDB (`//`) dialects of the same
   *    expression, so the oracle runs the identical formula; no
@@ -149,6 +152,77 @@ object LayoutOps {
       binned.withColumn("bucket", expr(s"t_bin div ${nBins / buckets}L")),
       "time")
     zorder.unionByName(time)
+      .select("layout", "bucket", "n_events",
+              "min_user", "max_user", "min_t_us", "max_t_us")
+  }
+
+  /** Equal-frequency (rank) binning for one column: bin = the value's
+    * exact STARTING rank scaled to `nBins` — `(rows strictly below v) ·
+    * nBins div n`, capped at nBins-1. Computed over the DISTINCT-VALUE
+    * histogram (groupBy v → cnt, running sum ordered by v), so the
+    * windowed pass touches |distinct values| cells, not n rows — the
+    * "per-dimension quantile pass" the equal-width scaladoc prices this
+    * variant at. Ties share a value, hence a bin: deterministic, and
+    * exactly restatable in SQL (no approx-percentile sketch — the
+    * lengthQuantiles discipline). The single-partition window is the
+    * POINT (cells are domain-bounded: user ids, observed seconds); the
+    * constant pmod key is the vocabGrowth idiom that silences
+    * WindowExec's no-partition warning.
+    */
+  private def rankBinMap(df: DataFrame, v: String, bin: String,
+                         nBins: Long): DataFrame = {
+    val one = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col(v), lit(1)))
+    val hist = df.groupBy(v).agg(count(lit(1)).as("cnt"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(one.orderBy(col(v))))
+      .withColumn("n", sum(col("cnt")).over(one))
+      .withColumn(bin, expr(s"least(${nBins - 1}L, (cum - cnt) * $nBins div n)"))
+      .select(col(v), col(bin))
+  }
+
+  /** The [[binnedWithZ]] twin under equal-FREQUENCY bins (rank binning):
+    * the documented tighter-clustering form under VALUE skew — a heavy
+    * hitter that crowds equal-width bins (one user id region holding most
+    * rows, or a hot hour) gets spread across the curve by rank instead.
+    * Time is rank-binned at SECOND resolution (`unix_micros div 1e6`) so
+    * the time histogram's cell count is bounded by the observed span in
+    * seconds, not by n distinct microsecond stamps.
+    */
+  private def rankBinnedWithZ(events: DataFrame, bits: Int): DataFrame = {
+    val nBins = 1L << bits
+    val withTs = events.withColumn("ts_s", expr("unix_micros(ts) div 1000000"))
+    withTs
+      .join(rankBinMap(events, "user_id", "u_bin", nBins), Seq("user_id"))
+      .join(rankBinMap(withTs.select("ts_s"), "ts_s", "t_bin", nBins), Seq("ts_s"))
+      .withColumn("z", expr(zExprSql("u_bin", "t_bin", bits, "div")))
+  }
+
+  /** [[zorderSkippingReport]]'s layout rows for the RANK-BINNED curve
+    * (layout = 'zorder_rank', same schema): the per-bucket spans a
+    * clustered write under equal-frequency bins would put in its file
+    * footers. Run next to the equal-width report to judge whether a
+    * skewed domain is worth the extra per-dimension quantile pass —
+    * LayoutOpsSpec measures the discriminating fixture, SCALE.md the
+    * span-shrink numbers.
+    */
+  def zorderRankSkippingReport(events: DataFrame, bits: Int = 8,
+                               buckets: Int = 16): DataFrame = {
+    require(buckets >= 2 && Integer.bitCount(buckets) == 1,
+      s"buckets must be a power of two >= 2, got $buckets")
+    require(2 * bits <= 62, s"2*bits must fit a long, got $bits")
+    require(buckets <= (1L << bits),
+      s"buckets ($buckets) must not exceed 2^bits (${1L << bits})")
+    val zWidth = (1L << (2 * bits)) / buckets
+    rankBinnedWithZ(events, bits)
+      .withColumn("bucket", expr(s"z div ${zWidth}L"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_events"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"),
+        expr("min(unix_micros(ts))").as("min_t_us"),
+        expr("max(unix_micros(ts))").as("max_t_us"))
+      .withColumn("layout", lit("zorder_rank"))
       .select("layout", "bucket", "n_events",
               "min_user", "max_user", "min_t_us", "max_t_us")
   }

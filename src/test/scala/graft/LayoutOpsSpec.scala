@@ -143,6 +143,33 @@ class LayoutOpsSpec extends AnyFunSuite {
       s"raw interleave should NOT constrain users (avg span $spans of $full)")
   }
 
+  test("rank binning clusters tighter than equal-width under value skew") {
+    // skewed id domain: 95% of rows live in [0, 100) while a few outliers
+    // stretch the observed range to 1e9 — equal-width collapses the dense
+    // region into bin 0 (the user dimension falls out of the curve), rank
+    // bins keep spreading it
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 2000).map { i =>
+      val uid = if (i % 20 == 0) 1000000000L - rng.nextInt(1000)
+                else rng.nextInt(100).toLong
+      (uid, new java.sql.Timestamp(1700000000000L + i * 60000L))
+    }
+    val skewed = rows.toDF("user_id", "ts")
+    def denseSpans(df: org.apache.spark.sql.DataFrame, layout: String) =
+      df.filter(col("layout") === layout && col("max_user") < 1000000L)
+        .select(avg(col("max_user") - col("min_user"))).head().getDouble(0)
+    val eq = LayoutOps.zorderSkippingReport(skewed, bits = 8, buckets = 16)
+    val rk = LayoutOps.zorderRankSkippingReport(skewed, bits = 8, buckets = 16)
+    // buckets untouched by outliers: rank bins must constrain the dense
+    // region's user span far below equal-width's (which saw one giant bin)
+    val eqSpan = denseSpans(eq, "zorder")
+    val rkSpan = denseSpans(rk, "zorder_rank")
+    assert(rkSpan < eqSpan / 2,
+      s"rank span $rkSpan should be well under equal-width span $eqSpan")
+    // same rows, both curves: bucket row counts sum to n
+    assert(rk.agg(sum("n_events")).head().getLong(0) == 2000L)
+  }
+
   test("snowflake-scale id spans fail loudly instead of wrapping to negative bins") {
     // span > 2^63/2^8: (id - min) * 256 would overflow Long and interleave
     // garbage; the guard must throw, not produce a silent corrupt layout
