@@ -66,7 +66,7 @@ object Bench {
       // queries (the cross-query caches are all file-staged).
       if (purge) {
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(graft.operators.Barriers.quietUnpersist)
         spark.sharedState.cacheManager.clearCache()
       }
       err match {

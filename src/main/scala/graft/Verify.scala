@@ -36,7 +36,7 @@ object Verify {
       // same per-query cache hygiene as Bench: drop frames a query
       // materialized but could not release (plan still read them)
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(graft.operators.Barriers.quietUnpersist)
       spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

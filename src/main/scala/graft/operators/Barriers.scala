@@ -83,6 +83,17 @@ object Barriers {
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         loggerName, org.apache.logging.log4j.Level.ERROR)
 
+  /** Unpersist without the locally-checkpointed WARN — for bulk purge
+    * paths (Bench's between-query cache hygiene, Spec.sweepCaches) that
+    * drop EVERY persistent RDD and can't tell which ones are local
+    * checkpoints (that flag is private[spark]). Same justification as
+    * [[release]]: the blocks are dead by contract at the purge point.
+    */
+  private[graft] def quietUnpersist(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    muteUnpersistWarn(rdd.getClass.getName)
+    rdd.unpersist(blocking = false)
+  }
+
   /** Materialize `df` under the session-configured strategy. `eager` forces
     * computation now (iterative loops want this — the round's work must
     * happen before the driver checks convergence); lazy defers to the first

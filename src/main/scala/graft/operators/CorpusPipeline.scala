@@ -18,14 +18,14 @@ object CorpusPipeline {
     * candidate pairs resolved by dropping the larger doc_id.
     */
   def cleanCorpus(docs: DataFrame, minQuality: Double): DataFrame = {
-    // Language and quality are pure per-row predicates — filter INLINE on
-    // the shared single-column expressions rather than joining langId /
-    // qualityScore projections back on doc_id (each such join is a full
-    // corpus self-shuffle at 100×; r12 verdict item 3). One scan of
-    // `docs` now feeds the dedup window directly.
-    val candidates = docs
-      .filter(TextOps.predictedLangExpr === "en" &&
-              TextOps.qualityScoreExpr >= minQuality)
+    // Language and quality are pure per-row predicates — filter INLINE
+    // rather than joining langId / qualityScore projections back on doc_id
+    // (each such join is a full corpus self-shuffle at 100×; r12 verdict
+    // item 3). One scan of `docs` feeds the dedup window directly, and the
+    // predicate is the native single-pass CleanGate (one tokenization per
+    // row; the equivalent declarative chain re-tokenizes per marker set —
+    // see CleanGate's scaladoc; TextOpsSpec pins gate ≡ declarative).
+    val candidates = docs.filter(TextOps.cleanGate(minQuality))
 
     // exact dedup: keep the lowest doc_id per content hash
     val keepers = candidates

@@ -61,6 +61,19 @@ object TextOps {
     docs.select(col("doc_id"), col("lang").as("labeled_lang"),
                 predictedLangExpr.as("predicted_lang"))
 
+  /** The cleaning pipeline's combined language+quality filter —
+    * `predictedLangExpr === "en" && qualityScoreExpr >= minQuality` as ONE
+    * native single-pass predicate (see [[graft.functions.CleanGate]] for
+    * why: the declarative chain re-tokenizes once per embedded marker set
+    * because MarkerCount's CodegenFallback keeps the Filter out of
+    * whole-stage codegen's subexpression sharing). TextOpsSpec asserts the
+    * two forms keep identical row sets on the real documents table.
+    */
+  private[graft] def cleanGate(minQuality: Double,
+                               targetLang: String = "en"): Column =
+    graft.functions.CleanGate.clean_gate(col("text"), LangProfiles,
+                                         Stopwords, targetLang, minQuality)
+
   /** The [[langId]] prediction as one self-contained column (the
     * [[qualityScoreExpr]] analog) so pipelines can FILTER on language
     * inline instead of joining a langId projection back on doc_id —

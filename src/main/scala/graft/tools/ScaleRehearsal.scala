@@ -163,7 +163,7 @@ object ScaleRehearsal {
                 .write.format("noop").mode("overwrite").save()
               val dt = (System.nanoTime() - t0) / 1e9
               spark.sparkContext.getPersistentRDDs.values
-                .foreach(_.unpersist(blocking = false))
+                .foreach(graft.operators.Barriers.quietUnpersist)
               spark.sharedState.cacheManager.clearCache()
               dt
             }.sorted

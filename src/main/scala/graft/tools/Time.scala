@@ -28,7 +28,7 @@ object Time {
       // same per-rep cache hygiene as Bench, so warm reps measure the plan,
       // not accumulated pinned blocks
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(graft.operators.Barriers.quietUnpersist)
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

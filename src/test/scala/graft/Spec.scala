@@ -28,7 +28,7 @@ object Spec {
     */
   def sweepCaches(): Unit = {
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(graft.operators.Barriers.quietUnpersist)
     spark.sharedState.cacheManager.clearCache()
   }
 }

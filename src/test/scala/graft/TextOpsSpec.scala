@@ -182,6 +182,41 @@ class TextOpsSpec extends AnyFunSuite {
                                 // fixed point rides this equality
   }
 
+  test("cleanGate equals the declarative lang+quality predicate row-for-row") {
+    // real corpus: every doc, several thresholds and languages — the gate
+    // must keep EXACTLY the declarative chain's rows (the formulas live in
+    // two places by necessity; this equality is the contract)
+    val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (minQ <- Seq(0.0, 0.3, 0.45, 0.62, 0.9); lang <- Seq("en", "de")) {
+      val declarative = real.filter(
+          TextOps.predictedLangExpr === lang &&
+          TextOps.qualityScoreExpr >= minQ)
+        .select("doc_id").as[Long].collect().toSet
+      val viaGate = real.filter(TextOps.cleanGate(minQ, lang))
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaGate == declarative, s"minQ=$minQ lang=$lang")
+    }
+    // adversarial edges: empty text, whitespace-only, punct-heavy, unicode
+    // (lowercase-changes-length İ), ties across profiles, null text
+    val edge = Seq(
+      (1L, "", "x"), (2L, "   \t\n ", "x"), (3L, "!!! ??? ;;; :::", "x"),
+      (4L, "the la", "x"),                    // en/es tie → first profile (en)
+      (5L, "İstanbul the of and is a", "x"), // lowered length grows
+      (6L, null.asInstanceOf[String], "x"),
+      (7L, "the \u000Bof \u00A0is", "x"), // VT is regex \s; NBSP is NOT
+      (8L, "𝕥𝕙𝕖 the of is a and", "x")       // supplementary chars
+    ).toDF("doc_id", "text", "lang")
+    for (minQ <- Seq(0.0, 0.35, 0.5)) {
+      val declarative = edge.filter(
+          TextOps.predictedLangExpr === "en" &&
+          TextOps.qualityScoreExpr >= minQ)
+        .select("doc_id").as[Long].collect().toSet
+      val viaGate = edge.filter(TextOps.cleanGate(minQ))
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaGate == declarative, s"edge minQ=$minQ")
+    }
+  }
+
   test("percentile gate keeps the exact-rank top pct per language, ties keep") {
     // en: 4 docs with 3 distinct scores; de/es: singletons
     val d = Seq(
