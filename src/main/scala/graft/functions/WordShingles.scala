@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -14,15 +14,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * i -> concat_ws(' ', element_at(toks,i), …))` — evaluates interpreted
   * lambda machinery per shingle: measured ~27 µs/shingle (7.4 s for a 260 k
   * shingle corpus). This expression runs one plain JVM loop per row
-  * (~50 ns/shingle). CodegenFallback is fine here: the per-row overhead is
-  * paid once per document, not once per shingle, and the inner loop is
-  * already compiled scala.
+  * (~50 ns/shingle).
+  *
+  * Codegen'd via a reference-object call (r13; was CodegenFallback): one
+  * fallback expression evicts its whole Project from whole-stage codegen
+  * AND evaluates its child subtree interpreted — the shingle Projects in
+  * the minhash/jaccard pipelines re-ran `tokens(text)`'s regexp through
+  * the interpreted path. The generated code evaluates the child inside
+  * the codegen stage and calls [[shingle]] (the same compiled loop) once
+  * per row; hand-writing the array construction in generated Java would
+  * buy nothing over the per-row virtual call.
   *
   * Output matches the composable form exactly: space-joined n-grams,
   * empty array when the document has fewer than n tokens.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
 
@@ -41,8 +48,11 @@ case class WordShingles(child: Expression, n: Int)
 
   private val space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** The shingle loop — called from both the interpreted eval and the
+    * generated code (public so janino can reach it through the
+    * references-array cast).
+    */
+  def shingle(toks: ArrayData): ArrayData = {
     val len = toks.numElements()
     val count = len - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
@@ -56,6 +66,16 @@ case class WordShingles(child: Expression, n: Int)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    shingle(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingler", this,
+      classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = $self.shingle($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
