@@ -2208,10 +2208,14 @@ object OracleExt {
     val zWidth = (1L << (2 * bits)) / buckets
     val z = graft.operators.LayoutOps.zExprSql("u_bin", "t_bin", bits, "//")
     def binCte(src: String, v: String) = s"""
-      SELECT $v, least(${nBins - 1},
+      SELECT $v, CAST(least(${nBins - 1},
                (sum(cnt) OVER (ORDER BY $v) - cnt) * $nBins // sum(cnt) OVER ())
-               AS ${if (v == "user_id") "u_bin" else "t_bin"}
+               AS BIGINT) AS ${if (v == "user_id") "u_bin" else "t_bin"}
       FROM (SELECT $v, count(*) AS cnt FROM $src GROUP BY 1)"""
+      // ^ BIGINT close: DuckDB's sum() is HUGEINT, which would ride
+      // through z into the bucket column and hash-mismatch Spark's
+      // BIGINT even with identical values (the embedding_gram lesson;
+      // tools/typecheck.py audits every query for this class)
     s"""WITH $EvCte,
     evs AS (SELECT user_id, ts, epoch_us(ts) // 1000000 AS ts_s FROM ev),
     ub AS (${binCte("evs", "user_id")}),
