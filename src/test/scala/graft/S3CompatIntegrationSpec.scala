@@ -83,6 +83,38 @@ class S3CompatIntegrationSpec extends AnyFunSuite {
     }
   }
 
+  test("s3a distributed listing and compaction against the bucket") {
+    withS3 { base =>
+      import spark.implicits._
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val src = graft.sources.IoFixtures.freshDir(s"s3it-dist-$runId")
+      for (d <- 1 to 3; f <- 1 to 4)
+        graft.sources.IoFixtures.write(src, s"p$d/f$f.txt", s"$d-$f")
+      val dst = s"$base/dist-$runId"
+      ObjectStoreCatalog.ensureBucket(spark, dst)
+      val tasks = (for (d <- 1 to 3; f <- 1 to 4)
+        yield (s"p$d/f$f.txt", 3L, "text/plain")).toDF("name", "size", "content_type")
+      assert(CopyExecutor
+        .copyObjects(spark, tasks, graft.sources.IoFixtures.uri(src), dst)
+        .filter(_.sync_status == "success").count() == 12)
+
+      // distributed listing: executor tasks must see the session's s3a
+      // endpoint/credentials (the TaskConf path — a bare Configuration
+      // would fail here on a real cluster and, pre-r13, silently did)
+      val dist = ObjectStoreCatalog
+        .scanCatalogDistributed(spark, dst, splitThreshold = 2)
+      assert(dist.select("name").as[String].collect().toSet ==
+        (for (d <- 1 to 3; f <- 1 to 4) yield s"p$d/f$f.txt").toSet)
+
+      // compaction: stream-concatenate p1's members into one object
+      val bins = Seq(("compact/p1.bin",
+        (1 to 4).map(f => s"p1/f$f.txt"))).toDF("target_name", "members")
+      val cr = CopyExecutor.compactObjects(spark, bins, dst, dst).collect()
+      assert(cr.length == 1 && cr.head.sync_status == "success" &&
+        cr.head.size == 12L)
+    }
+  }
+
   test("s3a sync engine end-to-end against the bucket") {
     withS3 { base =>
       val runId = java.util.UUID.randomUUID().toString.take(8)
