@@ -118,6 +118,32 @@ object OracleExt {
       AND CAST(ceil(n * $pct / 100.0) AS BIGINT) <= cum
     ORDER BY lang""")
 
+  /** Mirrors TextOps.qualityGateDropList: the gate's threshold CTEs plus
+    * a strict-below join back onto the scored docs (ties at the threshold
+    * keep, so they never appear).
+    */
+  def qualityGateDropList(pct: Int): String = docQ(s"""
+    , scored AS (
+      SELECT doc_id, lang,
+             CAST(floor($qualityExpr * 1e6 + 0.5) AS BIGINT) AS q_fp
+      FROM docs_tok),
+    qhist AS (
+      SELECT lang, q_fp, count(*) AS cnt FROM scored GROUP BY lang, q_fp),
+    cells AS (
+      SELECT lang, q_fp, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY q_fp DESC) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS n
+      FROM qhist),
+    thr AS (
+      SELECT lang, q_fp AS threshold_fp
+      FROM cells
+      WHERE cum - cnt < CAST(ceil(n * $pct / 100.0) AS BIGINT)
+        AND CAST(ceil(n * $pct / 100.0) AS BIGINT) <= cum)
+    SELECT s.doc_id, s.lang, s.q_fp
+    FROM scored s JOIN thr USING (lang)
+    WHERE s.q_fp < thr.threshold_fp
+    ORDER BY s.doc_id""")
+
   /** Mirrors TextOps.tokenFertility: per-lang BPE-ish subword count per
     * whitespace word, exact integer ppm, null for a zero-word language.
     */

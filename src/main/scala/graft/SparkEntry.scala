@@ -752,6 +752,13 @@ object SparkEntry {
       TextOps.qualityPercentileGate(T.documents(s, d), pct = 30)
         .orderBy("lang")),
 
+    "quality_gate_drop_list" -> ((s, d) =>
+      // the gate APPLIED: doc-level drop list (strictly below each
+      // language's threshold; threshold ties keep) — broadcast threshold
+      // join, one scoring pass, what a cleaning run actually deletes
+      TextOps.qualityGateDropList(T.documents(s, d), pct = 30)
+        .orderBy("doc_id")),
+
     "dedup_cross_source" -> ((s, d) =>
       // mirror detection: near-dup candidate pairs counted by unordered
       // source pair — a heavy off-diagonal cell means one source re-hosts
@@ -2102,6 +2109,7 @@ object SparkEntry {
     "rarity_score" -> OracleExt.rarityScore,
     "quality_length_floor" -> OracleExt.lengthFloor(10),
     "quality_percentile_gate" -> OracleExt.qualityPercentileGate(30),
+    "quality_gate_drop_list" -> OracleExt.qualityGateDropList(30),
     "token_fertility" -> OracleExt.tokenFertility,
     "dedup_cross_source" -> OracleExt.crossSourceDupMatrix,
     "docs_stream_vocab" -> OracleExt.vocabTopTokens,

@@ -183,6 +183,28 @@ object TextOps {
               col("cum").as("n_kept"))
   }
 
+  /** The percentile gate APPLIED: the doc-level DROP LIST — every doc
+    * strictly below its language's [[qualityPercentileGate]] threshold
+    * (ties at the threshold keep, so they never appear here). This is the
+    * actionable half of the gate: the report says where the bar sits, the
+    * drop list is what a cleaning pipeline deletes.
+    *
+    * Scale shape: the gate's histogram pass derives |langs| threshold
+    * rows — broadcast — then ONE corpus pass scores and filters; the
+    * data-derived threshold makes the two passes inherent (no single-pass
+    * form exists), but neither pass shuffles doc-sized data: pass one
+    * aggregates to cells, pass two is a map-side broadcast join.
+    */
+  def qualityGateDropList(docs: DataFrame, pct: Int): DataFrame = {
+    val thresholds = qualityPercentileGate(docs, pct)
+      .select(col("lang"), col("threshold_fp"))
+    docs
+      .withColumn("q_fp", floor(qualityScoreExpr * 1e6 + lit(0.5)).cast("long"))
+      .join(broadcast(thresholds), Seq("lang"))
+      .filter(col("q_fp") < col("threshold_fp"))
+      .select(col("doc_id"), col("lang"), col("q_fp"))
+  }
+
   /** Corpus stats per language (token counts via exact integer sums). */
   def textStats(docs: DataFrame): DataFrame =
     docs

@@ -246,6 +246,22 @@ class TextOpsSpec extends AnyFunSuite {
     }
     // the en tie really exercises ties-keep: docs 1 and 2 share a score
     assert(gate("en")._3 >= 2)
+
+    // the drop list is the gate's complement: exactly the docs strictly
+    // below their language's threshold — threshold ties never dropped
+    val dropped = TextOps.qualityGateDropList(d, pct = 50)
+      .select("doc_id").as[Long].collect().toSet
+    val perDoc = d.withColumn("q_fp",
+        floor(TextOps.qualityScoreExpr * 1e6 + lit(0.5)).cast("long"))
+      .select("doc_id", "lang", "q_fp").as[(Long, String, Long)].collect()
+    val thrByLang = scored.map { case (l, desc) =>
+      l -> desc(math.ceil(desc.length * 50 / 100.0).toInt - 1) }
+    val expectDrop = perDoc.collect {
+      case (id, l, q) if q < thrByLang(l) => id }.toSet
+    assert(dropped == expectDrop, s"dropped=$dropped expected=$expectDrop")
+    // kept + dropped partition the corpus per language
+    assert(dropped.size + scored.map { case (l, desc) =>
+      desc.count(_ >= thrByLang(l)) }.sum == 6)
   }
 
   test("repetition signals match a brute-force recount") {
