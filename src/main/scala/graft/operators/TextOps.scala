@@ -171,6 +171,19 @@ object TextOps {
     val hist = docs
       .withColumn("q_fp", floor(qualityScoreExpr * 1e6 + lit(0.5)).cast("long"))
       .groupBy("lang", "q_fp").agg(count(lit(1)).as("cnt"))
+    gateThresholdCells(hist, pct)
+      .select(col("lang"), lit(pct.toLong).as("pct"),
+              col("q_fp").as("threshold_fp"), col("n").as("n_docs"),
+              col("cum").as("n_kept"))
+  }
+
+  /** The gate's exact-rank threshold cell per language, from a
+    * (lang, q_fp, cnt) histogram — ONE definition shared by the report
+    * ([[qualityPercentileGate]]) and the applied drop list
+    * ([[qualityGateDropList]]), so the two cannot disagree on where the
+    * bar sits.
+    */
+  private def gateThresholdCells(hist: DataFrame, pct: Int): DataFrame = {
     val desc = Window.partitionBy("lang").orderBy(col("q_fp").desc)
     val all = Window.partitionBy("lang")
     hist
@@ -178,9 +191,6 @@ object TextOps {
       .withColumn("n", sum(col("cnt")).over(all))
       .withColumn("r", expr(s"cast(ceil(n * $pct / 100.0) as bigint)"))
       .filter(col("cum") - col("cnt") < col("r") && col("r") <= col("cum"))
-      .select(col("lang"), lit(pct.toLong).as("pct"),
-              col("q_fp").as("threshold_fp"), col("n").as("n_docs"),
-              col("cum").as("n_kept"))
   }
 
   /** The percentile gate APPLIED: the doc-level DROP LIST — every doc
@@ -189,17 +199,25 @@ object TextOps {
     * actionable half of the gate: the report says where the bar sits, the
     * drop list is what a cleaning pipeline deletes.
     *
-    * Scale shape: the gate's histogram pass derives |langs| threshold
-    * rows — broadcast — then ONE corpus pass scores and filters; the
-    * data-derived threshold makes the two passes inherent (no single-pass
-    * form exists), but neither pass shuffles doc-sized data: pass one
-    * aggregates to cells, pass two is a map-side broadcast join.
+    * Scale shape: the data-derived threshold makes two passes inherent,
+    * but the TEXT is scored exactly once — the narrow (doc_id, lang,
+    * q_fp) projection is materialized (Barriers; ~24 B/row), the
+    * histogram aggregates it to cells, and the drop filter re-reads the
+    * same materialized frame through a broadcast |langs|-row threshold
+    * join. Without the barrier both consumers would re-run the scoring
+    * regexps over the full text (measured 2× the whole-query cost in the
+    * r13 ×10 rehearsal). Thresholds come from [[gateThresholdCells]] —
+    * the same cells the report emits, so gate and drop list cannot drift.
     */
   def qualityGateDropList(docs: DataFrame, pct: Int): DataFrame = {
-    val thresholds = qualityPercentileGate(docs, pct)
-      .select(col("lang"), col("threshold_fp"))
-    docs
-      .withColumn("q_fp", floor(qualityScoreExpr * 1e6 + lit(0.5)).cast("long"))
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
+    val scored = graft.operators.Barriers.materialize(
+      docs.select(col("doc_id"), col("lang"),
+        floor(qualityScoreExpr * 1e6 + lit(0.5)).cast("long").as("q_fp")))
+    val hist = scored.groupBy("lang", "q_fp").agg(count(lit(1)).as("cnt"))
+    val thresholds = gateThresholdCells(hist, pct)
+      .select(col("lang"), col("q_fp").as("threshold_fp"))
+    scored
       .join(broadcast(thresholds), Seq("lang"))
       .filter(col("q_fp") < col("threshold_fp"))
       .select(col("doc_id"), col("lang"), col("q_fp"))
