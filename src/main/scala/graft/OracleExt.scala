@@ -1397,10 +1397,14 @@ object OracleExt {
              CAST(floor(v[m + 1] * 1e6 + 0.5) AS BIGINT) AS x_fp
       FROM (SELECT vec_id, v, unnest(range(0, $dim)) AS m FROM clean))
     SELECT a.dim AS dim_i, b.dim AS dim_j,
-           -- DECIMAL(38,0) output so DuckDB hashes the same 128-bit type
-           -- Spark declares (decimal128); bare HUGEINT hash-mismatches even
-           -- when every cell value is identical (r12 verdict item 1).
-           CAST(sum(CAST(a.x_fp AS HUGEINT) * b.x_fp) AS DECIMAL(38,0)) AS sum_fp2
+           -- VARCHAR output: decimal128 (precision > 18) is the one type
+           -- the driver's cross-engine hasher cannot canonicalize (r12's
+           -- DECIMAL(38,0) cast still hash-mismatched with every cell
+           -- value identical — r13 verdict item 1), so the exact integer
+           -- crosses the declared boundary as its digit string. The
+           -- HUGEINT→DECIMAL(38,0) hop first pins scale-0 rendering (no
+           -- exponent, no point) to match Spark's decimal→string.
+           CAST(CAST(sum(CAST(a.x_fp AS HUGEINT) * b.x_fp) AS DECIMAL(38,0)) AS VARCHAR) AS sum_fp2
     FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND b.dim >= a.dim
     GROUP BY 1, 2 ORDER BY 1, 2"""
 

@@ -799,8 +799,14 @@ object SparkEntry {
       // the PCA/whitening factorization input dim_stats only diagonals:
       // exact fixed-point upper-triangle Gram via constant-size
       // per-partition accumulators — the shuffle carries partitions×2080
-      // partial rows, never the corpus
+      // partial rows, never the corpus. The DECLARED output renders the
+      // exact integer as VARCHAR: decimal128 (precision > 18) is the one
+      // type the driver's cross-engine hasher cannot canonicalize, so the
+      // sum stays DECIMAL(38,0) inside the plan and becomes its digit
+      // string only at the declared boundary (both engines render scale-0
+      // decimals as plain signed digit strings).
       VectorOps.gramUpperTriangle(T.embeddings(s, d), dim = 64)
+        .withColumn("sum_fp2", col("sum_fp2").cast("string"))
         .orderBy("dim_i", "dim_j")),
 
     "embedding_quantize" -> ((s, d) =>

@@ -69,15 +69,16 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
     * mappings' jobs together and one mapping's small/skewed plan no
     * longer leaves executors idle. Isolation analysis: ledger rows are
     * keyed (mapping_id, object_name) and every mapping reads/writes ONLY
-    * its own mapping_id, so the single shared resource is the ledger
-    * TABLE REWRITE (read-merge-swap) — serialized under [[SyncEngine
-    * .ledgerLock]], while the heavy phases (catalog scans, diff join,
+    * its own mapping_id, so since the commit went PARTITION-scoped there
+    * is no shared write resource left between different mappings at all:
+    * each commit swaps only its own `mapping_id=<mid>/` dir under a
+    * per-partition lock, and the heavy phases (catalog scans, diff join,
     * distributed copy, orphan delete) overlap freely. Each mapping diffs
     * against an eagerly-pinned ledger SNAPSHOT (localCheckpoint) so a
     * concurrent commit's directory swap cannot invalidate in-flight
-    * reads, and commits re-read the CURRENT ledger under the lock so no
-    * update is lost (per-mapping rows are disjoint, so last-committer
-    * cannot clobber). Per-mapping failure isolation matches
+    * reads, and commits re-read their CURRENT partition under the lock so
+    * no update from a same-mapping peer driver is lost. Per-mapping
+    * failure isolation matches
     * [[syncAll()]]: a failed mapping logs and the rest complete; an
     * interrupt (stop in progress) aborts mappings not yet started.
     *
@@ -214,32 +215,56 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
     // ledger COMMIT: reference ON-CONFLICT upsert semantics — the batch's
     // rows win unconditionally (anti-join+union, no window sort over the
     // ledger) — then the keyed delete of successfully-removed orphans.
-    // Under concurrency this read-merge-swap is the one shared critical
-    // section: it re-reads the CURRENT ledger (not this cycle's snapshot)
-    // under the global lock, so commits serialize and no mapping's rows
-    // are lost — updates/doomed reference only materialized receipts and
-    // the pinned snapshot, so the in-lock work is the cheap merge, never
-    // the copies.
+    // PARTITION-SCOPED (r13 verdict item 2): the ledger is partitioned by
+    // mapping_id and every mapping owns exactly one partition, so the
+    // commit reads, merges, and atomically swaps ONLY
+    // `mapping_id=<mid>/` under a lock keyed to that partition. At a
+    // 100 M-object fleet this makes the commit O(|this mapping|) I/O —
+    // the reference's per-row SQLite upsert cost model
+    // (internal/database/database.go:346-364) — and commits of DIFFERENT
+    // mappings no longer serialize at all; only two drivers syncing the
+    // SAME mapping contend. updates/doomed reference only materialized
+    // receipts and the pinned snapshot, so the in-lock work is the cheap
+    // per-partition merge, never the copies.
     val doomed = removedNames.select(lit(mid).as("mapping_id"),
                                      col("name").as("object_name"))
+    val changedRows = counts.getOrElse("sync_new", 0L) +
+      counts.getOrElse("sync_changed", 0L) + counts.getOrElse("sync_retry", 0L)
     def commitLedger(): Unit = {
-      // re-read the CURRENT ledger inside the critical section (never the
-      // cycle snapshot): commits from other mappings in this JVM — or from
-      // other DRIVER PROCESSES, which the file lock serializes — must not
-      // be clobbered by a merge against stale state
-      val base = readLedger(spark, config.ledgerPath)
+      // re-read the CURRENT partition inside the critical section (never
+      // the cycle snapshot): a commit from another DRIVER syncing this
+      // same mapping — serialized by the partition lock file — must not
+      // be clobbered by a merge against stale state. We HOLD this
+      // partition's lock here, so the proof-of-life recovery wait is
+      // disabled (callerHoldsLock): our own heartbeat would keep the lock
+      // fresh forever, and under the lock no OTHER committer of this
+      // partition can be live — immediate roll-forward/back is safe.
+      val base = SyncEngine.readLedgerPartition(spark, config.ledgerPath,
+        mid, callerHoldsPartitionLock = true)
       val merged = SyncOps.ledgerUpsert(base, updates)
       val afterDelete = merged.join(doomed, Seq("mapping_id", "object_name"),
                                     "left_anti")
-      writeLedger(spark, afterDelete, config.ledgerPath)
+      SyncEngine.writeLedgerPartition(spark, afterDelete,
+        config.ledgerPath, mid)
     }
-    // two locks, two scopes: the JVM lock serializes this driver's threads
-    // (cheap, no FS round-trips while waiting); the lock FILE serializes
-    // across driver processes sharing the ledger path — the cross-process
-    // safety the reference inherited from SQLite's own file locking
-    // (internal/database/database.go:29-43)
-    SyncEngine.ledgerLock.synchronized {
-      SyncEngine.withLedgerFileLock(spark, config.ledgerPath)(commitLedger())
+    // an all-skip cycle has nothing to commit — skipping the write keeps
+    // steady-state cycles from touching the ledger at all (and is what
+    // lets the partition-isolation spec pin other partitions' mtimes)
+    if (changedRows > 0 || removed > 0) {
+      // a pre-partition-layout (legacy whole-table) ledger is migrated
+      // once, under the global table lock, before any partition commit
+      SyncEngine.ensurePartitionedLayout(spark, config.ledgerPath)
+      // two locks, two scopes: the JVM monitor serializes this driver's
+      // threads on the SAME partition (cheap, no FS round-trips while
+      // waiting); the lock FILE serializes across driver processes
+      // sharing the ledger path — the cross-process safety the reference
+      // inherited from SQLite's own file locking
+      // (internal/database/database.go:29-43)
+      val sfx = SyncEngine.partitionLockSuffix(mid)
+      SyncEngine.jvmMonitor(config.ledgerPath + sfx).synchronized {
+        SyncEngine.withLedgerFileLock(spark, config.ledgerPath,
+          lockSuffix = sfx)(commitLedger())
+      }
     }
 
     MappingReport(mid,
@@ -293,18 +318,37 @@ object SyncEngine {
         "with an external lock service.")
     }
 
-  /** Serializes ledger read-merge-swap commits across every concurrent
-    * mapping (and every engine instance) in this driver JVM — the ledger
-    * is one table rewritten whole, so the commit is the single shared
-    * resource concurrent sync must serialize (SCALE.md mapping-level
-    * parallelism note). Cross-PROCESS commits (two drivers, one ledger
-    * path) are serialized by [[withLedgerFileLock]] underneath; the JVM
-    * lock stays as the cheap first gate so waiting threads don't spin on
-    * filesystem round-trips.
+  /** Per-lock-path JVM monitors: threads in THIS driver contending for
+    * the same ledger lock file (global table lock, or one partition's
+    * lock) serialize on a cheap monitor first, so waiters don't spin on
+    * filesystem round-trips. Keyed by the lock path, so commits to
+    * DIFFERENT partitions never serialize in-JVM either (SCALE.md
+    * mapping-level parallelism note). Cross-PROCESS serialization is
+    * [[withLedgerFileLock]] underneath.
     */
-  private[graft] val ledgerLock = new Object
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def jvmMonitor(key: String): Object =
+    monitors.computeIfAbsent(key, _ => new Object)
 
-  /** Cross-PROCESS ledger commit lock. [[ledgerLock]] serializes commits
+  /** Partition-dir escaping — MUST byte-match what
+    * `DataFrameWriter.partitionBy("mapping_id")` produces for the same
+    * value, since partition commits rename directories the whole-table
+    * writer also creates; delegating to Catalyst's own escaper is that
+    * guarantee (mapping ids carry ':' and '>', both escaped).
+    */
+  private[graft] def escapeMappingId(mid: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(mid)
+
+  /** Lock-file suffix for one partition's commit lock:
+    * `<ledger>.lock.p.<escaped mid>` — distinct per mapping, sibling of
+    * the global `<ledger>.lock` the whole-table paths use.
+    */
+  private[graft] def partitionLockSuffix(mid: String): String =
+    ".lock.p." + escapeMappingId(mid)
+
+  /** Cross-PROCESS ledger commit lock. [[jvmMonitor]] serializes commits
     * inside one driver JVM; two drivers sharing a ledger path raced the
     * read-merge-swap silently — the reference got cross-process safety for
     * free from SQLite's file locking (internal/database/database.go:29-43).
@@ -381,9 +425,14 @@ object SyncEngine {
       // honest contending hold is seconds (the in-lock work is the cheap
       // merge), so the long timeout is only ever reached past a crash.
       timeoutMs: Long = 660000, staleTtlMs: Long = DefaultStaleTtlMs,
-      heartbeat: Boolean = true)(body: => A): A = {
-    val lock = new org.apache.hadoop.fs.Path(ledgerPath + ".lock")
-    val breakLock = new org.apache.hadoop.fs.Path(ledgerPath + ".lock.break")
+      heartbeat: Boolean = true,
+      // ".lock" = the global table lock; partitionLockSuffix(mid) scopes
+      // the same machinery (heartbeat, stale break, token release) to one
+      // partition's commits
+      lockSuffix: String = ".lock")(body: => A): A = {
+    val lock = new org.apache.hadoop.fs.Path(ledgerPath + lockSuffix)
+    val breakLock =
+      new org.apache.hadoop.fs.Path(ledgerPath + lockSuffix + ".break")
     // Enforce the documented contract BEFORE building a mutex that isn't
     // one: on stores whose create(overwrite=false) is check-then-create
     // (two drivers can both "win"), the code must throw loudly here, not
@@ -561,61 +610,142 @@ object SyncEngine {
     StructField("sync_status", StringType),
     StructField("metadata", MapType(StringType, StringType), nullable = true)))
 
-  // swapWaitSleepMs exists for specs (the recovery spec stages permanent
-  // crash signatures and must not pay the full 5 s production wait); the
-  // default 50 × 100 ms bound is the production behavior
-  def readLedger(spark: SparkSession, path: String,
-                 swapWaitSleepMs: Long = 100,
-                 lockStaleTtlMs: Long = DefaultStaleTtlMs): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // another driver's commit swap (rename dst→old, rename tmp→dst) has a
-    // short dst-absent window; a reader landing inside it must WAIT it
-    // out, not conclude the ledger is empty (an empty read would re-sync
-    // the whole mapping). `.old`/`.tmp` present while dst is absent is
-    // that window's signature; bounded wait.
-    val oldP = new org.apache.hadoop.fs.Path(path + ".old")
-    val tmpP = new org.apache.hadoop.fs.Path(path + ".tmp")
-    var waits = 0
-    while (!fs.exists(p) && (fs.exists(oldP) || fs.exists(tmpP)) &&
-           waits < 50) {
-      Thread.sleep(swapWaitSleepMs); waits += 1
+  /** Wait out, then recover, one crashed commit swap — the shared core of
+    * whole-TABLE and per-PARTITION recovery (same two-rename protocol,
+    * different dst/tmp/old/lock paths).
+    *
+    * A committer's swap (rename dst→old, rename tmp→dst) has a short
+    * dst-absent window; a reader landing inside it must WAIT it out, not
+    * conclude the data is gone (an empty read would re-sync the whole
+    * mapping). `old`/`tmp` present while dst is absent is that window's
+    * signature; bounded wait first.
+    *
+    * Signature STILL present after the bounded wait ⇒ the committer is
+    * PROBABLY dead (the swap is two renames — milliseconds when alive),
+    * and falling through to an empty read would be DATA LOSS one step
+    * later: the next commit would merge against empty and its own swap
+    * deletes `old`, the only surviving copy. But "probably" isn't a
+    * license to mutate dst under a LIVE committer merely stalled past the
+    * heuristic (GC pause, FS stall — the in-lock work is unbounded): the
+    * committer holds `lockP` with a heartbeat-refreshed mtime, so a FRESH
+    * lock is proof of life — keep waiting while it stays fresh. Only a
+    * lock that is absent or older than the stale TTL (the same TTL the
+    * lock's own breaker uses) clears recovery to proceed.
+    *
+    * `callerHoldsLock` = the caller IS the current owner of `lockP`
+    * (commit paths recovering a PRIOR owner's crash before merging). Both
+    * waits are then skipped outright: the heartbeat refreshes the
+    * caller's OWN lock, so the liveness loop would never exit (the r13
+    * advisory deadlock — commitLedger spinning forever inside the global
+    * commit lock), and under the lock no other committer of this dst can
+    * be live, so immediate roll-forward/back is safe.
+    *
+    * RECOVER: roll the crashed commit FORWARD if its tmp completed (tmp
+    * is fully written before the first rename — `_SUCCESS` is the
+    * witness), else roll BACK to `old`. A rename that loses a
+    * (vanishingly rare) race with a resurrected committer just returns
+    * false — dst then holds that committer's result, also fine.
+    */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                          dst: org.apache.hadoop.fs.Path,
+                          tmpP: org.apache.hadoop.fs.Path,
+                          oldP: org.apache.hadoop.fs.Path,
+                          lockP: org.apache.hadoop.fs.Path,
+                          swapWaitSleepMs: Long, lockStaleTtlMs: Long,
+                          callerHoldsLock: Boolean): Unit = {
+    def signature: Boolean = fs.exists(oldP) || fs.exists(tmpP)
+    if (!callerHoldsLock) {
+      var waits = 0
+      while (!fs.exists(dst) && signature && waits < 50) {
+        Thread.sleep(swapWaitSleepMs); waits += 1
+      }
+      def committerAlive: Boolean =
+        try System.currentTimeMillis() -
+              fs.getFileStatus(lockP).getModificationTime < lockStaleTtlMs
+        catch { case _: java.io.IOException => false }
+      while (!fs.exists(dst) && signature && committerAlive) {
+        Thread.sleep(swapWaitSleepMs)
+      }
     }
-    // signature STILL present after 5 s ⇒ the committer is PROBABLY dead
-    // (the swap is two renames — milliseconds when alive), and falling
-    // through to an empty read would be DATA LOSS one step later: the next
-    // commit would merge against empty and its own swap deletes `.old`,
-    // the only surviving copy. But "probably" isn't a license to mutate
-    // dst under a LIVE committer merely stalled past the heuristic (GC
-    // pause, FS stall — the in-lock work is unbounded): the committer
-    // holds `<path>.lock` with a heartbeat-refreshed mtime, so a FRESH
-    // lock is proof of life — keep waiting while it stays fresh. Only a
-    // lock that is absent or older than the stale TTL (the same TTL the
-    // lock's own breaker uses) clears recovery to proceed.
-    val lockP = new org.apache.hadoop.fs.Path(path + ".lock")
-    def committerAlive: Boolean =
-      try System.currentTimeMillis() -
-            fs.getFileStatus(lockP).getModificationTime < lockStaleTtlMs
-      catch { case _: java.io.IOException => false }
-    while (!fs.exists(p) && (fs.exists(oldP) || fs.exists(tmpP)) &&
-           committerAlive) {
-      Thread.sleep(swapWaitSleepMs)
-    }
-    // RECOVER: roll the crashed commit FORWARD if its tmp completed (tmp
-    // is fully written before the first rename — `_SUCCESS` is the
-    // witness), else roll BACK to `.old`. A rename that loses a
-    // (vanishingly rare) race with a resurrected committer just returns
-    // false — dst then holds that committer's result, also fine.
-    if (!fs.exists(p)) {
+    if (!fs.exists(dst)) {
       try {
         if (fs.exists(tmpP) &&
             fs.exists(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS")))
-          fs.rename(tmpP, p)
+          fs.rename(tmpP, dst)
         else if (fs.exists(oldP))
-          fs.rename(oldP, p)
+          fs.rename(oldP, dst)
       } catch { case _: java.io.IOException => () }
     }
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+  }
+
+  /** Recover crashed PARTITION swaps under the table root: any
+    * `.tmp_mapping_id=X` / `.old_mapping_id=X` whose `mapping_id=X` dir
+    * is absent is a partition committer that died mid-swap. Hidden names
+    * (leading '.') keep in-flight/abandoned staging invisible to parquet
+    * readers, so the only reader-visible anomaly is the missing dst dir
+    * this repairs. `heldSuffix` names the partition lock the CALLER
+    * holds (its own partition commits skip the liveness wait).
+    */
+  private def recoverPartitionSwaps(fs: org.apache.hadoop.fs.FileSystem,
+                                    path: String, swapWaitSleepMs: Long,
+                                    lockStaleTtlMs: Long,
+                                    heldEscapedMid: Option[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return
+    val names = fs.listStatus(root).map(_.getPath.getName)
+    val crashed = names.collect {
+      case n if n.startsWith(".tmp_mapping_id=") =>
+        n.stripPrefix(".tmp_mapping_id=")
+      case n if n.startsWith(".old_mapping_id=") =>
+        n.stripPrefix(".old_mapping_id=")
+    }.distinct
+    crashed.foreach { esc =>
+      recoverSwap(fs,
+        new org.apache.hadoop.fs.Path(root, s"mapping_id=$esc"),
+        new org.apache.hadoop.fs.Path(root, s".tmp_mapping_id=$esc"),
+        new org.apache.hadoop.fs.Path(root, s".old_mapping_id=$esc"),
+        new org.apache.hadoop.fs.Path(path + ".lock.p." + esc),
+        swapWaitSleepMs, lockStaleTtlMs,
+        callerHoldsLock = heldEscapedMid.contains(esc))
+      // a recovered (or rolled-back) swap may leave a stale hidden tmp
+      // behind; it is invisible to readers and the next commit's
+      // Overwrite write replaces it, so no cleanup pass is needed here
+    }
+  }
+
+  /** True when the table root holds reader-visible content (partition
+    * dirs or data files) — `_SUCCESS` markers and hidden staging dirs
+    * alone are an empty ledger, and handing them to `spark.read.parquet`
+    * would throw "unable to infer schema" instead.
+    */
+  private def hasVisibleData(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  // swapWaitSleepMs exists for specs (the recovery spec stages permanent
+  // crash signatures and must not pay the full 5 s production wait); the
+  // default 50 × 100 ms bound is the production behavior.
+  // callerHoldsTableLock: set by commit paths that already own
+  // `<path>.lock` — disables the recovery waits (see recoverSwap: the
+  // caller's own heartbeat would otherwise keep the liveness loop alive
+  // forever, the r13 advisory deadlock).
+  def readLedger(spark: SparkSession, path: String,
+                 swapWaitSleepMs: Long = 100,
+                 lockStaleTtlMs: Long = DefaultStaleTtlMs,
+                 callerHoldsTableLock: Boolean = false): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, p,
+      new org.apache.hadoop.fs.Path(path + ".tmp"),
+      new org.apache.hadoop.fs.Path(path + ".old"),
+      new org.apache.hadoop.fs.Path(path + ".lock"),
+      swapWaitSleepMs, lockStaleTtlMs, callerHoldsTableLock)
+    recoverPartitionSwaps(fs, path, swapWaitSleepMs, lockStaleTtlMs,
+      heldEscapedMid = None)
+    if (hasVisibleData(fs, p)) {
       // read with the stored schema first: a pre-mapping (v1) ledger must
       // be migrated, not silently null-filled by a forced schema
       val stored = spark.read.parquet(path)
@@ -651,6 +781,126 @@ object SyncEngine {
         !fs.exists(dst))
       throw new IllegalStateException(
         s"ledger swap: rename $tmp -> $dst failed")
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** True when the ledger is in (or trivially reachable as) the
+    * partitioned layout every commit since the partition-scoped protocol
+    * assumes: absent/empty, or every visible child is a `mapping_id=`
+    * partition dir. Root-level data files are the legacy whole-table
+    * layout (or a pre-mapping v1 dump) and need the one-time
+    * [[ensurePartitionedLayout]] rewrite first.
+    */
+  private[graft] def partitionedLayout(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    !fs.exists(p) || fs.listStatus(p).forall { s =>
+      val n = s.getPath.getName
+      n.startsWith("mapping_id=") || n.startsWith("_") || n.startsWith(".")
+    }
+
+  /** One-time legacy-layout migration: a ledger whose data files sit at
+    * the table root (pre-partition layout, or a v1/v2 schema dump) is
+    * read, schema-migrated, and rewritten `partitionBy("mapping_id")`
+    * under the GLOBAL table lock — after which every commit is
+    * partition-scoped and only same-mapping drivers ever contend. Fast
+    * path (already partitioned) is one listStatus, no lock.
+    */
+  private[graft] def ensurePartitionedLayout(spark: SparkSession,
+                                             path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a mid-flight whole-table swap can make the root look absent; wait
+    // it out with the normal liveness rules before judging the layout
+    recoverSwap(fs, p,
+      new org.apache.hadoop.fs.Path(path + ".tmp"),
+      new org.apache.hadoop.fs.Path(path + ".old"),
+      new org.apache.hadoop.fs.Path(path + ".lock"),
+      swapWaitSleepMs = 100, lockStaleTtlMs = DefaultStaleTtlMs,
+      callerHoldsLock = false)
+    if (partitionedLayout(fs, p)) return
+    jvmMonitor(path + ".lock").synchronized {
+      withLedgerFileLock(spark, path) {
+        if (!partitionedLayout(fs, p)) {
+          val full = readLedger(spark, path, callerHoldsTableLock = true)
+          writeLedger(spark, full, path)
+        }
+      }
+    }
+  }
+
+  /** ONE mapping's ledger rows — the partition-scoped read commits merge
+    * against. Same recovery discipline as [[readLedger]] but the waits
+    * stay per-scope: the whole-table signature defers to the GLOBAL
+    * lock's liveness (this caller never holds it), while the caller's
+    * own partition recovers immediately when it holds that partition's
+    * lock (`callerHoldsPartitionLock` — see [[recoverSwap]]).
+    *
+    * I/O is O(|partition|): the filter on the partition column prunes
+    * the scan to `mapping_id=<mid>/` (listing is O(#mappings), a config
+    * count, never row count).
+    */
+  def readLedgerPartition(spark: SparkSession, path: String, mid: String,
+                          swapWaitSleepMs: Long = 100,
+                          lockStaleTtlMs: Long = DefaultStaleTtlMs,
+                          callerHoldsPartitionLock: Boolean = false): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, p,
+      new org.apache.hadoop.fs.Path(path + ".tmp"),
+      new org.apache.hadoop.fs.Path(path + ".old"),
+      new org.apache.hadoop.fs.Path(path + ".lock"),
+      swapWaitSleepMs, lockStaleTtlMs, callerHoldsLock = false)
+    val esc = escapeMappingId(mid)
+    recoverSwap(fs,
+      new org.apache.hadoop.fs.Path(p, s"mapping_id=$esc"),
+      new org.apache.hadoop.fs.Path(p, s".tmp_mapping_id=$esc"),
+      new org.apache.hadoop.fs.Path(p, s".old_mapping_id=$esc"),
+      new org.apache.hadoop.fs.Path(path + partitionLockSuffix(mid)),
+      swapWaitSleepMs, lockStaleTtlMs, callerHoldsPartitionLock)
+    if (hasVisibleData(fs, p)) {
+      val stored = spark.read.parquet(path)
+        .filter(org.apache.spark.sql.functions.col("mapping_id") === mid)
+      val (migrated, _) = LedgerMigrations.migrate(stored)
+      migrated.select(
+        LedgerSchema.fieldNames.toIndexedSeq
+          .map(org.apache.spark.sql.functions.col): _*)
+    } else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LedgerSchema)
+  }
+
+  /** Partition-scoped commit write: stage ONE mapping's merged rows in a
+    * hidden sibling dir, then atomically swap only
+    * `<path>/mapping_id=<mid>/` — the whole-table [[writeLedger]]
+    * two-rename protocol scoped to a partition, with the same checked
+    * renames and `_SUCCESS` roll-forward witness (Spark writes it at the
+    * staging root, and it travels into the partition dir, where the
+    * leading underscore keeps it invisible to readers). Other mappings'
+    * partition dirs are never listed, read, or touched.
+    */
+  def writeLedgerPartition(spark: SparkSession, rows: DataFrame,
+                           path: String, mid: String): Unit = {
+    val esc = escapeMappingId(mid)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(root, s"mapping_id=$esc")
+    val tmp = new org.apache.hadoop.fs.Path(root, s".tmp_mapping_id=$esc")
+    val old = new org.apache.hadoop.fs.Path(root, s".old_mapping_id=$esc")
+    // the guard filter is belt-and-braces (commit inputs are keyed to
+    // this mapping by construction); dropping the partition column
+    // matches what partitionBy writes inside a partition dir, so
+    // whole-table reads reconstruct it from the dir name
+    rows.filter(org.apache.spark.sql.functions.col("mapping_id") === mid)
+      .drop("mapping_id")
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new IllegalStateException(
+        s"ledger partition swap: rename $dst -> $old failed")
+    if (!fs.rename(tmp, dst) && !fs.exists(dst))
+      throw new IllegalStateException(
+        s"ledger partition swap: rename $tmp -> $dst failed")
     if (fs.exists(old)) fs.delete(old, true)
   }
 }

@@ -521,4 +521,205 @@ class SyncEngineSpec extends AnyFunSuite {
     assert(receipts("ok.txt") == "success")
     assert(receipts("ghost.txt") == "failed_get")   // sync.go:136-140
   }
+
+  test("partition-scoped commit rewrites ONLY the touched mapping's partition") {
+    // the 100 TB cost model: a commit is O(|this mapping|), never
+    // O(total ledger) — proven physically, by pinning the OTHER
+    // mappings' partition files (paths AND mtimes) across a commit
+    val root = Files.createTempDirectory("graft-part-commit")
+    for (m <- 1 to 3; f <- 1 to 3)
+      write(root.resolve(s"src$m/f$f.txt"), s"m$m-f$f")
+    val cfg = SyncConfig(
+      providers = Seq(ProviderConf("local", "file", s"file://$root")),
+      mappings = (1 to 3).map(i =>
+        MappingConf("local", s"src$i", "local", s"dst$i")),
+      ledgerPath = s"$root/ledger")
+    val engine = new SyncEngine(spark, cfg)
+    engine.syncAll()
+
+    val ledgerDir = Paths.get(s"$root/ledger")
+    def partitionFiles(): Map[String, Long] = {
+      val out = scala.collection.mutable.Map[String, Long]()
+      java.nio.file.Files.walk(ledgerDir).forEach { p =>
+        if (Files.isRegularFile(p) &&
+            p.toString.contains("mapping_id="))
+          out(p.toString) = Files.getLastModifiedTime(p).toMillis
+      }
+      out.toMap
+    }
+    val before = partitionFiles()
+    val partDirs = Files.list(ledgerDir).toArray.map(_.toString)
+      .filter(_.contains("mapping_id="))
+    assert(partDirs.length == 3, s"expected 3 partition dirs, got ${partDirs.toSeq}")
+    def ofMapping(files: Map[String, Long], m: Int): Map[String, Long] =
+      files.filter(_._1.contains(s"src$m"))
+    assert((1 to 3).forall(m => ofMapping(before, m).nonEmpty))
+
+    // an all-skip cycle commits NOTHING: every partition stays untouched
+    val r0 = engine.syncAll()
+    assert(r0.forall(r => r.synced == 0 && r.skipped == 3))
+    assert(partitionFiles() == before, "skip cycle must not rewrite the ledger")
+
+    // touch mapping 1 only → partition 1 rewritten, partitions 2/3
+    // byte-identical (same file paths, same mtimes — never re-listed,
+    // re-read, or re-written by mapping 1's commit)
+    Thread.sleep(1100) // FS mtime granularity
+    write(root.resolve("src1/f1.txt"), "m1-f1-v2")
+    val r1 = engine.syncAll()
+    assert(r1.find(_.mappingId.contains("src1")).get.synced == 1)
+    val after = partitionFiles()
+    assert(ofMapping(after, 2) == ofMapping(before, 2),
+      "mapping 2's partition files changed across mapping 1's commit")
+    assert(ofMapping(after, 3) == ofMapping(before, 3),
+      "mapping 3's partition files changed across mapping 1's commit")
+    assert(ofMapping(after, 1) != ofMapping(before, 1),
+      "mapping 1's partition should have been rewritten")
+    // and no whole-table swap artifacts: the commit never staged the table
+    assert(!Files.exists(Paths.get(s"$root/ledger.tmp")))
+    assert(!Files.exists(Paths.get(s"$root/ledger.old")))
+    // the merged read-back is still complete and correct
+    val rows = SyncEngine.readLedger(spark, cfg.ledgerPath).collect()
+    assert(rows.length == 9)
+    assert(rows.map(_.getAs[String]("mapping_id")).distinct.length == 3)
+  }
+
+  test("commit-path recovery under its own held lock: no proof-of-life deadlock") {
+    // r13 advisory (high): commitLedger runs recovery INSIDE the commit
+    // lock, and a prior committer's crash signature plus the caller's
+    // OWN heartbeat-fresh lock made the liveness wait spin forever. With
+    // callerHolds*Lock the waits are skipped: under the lock no other
+    // committer can be live, so immediate roll-forward is safe.
+    import org.apache.spark.sql.Row
+    def mkRows(objs: Seq[String]): org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(objs.map(o => Row(0L, "m", o, 1L,
+          new java.sql.Timestamp(0L), "e", "text/plain",
+          new java.sql.Timestamp(0L), "success",
+          Map.empty[String, String])): _*),
+        SyncEngine.LedgerSchema)
+
+    // whole-table form (legacy-layout fallback path)
+    val r1 = Files.createTempDirectory("graft-heldlock-table")
+    val p1 = s"$r1/ledger"
+    SyncEngine.writeLedger(spark, mkRows(Seq("obj0")), p1)
+    val fs = new org.apache.hadoop.fs.Path(p1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p1),
+      new org.apache.hadoop.fs.Path(p1 + ".old")))
+    // a FRESH lock — exactly what the caller's own heartbeat maintains
+    Files.write(Paths.get(p1 + ".lock"), "our-own-token".getBytes("UTF-8"))
+    val t0 = System.nanoTime()
+    val got = SyncEngine.readLedger(spark, p1, swapWaitSleepMs = 5,
+        callerHoldsTableLock = true)
+      .select("object_name").collect().map(_.getString(0)).toSet
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(got == Set("obj0"), s"held-lock recovery read $got")
+    assert(ms < 5000,
+      s"held-lock recovery must not wait on its own fresh lock ($ms ms)")
+    Files.delete(Paths.get(p1 + ".lock"))
+
+    // partition form (the production commit path)
+    val r2 = Files.createTempDirectory("graft-heldlock-part")
+    val p2 = s"$r2/ledger"
+    SyncEngine.writeLedger(spark, mkRows(Seq("objA")), p2)
+    val esc = "m" // mapping id "m" needs no escaping
+    val dstDir = new org.apache.hadoop.fs.Path(s"$p2/mapping_id=$esc")
+    val oldDir = new org.apache.hadoop.fs.Path(s"$p2/.old_mapping_id=$esc")
+    assert(fs.rename(dstDir, oldDir))
+    Files.write(Paths.get(p2 + ".lock.p." + esc),
+      "our-own-token".getBytes("UTF-8"))
+    val t1 = System.nanoTime()
+    val got2 = SyncEngine.readLedgerPartition(spark, p2, "m",
+        swapWaitSleepMs = 5, callerHoldsPartitionLock = true)
+      .select("object_name").collect().map(_.getString(0)).toSet
+    val ms2 = (System.nanoTime() - t1) / 1000000
+    assert(got2 == Set("objA"), s"held-lock partition recovery read $got2")
+    assert(ms2 < 5000,
+      s"partition recovery must not wait on its own fresh lock ($ms2 ms)")
+  }
+
+  test("crashed PARTITION swap recovers: forward to complete tmp, back to old") {
+    import org.apache.spark.sql.Row
+    def mkRows(mid: String, objs: Seq[String]) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(objs.map(o => Row(0L, mid, o, 1L,
+          new java.sql.Timestamp(0L), "e", "text/plain",
+          new java.sql.Timestamp(0L), "success",
+          Map.empty[String, String])): _*),
+        SyncEngine.LedgerSchema)
+    val root = Files.createTempDirectory("graft-part-swap")
+    val path = s"$root/ledger"
+    SyncEngine.writeLedger(spark,
+      mkRows("m1", Seq("a1")).unionByName(mkRows("m2", Seq("b1"))), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // roll BACK: m1's committer died after rename(dst→old), tmp torn
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/mapping_id=m1"),
+      new org.apache.hadoop.fs.Path(s"$path/.old_mapping_id=m1")))
+    Files.createDirectories(Paths.get(s"$path/.tmp_mapping_id=m1"))
+    Files.write(Paths.get(s"$path/.tmp_mapping_id=m1/part-0.parquet"),
+      Array[Byte](1, 2, 3)) // no _SUCCESS
+    val back = SyncEngine.readLedger(spark, path, swapWaitSleepMs = 1)
+      .select("object_name").collect().map(_.getString(0)).toSet
+    assert(back == Set("a1", "b1"), s"partition roll-back read $back")
+
+    // roll FORWARD: a COMPLETE tmp (with _SUCCESS) for m2, dst gone
+    mkRows("m2", Seq("b1", "b2")).drop("mapping_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/.tmp_mapping_id=m2")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/mapping_id=m2"), true)
+    val fwd = SyncEngine.readLedger(spark, path, swapWaitSleepMs = 1)
+      .select("object_name").collect().map(_.getString(0)).toSet
+    assert(fwd == Set("a1", "b1", "b2"), s"partition roll-forward read $fwd")
+    // hidden staging never leaks into reader-visible listings
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/mapping_id=m2")))
+  }
+
+  test("legacy root-level ledger migrates to partitioned layout once") {
+    import org.apache.spark.sql.Row
+    val root = Files.createTempDirectory("graft-legacy-layout")
+    val path = s"$root/ledger"
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0L, "mA", "x1", 1L, new java.sql.Timestamp(0L), "e",
+          "text/plain", new java.sql.Timestamp(0L), "success",
+          Map.empty[String, String]),
+        Row(0L, "mB", "y1", 1L, new java.sql.Timestamp(0L), "e",
+          "text/plain", new java.sql.Timestamp(0L), "success",
+          Map.empty[String, String])),
+      SyncEngine.LedgerSchema)
+    // legacy shape: data files at the table root, no partition dirs
+    rows.write.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!SyncEngine.partitionedLayout(fs,
+      new org.apache.hadoop.fs.Path(path)))
+    SyncEngine.ensurePartitionedLayout(spark, path)
+    assert(SyncEngine.partitionedLayout(fs,
+      new org.apache.hadoop.fs.Path(path)))
+    assert(Files.exists(Paths.get(s"$path/mapping_id=mA")))
+    assert(Files.exists(Paths.get(s"$path/mapping_id=mB")))
+    val all = SyncEngine.readLedger(spark, path)
+      .select("mapping_id", "object_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(all == Set(("mA", "x1"), ("mB", "y1")))
+    // idempotent: a second call is a no-op fast path
+    val before = Files.list(Paths.get(path)).toArray.map(_.toString).toSet
+    SyncEngine.ensurePartitionedLayout(spark, path)
+    assert(Files.list(Paths.get(path)).toArray.map(_.toString).toSet == before)
+    // and a partition-scoped commit now works against the migrated table
+    val up = spark.createDataFrame(
+      java.util.Arrays.asList(Row(0L, "mA", "x2", 2L,
+        new java.sql.Timestamp(0L), "e", "text/plain",
+        new java.sql.Timestamp(0L), "success", Map.empty[String, String])),
+      SyncEngine.LedgerSchema)
+    val base = SyncEngine.readLedgerPartition(spark, path, "mA")
+    SyncEngine.writeLedgerPartition(spark,
+      base.unionByName(up), path, "mA")
+    val after = SyncEngine.readLedger(spark, path)
+      .select("mapping_id", "object_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after == Set(("mA", "x1"), ("mA", "x2"), ("mB", "y1")))
+  }
 }

@@ -16,17 +16,37 @@ Expect: "0 type mismatches".
 import sys, json, os
 import duckdb
 
-# comparable families: integer widths below 64 bits hash alike through
-# parquet (the dump is physically INT64); everything else stays exact
+# comparable families: SIGNED integer widths below 64 bits hash alike
+# through parquet (the dump is physically INT64). UBIGINT is deliberately
+# NOT in the family: values above 2^63-1 have no INT64 representation, so
+# an oracle that promotes to unsigned 64-bit must surface as a mismatch,
+# not silently "hash alike" (the exact width class this audit exists for).
 def norm(t):
     t = t.upper()
-    if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT"):
+    if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT"):
         return "INT"
     if t in ("DOUBLE", "FLOAT", "REAL"):
         return "FLOAT"
     if t.startswith("TIMESTAMP"):
         return "TS"
-    return t  # DECIMAL(p,s), HUGEINT, VARCHAR, BOOLEAN, lists, ... exact
+    return t  # DECIMAL(p,s), HUGEINT, UBIGINT, VARCHAR, BOOLEAN, lists, ... exact
+
+
+# decimal precision the driver's cross-engine hasher can canonicalize:
+# <= 18 fits decimal64; above it the parquet physical type is a 16-byte
+# FIXED_LEN_BYTE_ARRAY (decimal128) and the r12/r13 embedding_gram rows
+# proved the hash never matches even with bit-identical values. ANY
+# declared Spark output carrying precision > 18 is an error on its own,
+# independent of whether the oracle agrees.
+def decimal128(t):
+    t = t.upper()
+    if not t.startswith("DECIMAL"):
+        return False
+    try:
+        prec = int(t.split("(", 1)[1].split(",")[0])
+    except (IndexError, ValueError):
+        return False
+    return prec > 18
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -51,6 +71,11 @@ def main(sf_dir, out_dir):
             continue
         stypes = {r[0]: norm(r[1]) for r in sdesc}
         otypes = {r[0]: norm(r[1]) for r in odesc}
+        for col, raw in ((r[0], r[1]) for r in sdesc):
+            if decimal128(raw):
+                print(f"DEC128 {name}.{col}: spark declares {raw} "
+                      f"(precision > 18 is not driver-hashable)")
+                bad += 1
         if set(stypes) != set(otypes):
             print(f"COLS  {name}: spark={sorted(stypes)} oracle={sorted(otypes)}")
             bad += 1
