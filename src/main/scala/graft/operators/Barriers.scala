@@ -70,18 +70,40 @@ object Barriers {
     * warning lands in every bench log and reads as a false scale signal
     * (same class of noise as WindowExec's no-partition warning, r11).
     * The warning can't be avoided at the source — there is no
-    * unpersist-without-warning API — so the concrete RDD class's logger is
-    * raised to ERROR, once per class. Scope is tight: release() is the
-    * only call site in this codebase that unpersists local checkpoints,
-    * and the logger (e.g. o.a.s.rdd.MapPartitionsRDD) emits nothing else
-    * at WARN in our paths.
+    * unpersist-without-warning API — so a log4j2 RegexFilter matching
+    * ONLY that message is installed on the concrete RDD class's logger
+    * config, once per class. MESSAGE-scoped, not level-scoped (r13
+    * advisory): the earlier form raised the whole logger to ERROR for
+    * the JVM's lifetime, silently swallowing every unrelated WARN/INFO
+    * those classes might emit in production paths sharing the JVM; the
+    * filter leaves the logger's level and all other messages untouched.
     */
   private val mutedLoggers =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def muteUnpersistWarn(loggerName: String): Unit =
-    if (mutedLoggers.add(loggerName))
-      org.apache.logging.log4j.core.config.Configurator.setLevel(
-        loggerName, org.apache.logging.log4j.Level.ERROR)
+    if (mutedLoggers.add(loggerName)) {
+      import org.apache.logging.log4j.core.Filter.Result
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+      val cfg = ctx.getConfiguration
+      val filter = org.apache.logging.log4j.core.filter.RegexFilter
+        .createFilter(".*cannot be recomputed after unpersisting.*",
+          null, java.lang.Boolean.FALSE, Result.DENY, Result.NEUTRAL)
+      val nearest = cfg.getLoggerConfig(loggerName)
+      val lc =
+        if (nearest.getName == loggerName) nearest
+        else {
+          // no config exists for this exact logger: add an ADDITIVE one
+          // (no appenders of its own, events still flow to the parent's)
+          // so the filter binds to just this class, not an ancestor
+          val fresh = new org.apache.logging.log4j.core.config.LoggerConfig(
+            loggerName, nearest.getLevel, true)
+          cfg.addLogger(loggerName, fresh)
+          fresh
+        }
+      lc.addFilter(filter)
+      ctx.updateLoggers()
+    }
 
   /** Unpersist without the locally-checkpointed WARN — for bulk purge
     * paths (Bench's between-query cache hygiene, Spec.sweepCaches) that

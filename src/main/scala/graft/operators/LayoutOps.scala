@@ -191,7 +191,13 @@ object LayoutOps {
     */
   private def rankBinnedWithZ(events: DataFrame, bits: Int): DataFrame = {
     val nBins = 1L << bits
-    val withTs = events.withColumn("ts_s", expr("unix_micros(ts) div 1000000"))
+    // FLOOR division to seconds, not `div` (truncate-toward-zero): the
+    // oracle's DuckDB `//` floors, and a pre-1970 timestamp (negative
+    // micros) would land in a different second cell under truncation —
+    // subtracting pmod (always in [0, 1e6)) makes the numerator an exact
+    // multiple, so `div` then equals floor for either sign
+    val withTs = events.withColumn("ts_s",
+      expr("(unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000"))
     withTs
       .join(rankBinMap(events, "user_id", "u_bin", nBins), Seq("user_id"))
       .join(rankBinMap(withTs.select("ts_s"), "ts_s", "t_bin", nBins), Seq("ts_s"))
@@ -206,6 +212,24 @@ object LayoutOps {
     * LayoutOpsSpec measures the discriminating fixture, SCALE.md the
     * span-shrink numbers.
     */
+  /** The WRITE path for the RANK-BINNED curve — [[zorderWrite]]'s twin
+    * for the layout a skewed-key table actually uses: equal-frequency
+    * bins, Morton z, range-partition into `files`, sort within each,
+    * write parquet. After this each file's footer min/max covers a
+    * contiguous z range of the RANK curve, so the dense region a heavy
+    * hitter would crowd into one equal-width bin stays spread across
+    * files and both dimensions' predicates prune. Same mechanics price
+    * as the report: one distinct-value histogram pass per dimension on
+    * top of the equal-width write's sampling pass.
+    */
+  def zorderRankWrite(events: DataFrame, path: String, bits: Int = 8,
+                      files: Int = 16): Unit =
+    rankBinnedWithZ(events, bits)
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("ts_s", "u_bin", "t_bin", "z")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
   def zorderRankSkippingReport(events: DataFrame, bits: Int = 8,
                                buckets: Int = 16): DataFrame = {
     require(buckets >= 2 && Integer.bitCount(buckets) == 1,

@@ -113,4 +113,42 @@ class BarriersSpec extends AnyFunSuite {
       Barriers.materialize(Seq(1).toDF("x"))
     } finally spark.conf.unset(Barriers.StrategyKey)
   }
+
+  test("unpersist WARN suppression is message-scoped, not logger-wide") {
+    // r13 advisory: the old form raised the RDD class's logger to ERROR
+    // for the JVM's lifetime, silently swallowing every unrelated WARN
+    // those classes emit. The filter form must (a) leave the logger's
+    // level alone and (b) deny ONLY the lineage-truncation message.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    val rdd = spark.range(8).rdd.map(identity).persist()
+    rdd.count()
+    Barriers.quietUnpersist(rdd) // installs the filter for this RDD class
+    val cls = rdd.getClass.getName
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val lc = ctx.getConfiguration.getLoggerConfig(cls)
+    assert(lc.getName == cls, "a logger config must exist for the class")
+    assert(lc.getLevel != Level.ERROR,
+      s"logger level must stay untouched, got ${lc.getLevel}")
+    // capture what actually reaches appenders through the config's filter
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+      "graft-test-capture", null, null, true,
+      org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        seen.add(e.getMessage.getFormattedMessage)
+    }
+    app.start()
+    lc.addAppender(app, Level.WARN, null)
+    try {
+      val logger = LogManager.getLogger(cls)
+      logger.warn("RDD 42 is truncated and cannot be recomputed after unpersisting")
+      logger.warn("unrelated warning that must still be delivered")
+      val msgs = seen.toArray.map(_.toString)
+      assert(msgs.exists(_.contains("unrelated warning")),
+        s"unrelated WARNs must pass the filter, saw ${msgs.toSeq}")
+      assert(!msgs.exists(_.contains("cannot be recomputed")),
+        "the lineage-truncation message must be denied")
+    } finally lc.removeAppender("graft-test-capture")
+  }
 }

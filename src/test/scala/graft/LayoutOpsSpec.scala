@@ -170,6 +170,43 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(rk.agg(sum("n_events")).head().getLong(0) == 2000L)
   }
 
+  test("zorderRankWrite: real file footers constrain the dense region under skew") {
+    // the write-path twin of the report comparison above: under the same
+    // skewed fixture, the files the RANK write produces must carry
+    // physically narrower user spans (their parquet footer min/max) in
+    // the dense region than the equal-width write's files — the span a
+    // reader's predicate pushdown actually prunes on
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 2000).map { i =>
+      val uid = if (i % 20 == 0) 1000000000L - rng.nextInt(1000)
+                else rng.nextInt(100).toLong
+      (uid, new java.sql.Timestamp(1700000000000L + i * 60000L))
+    }
+    val skewed = rows.toDF("user_id", "ts")
+    val base = java.nio.file.Files.createTempDirectory("graft-zrank-")
+    val outEq = base.resolve("eq").toString
+    val outRk = base.resolve("rk").toString
+    LayoutOps.zorderWrite(skewed, outEq, bits = 8, files = 8)
+    LayoutOps.zorderRankWrite(skewed, outRk, bits = 8, files = 8)
+    def denseFileSpan(path: String): Double =
+      spark.read.parquet(path)
+        .withColumn("file", expr("input_file_name()"))
+        .groupBy("file")
+        .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+        .filter(col("hi") < 1000000L) // files untouched by outliers
+        .select(avg(col("hi") - col("lo"))).head().getDouble(0)
+    val eqSpan = denseFileSpan(outEq)
+    val rkSpan = denseFileSpan(outRk)
+    assert(rkSpan < eqSpan / 2,
+      s"rank-written dense files span $rkSpan; equal-width $eqSpan")
+    // the layout is layout only: every row survives, no helper columns
+    val back = spark.read.parquet(outRk)
+    assert(back.columns.toSet == Set("user_id", "ts"))
+    assert(back.count() == 2000L)
+    assert(back.select("user_id", "ts").collect().map(_.toSeq).toSet ==
+      skewed.collect().map(_.toSeq).toSet)
+  }
+
   test("snowflake-scale id spans fail loudly instead of wrapping to negative bins") {
     // span > 2^63/2^8: (id - min) * 256 would overflow Long and interleave
     // garbage; the guard must throw, not produce a silent corrupt layout

@@ -136,4 +136,66 @@ class S3CompatIntegrationSpec extends AnyFunSuite {
       assert(again.head.skipped == 2 && again.head.synced == 0)
     }
   }
+
+  test("s3a copy/delete/ledger-commit round-trip: receipts, orphans, partitions") {
+    withS3 { base =>
+      import spark.implicits._
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val src = graft.sources.IoFixtures.freshDir(s"s3it-ledger-$runId")
+      graft.sources.IoFixtures.write(src, "keep.txt", "keep")
+      graft.sources.IoFixtures.write(src, "gone.txt", "gone")
+      val tgt = s"$base/rt-$runId"
+      val ledgerPath = src.resolveSibling(s"ledger-$runId").toString
+      val cfg = graft.config.SyncConfig(
+        providers = Seq(
+          graft.config.ProviderConf("local", "file",
+            graft.sources.IoFixtures.uri(src.getParent)),
+          graft.config.ProviderConf("s3", "s3", base)),
+        mappings = Seq(graft.config.MappingConf(
+          "local", src.getFileName.toString, "s3", s"rt-$runId")),
+        ledgerPath = ledgerPath)
+      val mid = cfg.mappings.head.mappingId
+
+      // stage a pre-existing orphan in the s3a target: the first cycle's
+      // object_delete path must remove it via executor-side credentials
+      // (TaskConf propagation exercised end-to-end on delete, not just put)
+      val tmp = graft.sources.IoFixtures.freshDir(s"s3it-orph-$runId")
+      graft.sources.IoFixtures.write(tmp, "orphan.txt", "stale")
+      assert(CopyExecutor.copyObjects(spark,
+          Seq(("orphan.txt", 5L, "text/plain"))
+            .toDF("name", "size", "content_type"),
+          graft.sources.IoFixtures.uri(tmp), tgt)
+        .filter(_.sync_status == "success").count() == 1)
+
+      // cycle 1: object_put receipts land in the ledger, orphan deleted
+      val r1 = new SyncEngine(spark, cfg).syncAll()
+      assert(r1.head.synced == 2 && r1.head.failed == 0)
+      assert(r1.head.orphansRemoved == 1)
+      val led1 = SyncEngine.readLedger(spark, ledgerPath).collect()
+      assert(led1.length == 2)
+      assert(led1.forall(_.getAs[String]("mapping_id") == mid))
+      assert(led1.forall(_.getAs[String]("sync_status") == "success"))
+      // the committed rows carry the s3a catalog's head-enrichment fields
+      assert(led1.forall(r => r.getAs[Long]("size") > 0L &&
+        r.getAs[String]("etag") != null &&
+        r.getAs[String]("content_type") == "text/plain"))
+      // and the commit wrote the partition-scoped layout
+      val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(SyncEngine.partitionedLayout(fs,
+        new org.apache.hadoop.fs.Path(ledgerPath)))
+
+      // drop a source object: cycle 2's orphan path deletes it from the
+      // s3a target AND from the ledger (keyed delete inside the commit)
+      java.nio.file.Files.delete(src.resolve("gone.txt"))
+      val r2 = new SyncEngine(spark, cfg).syncAll()
+      assert(r2.head.orphansRemoved == 1)
+      val led2 = SyncEngine.readLedger(spark, ledgerPath)
+        .select("object_name").as[String].collect().toSet
+      assert(led2 == Set("keep.txt"))
+      val left = ObjectStoreCatalog.scanCatalog(spark, tgt)
+        .select("name").as[String].collect().toSet
+      assert(left == Set("keep.txt"))
+    }
+  }
 }
