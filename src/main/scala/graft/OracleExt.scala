@@ -1421,6 +1421,28 @@ object OracleExt {
            round(sqrt(list_dot_product(unit, unit)), 6) AS norm_after
     FROM u ORDER BY vec_id"""
 
+  /** Mirrors VectorOps.decontaminateSemantic: exact cosine of every
+    * training vector against the held-out benchmark set (every 23rd
+    * vec_id), per-vector best sim + threshold hit count + drop verdict.
+    * The brute-force cross join is the oracle's restatement of the
+    * broadcast-bench one-pass plan; round(…, 6) before max/compare keeps
+    * the aggregated doubles identical across engines (the cosAB
+    * discipline).
+    */
+  def decontaminateSemantic(threshold: Double): String = s"""
+    WITH $EmbCte,
+    tr AS (SELECT vec_id, v FROM emb WHERE vec_id % 23 <> 0),
+    be AS (SELECT vec_id, v FROM emb WHERE vec_id % 23 = 0),
+    s AS (
+      SELECT a.vec_id, $cosAB AS sim
+      FROM tr a, be b)
+    SELECT vec_id, max(sim) AS max_bench_sim,
+           CAST(sum(CASE WHEN sim >= $threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bench_hits,
+           (sum(CASE WHEN sim >= $threshold THEN 1 ELSE 0 END) > 0)
+             AS contaminated
+    FROM s GROUP BY 1 ORDER BY 1"""
+
   private val cosAB =
     """round(list_dot_product(a.v, b.v)
        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),

@@ -1436,6 +1436,19 @@ object SparkEntry {
         .orderBy("domain", "action")
     }),
 
+    "decontaminate_semantic" -> ((s, d) => {
+      // embedding-space eval-leakage screen: every 23rd vector plays the
+      // held-out benchmark; exact cosine against the BROADCAST bench set,
+      // one corpus pass — paraphrase leakage that shares no shingle with
+      // the benchmark (decontaminate's blind spot) still scores here
+      val emb = T.embeddings(s, d)
+      VectorOps.decontaminateSemantic(
+          emb.filter(col("vec_id") % 23 =!= 0),
+          emb.filter(col("vec_id") % 23 === 0),
+          threshold = 0.4)
+        .orderBy("vec_id")
+    }),
+
     "dedup_near_cosine" -> ((s, d) =>
       // banded-LSH blocked (4 bands × 4 sign bits) — never an all-pairs join
       VectorOps.nearDupCosine(T.embeddings(s, d), 0.4, dim = 64)
@@ -2193,6 +2206,7 @@ object SparkEntry {
     "corpus_pack_sequences" -> OracleExt.corpusPackSequences,
     "pii_scrub" -> OracleExt.piiScrub,
     "tfidf_top_terms" -> OracleExt.tfidfTopTerms,
+    "decontaminate_semantic" -> OracleExt.decontaminateSemantic(0.4),
     "dedup_near_cosine" -> OracleExt.dedupNearCosineLsh(
       0.4, dim = 64, bands = 4, rowsPerBand = 4),
     "similarity_topk" -> OracleExt.similarityTopk,

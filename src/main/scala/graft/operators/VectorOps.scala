@@ -125,6 +125,44 @@ object VectorOps {
       .select("vec_a", "vec_b", "sim")
   }
 
+  /** Semantic decontamination — the embedding-space twin of the shingle
+    * decontamination family (TextOps.contamination): screen every TRAINING
+    * vector against a held-out BENCHMARK set by exact cosine and report,
+    * per training vector, its best benchmark similarity, the number of
+    * benchmark vectors at/above `threshold`, and the drop verdict. This is
+    * the eval-leakage check paraphrase-level rewrites slip past shingle
+    * overlap (the same blind spot SemDeDup exploits for dedup).
+    *
+    * Scale shape: a benchmark set is BOUNDED (eval suites are thousands of
+    * rows, not corpus-scale), so the right 100 TB form is EXACT — broadcast
+    * the bench side and stream the corpus once (Θ(n·|bench|) map-side work,
+    * zero corpus shuffle, no recall caveat). The groupBy keys on vec_id,
+    * which the broadcast join preserves, so the aggregation is partial
+    * (map-side combine collapses each vector's |bench| rows before any
+    * exchange). A corpus-scale "benchmark" is a different problem — that is
+    * [[nearDupCosine]]'s banded-LSH territory, documented there.
+    */
+  def decontaminateSemantic(train: DataFrame, bench: DataFrame,
+                            threshold: Double): DataFrame = {
+    import graft.functions.ArrayMath.{dot_product, l2_norm}
+    val t = train.select(col("vec_id"), col("embedding"))
+      .withColumn("nt", l2_norm(col("embedding")))
+    val b = bench.select(col("vec_id").as("bench_id"),
+                         col("embedding").as("bv"))
+      .withColumn("nb", l2_norm(col("bv")))
+    t.crossJoin(broadcast(b))
+      // round(…, 6) BEFORE max/compare: both engines then aggregate the
+      // same exact doubles, so the max and the threshold verdict cannot
+      // drift on accumulation order (the nearDupCosine parity discipline)
+      .withColumn("sim", round(
+        dot_product(col("embedding"), col("bv")) / (col("nt") * col("nb")), 6))
+      .groupBy("vec_id")
+      .agg(max(col("sim")).as("max_bench_sim"),
+           sum(when(col("sim") >= threshold, 1L).otherwise(0L))
+             .as("n_bench_hits"))
+      .withColumn("contaminated", col("n_bench_hits") > 0)
+  }
+
   /** Band key j = `"<j>:<sign-bit bucket over planes [j·r, (j+1)·r)>"` —
     * THE parity-critical band layout, shared by [[nearDupCosine]],
     * [[topkCosineLshBanded]] and restated SQL-side by the DuckDB oracle

@@ -218,6 +218,45 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(r8 >= 0.4, s"refine=8 recall collapsed: $r8")
   }
 
+  test("semantic decontamination flags planted benchmark leaks, exactly") {
+    // plant: train vec 9001 IS bench vec 0's embedding (a verbatim eval
+    // leak); everything else keeps its natural sims. The screen must flag
+    // 9001 with max_bench_sim 1.0, and its verdicts must equal a
+    // driver-side exact recount at the same threshold.
+    val bench = emb.filter($"vec_id" % 23 === 0)
+    val leak = bench.orderBy("vec_id").limit(1)
+      .select(lit(9001L).as("vec_id"), col("embedding"), col("label"))
+    val train = emb.filter($"vec_id" % 23 =!= 0).unionByName(leak)
+    val got = VectorOps.decontaminateSemantic(train, bench, threshold = 0.4)
+      .select("vec_id", "max_bench_sim", "n_bench_hits", "contaminated")
+      .as[(Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == train.count())
+    val planted = got(9001L)
+    assert(planted._2 == 1.0 && planted._4,
+      s"planted leak must score max sim 1.0, got $planted")
+    // exact recount in memory
+    val bvecs = bench.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val tvecs = train.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    tvecs.foreach { case (id, v) =>
+      val sims = bvecs.map { case (_, b) => cos(v, b) }
+      val hits = sims.count(_ >= 0.4).toLong
+      assert(math.abs(got(id)._2 - sims.max) < 1e-9,
+        s"max sim mismatch for $id")
+      assert(got(id)._3 == hits && got(id)._4 == (hits > 0),
+        s"verdict mismatch for $id")
+    }
+  }
+
   test("cosine of a vector with itself is 1 (identical vecs share all bands)") {
     val one = emb.filter($"vec_id" === 0)
     val r = VectorOps.nearDupCosine(

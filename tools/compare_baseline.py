@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Compare a merged bench artifact against BASELINE.md's standing rows.
+
+Standing row = the LAST occurrence of each query in BASELINE.md's
+"| name | value | sec | 0.1 |" tables (later re-bases supersede earlier
+rows). Over budget = measured > 2x the standing row (the judge's weak
+threshold).
+
+    python3 tools/compare_baseline.py bench_out.json [BASELINE.md]
+"""
+import json
+import re
+import sys
+
+
+def standing_rows(path):
+    rows = {}
+    pat = re.compile(
+        r"^\|\s*([A-Za-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|\s*sec\s*\|\s*0\.1\s*\|")
+    for line in open(path):
+        m = pat.match(line)
+        if m and m.group(1) != "total":
+            rows[m.group(1)] = float(m.group(2))  # last occurrence wins
+    return rows
+
+
+def main(bench_path, baseline_path="BASELINE.md"):
+    bench = json.load(open(bench_path))["queries"]
+    base = standing_rows(baseline_path)
+    both = sorted(set(bench) & set(base))
+    missing = sorted(set(bench) - set(base))
+    total_b = sum(bench[q] for q in both)
+    total_s = sum(base[q] for q in both)
+    over = [(q, bench[q], base[q], bench[q] / base[q])
+            for q in both if bench[q] > 2 * base[q]]
+    over.sort(key=lambda r: -r[3])
+    for q, b, s, r in over:
+        print(f"OVER  {q}: {b:.2f}s vs standing {s:.2f}s = {r:.2f}x")
+    worst = max(((q, bench[q] / base[q]) for q in both), key=lambda x: x[1])
+    print(f"\n{len(both)} rows compared: sum {total_b:.1f}s vs standing "
+          f"{total_s:.1f}s = {total_b / total_s:.2f}x; "
+          f"{len(over)} over 2x budget; worst {worst[0]} {worst[1]:.2f}x")
+    if missing:
+        print(f"no standing row yet (new queries): {missing}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
