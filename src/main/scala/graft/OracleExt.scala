@@ -1443,6 +1443,23 @@ object OracleExt {
              AS contaminated
     FROM s GROUP BY 1 ORDER BY 1"""
 
+  /** The streaming twin's oracle: [[decontaminateSemantic]] restricted to
+    * CONTAMINATED vectors (the stream keeps state only for
+    * threshold-crossers). Max over the filtered pairs equals the global
+    * max whenever any sim crosses τ, so the two forms agree on every row
+    * both emit.
+    */
+  def decontaminateSemanticContaminatedOnly(threshold: Double): String = s"""
+    WITH $EmbCte,
+    tr AS (SELECT vec_id, v FROM emb WHERE vec_id % 23 <> 0),
+    be AS (SELECT vec_id, v FROM emb WHERE vec_id % 23 = 0),
+    s AS (
+      SELECT a.vec_id, $cosAB AS sim
+      FROM tr a, be b)
+    SELECT vec_id, max(sim) AS max_bench_sim,
+           CAST(count(*) AS BIGINT) AS n_bench_hits
+    FROM s WHERE sim >= $threshold GROUP BY 1 ORDER BY 1"""
+
   private val cosAB =
     """round(list_dot_product(a.v, b.v)
        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),

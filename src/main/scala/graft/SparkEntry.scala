@@ -422,6 +422,14 @@ object SparkEntry {
       graft.streaming.StreamingOps.exactContaminationStream(s, d)
         .orderBy("doc_id")),
 
+    "embeddings_stream_decontaminate_semantic" -> ((s, d) =>
+      // ingest-time semantic leakage screen: arriving training vectors
+      // cosine-checked against the broadcast benchmark set; state = one
+      // row per LEAKED vector only (threshold filter precedes the
+      // aggregation) — own oracle (batch SQL restricted to contaminated)
+      graft.streaming.StreamingOps.decontaminateSemanticStream(s, d, 0.4)
+        .orderBy("vec_id")),
+
     "docs_stream_mix_report" -> ((s, d) =>
       // live dataset-card: composition counts maintained as docs land
       // (complete-mode state = one row per (lang, source) cell); shares
@@ -2207,6 +2215,8 @@ object SparkEntry {
     "pii_scrub" -> OracleExt.piiScrub,
     "tfidf_top_terms" -> OracleExt.tfidfTopTerms,
     "decontaminate_semantic" -> OracleExt.decontaminateSemantic(0.4),
+    "embeddings_stream_decontaminate_semantic" ->
+      OracleExt.decontaminateSemanticContaminatedOnly(0.4),
     "dedup_near_cosine" -> OracleExt.dedupNearCosineLsh(
       0.4, dim = 64, bands = 4, rowsPerBand = 4),
     "similarity_topk" -> OracleExt.similarityTopk,

@@ -225,6 +225,48 @@ object StreamingOps {
   private def docsStream(spark: SparkSession, dir: String): DataFrame =
     stagedStream(spark, dir, "documents")
 
+  private def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
+    stagedStream(spark, dir, "embeddings")
+
+  /** Streaming semantic decontamination: the ingest-time twin of
+    * `VectorOps.decontaminateSemantic` — each arriving training vector is
+    * screened against the STATIC benchmark embedding set (broadcast on a
+    * constant key; the stream-static hash join is stateless) and its
+    * threshold-crossing sims aggregate per vector.
+    *
+    * State honesty, and the one deliberate difference from the batch
+    * form: only CONTAMINATED vectors enter the aggregation (the
+    * `sim >= threshold` filter runs BEFORE the groupBy), so state is one
+    * row per LEAKED vector, not per corpus vector — the
+    * exactContaminationStream discipline. The outputs still agree with
+    * the batch screen on the rows both emit: a vector with any sim ≥ τ
+    * has its global max ≥ τ too, so max over the filtered pairs IS the
+    * global max, and the hit count only ever counted threshold-crossers.
+    * The oracle is the batch SQL restricted to contaminated rows.
+    */
+  def decontaminateSemanticStream(spark: SparkSession, dir: String,
+                                  threshold: Double): DataFrame = {
+    import graft.functions.ArrayMath.{dot_product, l2_norm}
+    val bench = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bv"))
+      .withColumn("nb", l2_norm(col("bv")))
+      .withColumn("one", lit(1))
+    val train = embeddingsStream(spark, dir)
+      .filter(col("vec_id") % 23 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nt", l2_norm(col("embedding")))
+      .withColumn("one", lit(1))
+    val agg = train.join(broadcast(bench), Seq("one"))
+      .withColumn("sim", round(
+        dot_product(col("embedding"), col("bv")) / (col("nt") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .groupBy("vec_id")
+      .agg(max(col("sim")).as("max_bench_sim"),
+           count(lit(1)).as("n_bench_hits"))
+    runToTable(spark, agg, OutputMode.Complete())
+  }
+
   /** Sliding (overlapping) watermarked windows — the only structural
     * difference from [[windowCounts]] is that each event lands in
     * duration/slide windows, which Spark's `window()` expands BEFORE the

@@ -95,6 +95,23 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming semantic decontamination equals the batch screen's drop list") {
+    import org.apache.spark.sql.functions.col
+    val streamed = StreamingOps
+      .decontaminateSemanticStream(spark, dir, threshold = 0.4)
+      .collect().map(_.toSeq).toSet
+    val emb = Tables.embeddings(spark, dir)
+    // batch screen restricted to contaminated rows = what the stream
+    // keeps state for; max/count agree on every row both emit
+    val batch = graft.operators.VectorOps.decontaminateSemantic(
+        emb.filter(col("vec_id") % 23 =!= 0),
+        emb.filter(col("vec_id") % 23 === 0), threshold = 0.4)
+      .filter(col("contaminated"))
+      .select("vec_id", "max_bench_sim", "n_bench_hits")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming exact-substring decontamination equals the batch gate") {
     val streamed = StreamingOps.exactContaminationStream(spark, dir)
       .collect().map(_.toSeq).toSet
