@@ -1460,6 +1460,34 @@ object OracleExt {
            CAST(count(*) AS BIGINT) AS n_bench_hits
     FROM s WHERE sim >= $threshold GROUP BY 1 ORDER BY 1"""
 
+  /** Mirrors VectorOps.decontaminateSemanticBanded: band both sides under
+    * the shared hyperplane layout, candidates = band-key equi-join across
+    * the train/bench boundary, exact cosine re-verify on candidates only,
+    * contaminated-only output. The banded CTEs restate the Spark plan so
+    * the green hash pins candidate-set AND sim parity bit-for-bit.
+    */
+  def decontaminateSemanticBanded(threshold: Double, dim: Int,
+                                  bands: Int, rowsPerBand: Int): String = {
+    val bandExprs = bandExprsSql(dim, bands, rowsPerBand)
+    s"""
+    WITH $EmbCte,
+    tr AS (SELECT vec_id, v FROM emb WHERE vec_id % 23 <> 0),
+    be AS (SELECT vec_id, v FROM emb WHERE vec_id % 23 = 0),
+    tb AS (SELECT vec_id, unnest([$bandExprs]) AS band FROM tr),
+    bb AS (SELECT vec_id AS bench_id, unnest([$bandExprs]) AS band FROM be),
+    cand AS (
+      SELECT DISTINCT t.vec_id, b.bench_id
+      FROM tb t JOIN bb b ON t.band = b.band),
+    s AS (
+      SELECT c.vec_id, $cosAB AS sim
+      FROM cand c
+      JOIN tr a ON a.vec_id = c.vec_id
+      JOIN be b ON b.vec_id = c.bench_id)
+    SELECT vec_id, max(sim) AS max_bench_sim,
+           CAST(count(*) AS BIGINT) AS n_bench_hits
+    FROM s WHERE sim >= $threshold GROUP BY 1 ORDER BY 1"""
+  }
+
   private val cosAB =
     """round(list_dot_product(a.v, b.v)
        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),

@@ -426,8 +426,12 @@ object SparkEntry {
       // ingest-time semantic leakage screen: arriving training vectors
       // cosine-checked against the broadcast benchmark set; state = one
       // row per LEAKED vector only (threshold filter precedes the
-      // aggregation) — own oracle (batch SQL restricted to contaminated)
-      graft.streaming.StreamingOps.decontaminateSemanticStream(s, d, 0.4)
+      // aggregation) — own oracle (batch SQL restricted to contaminated).
+      // τ=0.35, deliberately below the batch screen's 0.4: the r14
+      // verdict flagged a 3-row oracle as too thin a behavioral pin for
+      // the filter-before-groupBy state trick; 0.35 puts ~23 vectors
+      // through the state path at sf0.01 so the hash actually bites
+      graft.streaming.StreamingOps.decontaminateSemanticStream(s, d, 0.35)
         .orderBy("vec_id")),
 
     "docs_stream_mix_report" -> ((s, d) =>
@@ -1457,6 +1461,24 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "decontaminate_semantic_banded" -> ((s, d) => {
+      // corpus-scale escalation of the semantic screen: when the bench
+      // side is itself corpus-sized and stops broadcasting, both sides
+      // band under the shared hyperplane layout and candidates come from
+      // a band-key EQUI-join across the boundary (never a cross join);
+      // exact cosine re-verifies candidates only — the decontaminate →
+      // decontaminate_bloom escalation, in embedding space. τ=0.35 (the
+      // stream screen's calibration): puts tens of vectors through the
+      // candidate/re-verify path at sf0.01 so the oracle hash pins the
+      // full machinery, not a 2-row corner
+      val emb = T.embeddings(s, d)
+      VectorOps.decontaminateSemanticBanded(
+          emb.filter(col("vec_id") % 23 =!= 0),
+          emb.filter(col("vec_id") % 23 === 0),
+          threshold = 0.35, dim = 64)
+        .orderBy("vec_id")
+    }),
+
     "dedup_near_cosine" -> ((s, d) =>
       // banded-LSH blocked (4 bands × 4 sign bits) — never an all-pairs join
       VectorOps.nearDupCosine(T.embeddings(s, d), 0.4, dim = 64)
@@ -2215,8 +2237,11 @@ object SparkEntry {
     "pii_scrub" -> OracleExt.piiScrub,
     "tfidf_top_terms" -> OracleExt.tfidfTopTerms,
     "decontaminate_semantic" -> OracleExt.decontaminateSemantic(0.4),
+    "decontaminate_semantic_banded" ->
+      OracleExt.decontaminateSemanticBanded(0.35, dim = 64, bands = 8,
+        rowsPerBand = 4),
     "embeddings_stream_decontaminate_semantic" ->
-      OracleExt.decontaminateSemanticContaminatedOnly(0.4),
+      OracleExt.decontaminateSemanticContaminatedOnly(0.35),
     "dedup_near_cosine" -> OracleExt.dedupNearCosineLsh(
       0.4, dim = 64, bands = 4, rowsPerBand = 4),
     "similarity_topk" -> OracleExt.similarityTopk,

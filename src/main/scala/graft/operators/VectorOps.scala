@@ -139,8 +139,10 @@ object VectorOps {
     * zero corpus shuffle, no recall caveat). The groupBy keys on vec_id,
     * which the broadcast join preserves, so the aggregation is partial
     * (map-side combine collapses each vector's |bench| rows before any
-    * exchange). A corpus-scale "benchmark" is a different problem — that is
-    * [[nearDupCosine]]'s banded-LSH territory, documented there.
+    * exchange). A corpus-scale "benchmark" is a different problem — that
+    * escalation is declared as [[decontaminateSemanticBanded]] below
+    * (banded-LSH candidates, exact re-verify — nearDupCosine's machinery
+    * pointed across the train/bench boundary).
     */
   def decontaminateSemantic(train: DataFrame, bench: DataFrame,
                             threshold: Double): DataFrame = {
@@ -163,9 +165,68 @@ object VectorOps {
       .withColumn("contaminated", col("n_bench_hits") > 0)
   }
 
+  /** Corpus-scale escalation of [[decontaminateSemantic]]: when the
+    * "benchmark" side is itself corpus-sized (screening one training
+    * corpus against another, a crawl against a licensed set), the bench
+    * no longer broadcasts and the exact Θ(n·|bench|) pass stops being a
+    * plan — the same escalation `decontaminate` makes to
+    * `decontaminate_bloom`. Both sides band under the shared
+    * random-hyperplane layout ([[bandKeyCols]]); candidates are the
+    * band-key EQUI-join across the train/bench boundary (never a cross
+    * join — at 10 B × 10 B vectors the candidate volume is governed by
+    * band-collision probability, not n·m); exact cosine re-verifies only
+    * the candidates. Output mirrors the streaming twin's contaminated-only
+    * shape: one row per training vector with ≥1 candidate at/above
+    * `threshold`.
+    *
+    * Approximate by construction, exactly like [[nearDupCosine]]: a pair
+    * at sim s survives banding with `1-(1-p^r)^b`, `p = 1-arccos(s)/π`,
+    * so recall rises with similarity and with `bands`. The default
+    * 8 bands × 4 sign bits reads ~75% at the τ=0.4 boundary and ~98% at
+    * s=0.8 — verbatim and close-paraphrase leaks (the ones that matter)
+    * are caught; the DuckDB oracle reproduces the same planes/buckets
+    * bit-for-bit, so the green hash verifies implementation parity, not
+    * recall against the exact screen.
+    */
+  def decontaminateSemanticBanded(train: DataFrame, bench: DataFrame,
+                                  threshold: Double, dim: Int,
+                                  bands: Int = 8,
+                                  rowsPerBand: Int = 4): DataFrame = {
+    import graft.functions.ArrayMath.{dot_product, l2_norm}
+    val tb = train.select(
+      col("vec_id"),
+      explode(array(bandKeyCols(col("embedding"), dim,
+                                bands, rowsPerBand): _*)).as("band"))
+    val bb = bench.select(
+      col("vec_id").as("bench_id"),
+      explode(array(bandKeyCols(col("embedding"), dim,
+                                bands, rowsPerBand): _*)).as("band"))
+    val cand = tb.join(bb, Seq("band"))
+      .select("vec_id", "bench_id")
+      .distinct()
+    val t = train.select(col("vec_id"), col("embedding").as("tv"))
+      .withColumn("nt", l2_norm(col("tv")))
+    val b = bench.select(col("vec_id").as("bench_id"),
+                         col("embedding").as("bv"))
+      .withColumn("nb", l2_norm(col("bv")))
+    cand.join(t, Seq("vec_id")).join(b, Seq("bench_id"))
+      // round(…, 6) before max/compare — the decontaminateSemantic parity
+      // discipline: both engines aggregate identical doubles
+      .withColumn("sim", round(
+        dot_product(col("tv"), col("bv")) / (col("nt") * col("nb")), 6))
+      // threshold BEFORE the groupBy: state/aggregate volume is one row
+      // per LEAKED vector; for any emitted row max-over-hits equals
+      // max-over-candidates (any candidate sim above a hit is itself ≥ τ)
+      .filter(col("sim") >= threshold)
+      .groupBy("vec_id")
+      .agg(max(col("sim")).as("max_bench_sim"),
+           count(lit(1)).as("n_bench_hits"))
+  }
+
   /** Band key j = `"<j>:<sign-bit bucket over planes [j·r, (j+1)·r)>"` —
     * THE parity-critical band layout, shared by [[nearDupCosine]],
-    * [[topkCosineLshBanded]] and restated SQL-side by the DuckDB oracle
+    * [[topkCosineLshBanded]], [[decontaminateSemanticBanded]] and
+    * restated SQL-side by the DuckDB oracle
     * generators (OracleExt.bandExprsSql): change it in one place or parity
     * breaks.
     */

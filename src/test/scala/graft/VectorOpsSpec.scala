@@ -257,6 +257,39 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("banded semantic decontamination: subset of exact screen, verbatim " +
+       "leak always caught (identical vectors share every band)") {
+    val bench = emb.filter($"vec_id" % 23 === 0)
+    val leak = bench.orderBy("vec_id").limit(1)
+      .select(lit(9001L).as("vec_id"), col("embedding"), col("label"))
+    val train = emb.filter($"vec_id" % 23 =!= 0).unionByName(leak)
+    val exact = VectorOps.decontaminateSemantic(train, bench, 0.4)
+      .filter($"contaminated")
+      .select("vec_id", "max_bench_sim", "n_bench_hits")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    val banded = VectorOps
+      .decontaminateSemanticBanded(train, bench, 0.4, dim = 64)
+      .select("vec_id", "max_bench_sim", "n_bench_hits")
+      .as[(Long, Double, Long)].collect()
+    // the verbatim leak projects identically onto every plane → all 8
+    // bands collide → it can never be missed, and scores exactly 1.0
+    val planted = banded.find(_._1 == 9001L)
+      .getOrElse(fail("banded screen missed the planted verbatim leak"))
+    assert(planted._2 == 1.0)
+    banded.foreach { case (id, sim, hits) =>
+      val e = exact.getOrElse(id,
+        fail(s"banded emitted $id, absent from the exact screen"))
+      // max over banded candidates = exact max whenever the argmax pair
+      // survives banding; it can only be ≤, and hits can only be ≤
+      assert(sim <= e._2 + 1e-9 && hits <= e._3,
+        s"banded exceeded exact for $id: ($sim,$hits) vs $e")
+    }
+    // recall sanity at this corpus: the screen is approximate but must
+    // not collapse (8 bands × 4 bits ≈ 75% at the τ boundary)
+    assert(banded.length.toDouble / exact.size >= 0.4,
+      s"banded recall collapsed: ${banded.length}/${exact.size}")
+  }
+
   test("cosine of a vector with itself is 1 (identical vecs share all bands)") {
     val one = emb.filter($"vec_id" === 0)
     val r = VectorOps.nearDupCosine(
