@@ -20,7 +20,9 @@ import graft.sources.ObjectStoreCatalog
   * mapping_id (partition pruning replaces the composite index,
   * database.go:156-157), rewritten atomically via temp-dir swap.
   */
-class SyncEngine(spark: SparkSession, config: SyncConfig) {
+class SyncEngine(spark: SparkSession, config: SyncConfig,
+                 tagger: graft.sources.PostCopyTagger =
+                   graft.sources.PostCopyTagger.Noop) {
   import SyncEngine._
 
   case class MappingReport(mappingId: String, synced: Long, skipped: Long,
@@ -180,6 +182,18 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
       CopyExecutor.copyObjects(spark, toCopy, srcUri, dstUri).toDF(),
       scratch + "/copy_receipts")
 
+    // post-copy tagging hook (README "Known limitations" → code): the
+    // reference sets Content-Type/user-metadata headers on every PUT;
+    // the Hadoop-FS copy path cannot, so a deployment-supplied tagger
+    // gets exactly the success receipts' header columns to re-apply via
+    // its provider SDK. Noop (the default) costs nothing; the guard
+    // keeps all-skip cycles from running a count job per mapping when
+    // no tagger is configured.
+    if (!(tagger eq graft.sources.PostCopyTagger.Noop)) {
+      val tagged = SyncEngine.taggableReceipts(toCopy, receipts)
+      if (!tagged.isEmpty) tagger.tag(mid, dstUri, tagged)
+    }
+
     // 6e: ledger upsert from receipts (sync.go:179-196) — receipt status
     // joined back to source metadata, then latest-wins merge
     val updates = toCopy.alias("t")
@@ -292,6 +306,21 @@ class SyncEngine(spark: SparkSession, config: SyncConfig) {
 
 object SyncEngine {
 
+  /** The [[graft.sources.PostCopyTagger]] input frame: success receipts
+    * joined back to the catalog's header columns — one row per object
+    * the cycle PHYSICALLY wrote, with exactly the values the reference
+    * would have set as PUT headers. Failed/skipped copies never reach
+    * the tagger (tagging an object that was not written would fail, or
+    * worse, tag a stale body).
+    */
+  private[graft] def taggableReceipts(toCopy: DataFrame,
+                                      receipts: DataFrame): DataFrame =
+    toCopy.alias("t")
+      .join(receipts.alias("r"), col("t.name") === col("r.object_name"))
+      .filter(col("r.sync_status") === "success")
+      .select(col("t.name").as("object_name"),
+              col("t.content_type"), col("t.metadata"))
+
   /** One TTL constant shared by the lock's staleness machinery and
     * readLedger's proof-of-life check, so the two heuristics can't drift.
     */
@@ -325,6 +354,14 @@ object SyncEngine {
     * DIFFERENT partitions never serialize in-JVM either (SCALE.md
     * mapping-level parallelism note). Cross-PROCESS serialization is
     * [[withLedgerFileLock]] underneath.
+    *
+    * Boundedness: entries live for the JVM lifetime, one Object per
+    * distinct ledgerPath+partition key — config-scale (a driver's
+    * mappings × its ledger paths), not data-scale, so there is no
+    * eviction. A hypothetical long-lived multi-tenant driver minting
+    * UNBOUNDED dynamic ledger paths would want a weak-value cache here
+    * instead; this engine's config model (ledger paths fixed at startup,
+    * one partition per configured mapping) cannot reach that shape.
     */
   private val monitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -880,13 +917,37 @@ object SyncEngine {
     * partition dirs are never listed, read, or touched.
     */
   def writeLedgerPartition(spark: SparkSession, rows: DataFrame,
-                           path: String, mid: String): Unit = {
+                           path: String, mid: String): Unit =
+    writeLedgerPartition(spark, rows, path, mid, crashAtStep = -1)
+
+  /** Committer death simulated at a swap step — the crash-matrix property
+    * test's seam. Thrown only when `crashAtStep` ≥ 0, which no production
+    * call site sets.
+    */
+  private[graft] final class SimulatedCrash(val step: Int)
+    extends RuntimeException(s"simulated committer crash at swap step $step")
+
+  /** Test seam over the swap sequence: `crashAtStep` k aborts after k
+    * completed filesystem mutations — 0 = died mid-tmp-write (`_SUCCESS`
+    * stripped, the no-roll-forward witness), 1 = tmp complete, 2 = after
+    * the pre-swap old cleanup, 3 = dst renamed away (the window recovery
+    * must roll forward from), 4 = new dst in place, stale old left. The
+    * crash-matrix property (`PropertySpec`) drives every k under
+    * contention and asserts readers always see exactly one complete
+    * generation.
+    */
+  private[graft] def writeLedgerPartition(spark: SparkSession,
+                                          rows: DataFrame, path: String,
+                                          mid: String,
+                                          crashAtStep: Int): Unit = {
     val esc = escapeMappingId(mid)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(root, s"mapping_id=$esc")
     val tmp = new org.apache.hadoop.fs.Path(root, s".tmp_mapping_id=$esc")
     val old = new org.apache.hadoop.fs.Path(root, s".old_mapping_id=$esc")
+    def crash(k: Int): Unit =
+      if (crashAtStep == k) throw new SimulatedCrash(k)
     // the guard filter is belt-and-braces (commit inputs are keyed to
     // this mapping by construction); dropping the partition column
     // matches what partitionBy writes inside a partition dir, so
@@ -894,13 +955,21 @@ object SyncEngine {
     rows.filter(org.apache.spark.sql.functions.col("mapping_id") === mid)
       .drop("mapping_id")
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (crashAtStep == 0) {   // died mid-write: no _SUCCESS witness
+      fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+      throw new SimulatedCrash(0)
+    }
+    crash(1)
     if (fs.exists(old)) fs.delete(old, true)
+    crash(2)
     if (fs.exists(dst) && !fs.rename(dst, old))
       throw new IllegalStateException(
         s"ledger partition swap: rename $dst -> $old failed")
+    crash(3)
     if (!fs.rename(tmp, dst) && !fs.exists(dst))
       throw new IllegalStateException(
         s"ledger partition swap: rename $tmp -> $dst failed")
+    crash(4)
     if (fs.exists(old)) fs.delete(old, true)
   }
 }

@@ -722,4 +722,225 @@ class SyncEngineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(after == Set(("mA", "x1"), ("mA", "x2"), ("mB", "y1")))
   }
+
+  test("partition swap crash matrix: deterministic k-sweep — old-complete " +
+       "below the commit point, new-complete at or past it") {
+    import org.apache.spark.sql.{DataFrame, Row}
+    val root = Files.createTempDirectory("graft-crash-k").toString
+    val ledger = s"$root/ledger"
+    val mid = "p:a->q:a"
+    def genRows(g: Int): DataFrame = {
+      val objs = (0 until 2 + (g % 3)).map(i => s"obj$i")
+      spark.createDataFrame(
+        java.util.Arrays.asList(objs.map(o => Row(0L, mid, o, g.toLong,
+          new java.sql.Timestamp(0L), s"g$g", "text/plain",
+          new java.sql.Timestamp(0L), "success",
+          Map.empty[String, String])): _*),
+        SyncEngine.LedgerSchema)
+    }
+    def expectRows(g: Int): Int = 2 + (g % 3)
+    // observe through the REAL recovery entry (readLedgerPartition runs
+    // recoverSwap eagerly), then read the partition dir
+    def observe(): (String, Int) = {
+      val rows = SyncEngine.readLedgerPartition(spark, ledger, mid,
+        swapWaitSleepMs = 1, lockStaleTtlMs = 50).collect()
+      val tags = rows.map(_.getAs[String]("etag")).distinct
+      assert(tags.length == 1,
+        s"torn partition: mixed generations ${tags.toSeq}")
+      (tags.head, rows.length)
+    }
+    SyncEngine.writeLedgerPartition(spark, genRows(0), ledger, mid)
+    assert(observe() == ("g0", expectRows(0)))
+    // crash-at-k sweep; the committed generation only ever advances when
+    // the new tree is COMPLETE: k=0 (no _SUCCESS witness) and k=1/2
+    // (dst never moved) roll BACK; k=3 (dst renamed away, complete tmp
+    // staged) and k=4 (new dst in place) roll FORWARD
+    var current = 0
+    for ((k, g) <- (0 to 4).zipWithIndex.map { case (k, i) => (k, i + 1) }) {
+      intercept[SyncEngine.SimulatedCrash] {
+        SyncEngine.writeLedgerPartition(spark, genRows(g), ledger, mid,
+          crashAtStep = k)
+      }
+      val want = if (k >= 3) g else current
+      assert(observe() == (s"g$want", expectRows(want)),
+        s"crash at step $k: expected generation $want")
+      current = want
+    }
+    // and a clean commit lands on top of whatever the matrix left behind
+    SyncEngine.writeLedgerPartition(spark, genRows(9), ledger, mid)
+    assert(observe() == ("g9", expectRows(9)))
+    // no reader-visible staging residue at the root
+    val residue = Files.list(Paths.get(root)).toArray.map(_.toString)
+      .filter(n => n.contains("mapping_id=") && !n.contains("ledger"))
+    assert(residue.isEmpty, s"staging residue leaked: ${residue.toSeq}")
+  }
+
+  test("partition swap crash matrix: randomized thread interleavings — " +
+       "every committed partition is old-complete or new-complete") {
+    import org.apache.spark.sql.{DataFrame, Row}
+    val root = Files.createTempDirectory("graft-crash-rnd").toString
+    val ledger = s"$root/ledger"
+    def genRows(mid: String, g: Int): DataFrame = {
+      val objs = (0 until 2 + (g % 3)).map(i => s"obj$i")
+      spark.createDataFrame(
+        java.util.Arrays.asList(objs.map(o => Row(0L, mid, o, g.toLong,
+          new java.sql.Timestamp(0L), s"g$g", "text/plain",
+          new java.sql.Timestamp(0L), "success",
+          Map.empty[String, String])): _*),
+        SyncEngine.LedgerSchema)
+    }
+    def expectRows(g: Int): Int = 2 + (g % 3)
+    // the engine's commit protocol, with a seeded crash: JVM monitor +
+    // partition lock file around the swap — exactly syncMapping's nesting
+    def lockedCommit(mid: String, g: Int, crashAt: Int): Boolean = {
+      val sfx = SyncEngine.partitionLockSuffix(mid)
+      try {
+        SyncEngine.jvmMonitor(ledger + sfx).synchronized {
+          SyncEngine.withLedgerFileLock(spark, ledger, lockSuffix = sfx,
+              staleTtlMs = 60000) {
+            SyncEngine.writeLedgerPartition(spark, genRows(mid, g), ledger,
+              mid, crashAtStep = crashAt)
+          }
+        }
+        true
+      } catch { case _: SyncEngine.SimulatedCrash => false }
+    }
+
+    // phase 1: one thread per mapping, sequential generations, random
+    // crash points — disjoint partitions interleave on one table root
+    val mids = Seq("p:a->q:a", "p:b->q:b", "p:c->q:c")
+    mids.foreach(m =>
+      SyncEngine.writeLedgerPartition(spark, genRows(m, 0), ledger, m))
+    val gens = 6
+    val lastSuccess = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(mids.size)
+    val tasks = mids.zipWithIndex.map { case (m, ti) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val rnd = new scala.util.Random(100 + ti) // deterministic per thread
+          lastSuccess.put(m, 0)
+          for (g <- 1 to gens) {
+            val c = rnd.nextInt(7) - 2 // -2/-1 → no crash (2/7 clean)
+            if (lockedCommit(m, g, if (c < 0) -1 else c))
+              lastSuccess.put(m, g)
+          }
+        }
+      })
+    }
+    tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    // quiet observation through real recovery: single complete
+    // generation, never below the last clean commit, never torn
+    mids.foreach { m =>
+      val rows = SyncEngine.readLedgerPartition(spark, ledger, m,
+        swapWaitSleepMs = 1, lockStaleTtlMs = 50).collect()
+      val tags = rows.map(_.getAs[String]("etag")).distinct
+      assert(tags.length == 1, s"$m torn: ${tags.toSeq}")
+      val g = tags.head.stripPrefix("g").toInt
+      assert(rows.length == expectRows(g),
+        s"$m: generation g$g incomplete (${rows.length} rows)")
+      assert(g >= lastSuccess.get(m),
+        s"$m: lost a successful commit (at g$g, committed ${lastSuccess.get(m)})")
+      assert(g <= gens, s"$m: phantom generation g$g")
+    }
+
+    // phase 2: three threads CONTEND on one partition through the real
+    // lock protocol, each crashing or landing at a seeded point
+    val hot = mids.head
+    val attempted = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val succeeded = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val nextGen = new java.util.concurrent.atomic.AtomicInteger(100)
+    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val tasks2 = (0 until 3).map { ti =>
+      pool2.submit(new Runnable {
+        def run(): Unit = {
+          val rnd = new scala.util.Random(200 + ti)
+          for (_ <- 1 to 3) {
+            val g = nextGen.getAndIncrement()
+            attempted.add(g)
+            val crashAt = rnd.nextInt(7) - 2
+            if (lockedCommit(hot, g, if (crashAt < 0) -1 else crashAt))
+              succeeded.add(g)
+          }
+        }
+      })
+    }
+    tasks2.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    pool2.shutdown()
+    val rows = SyncEngine.readLedgerPartition(spark, ledger, hot,
+      swapWaitSleepMs = 1, lockStaleTtlMs = 50).collect()
+    val tags = rows.map(_.getAs[String]("etag")).distinct
+    assert(tags.length == 1, s"contended partition torn: ${tags.toSeq}")
+    val g = tags.head.stripPrefix("g").toInt
+    assert(rows.length == expectRows(g), s"g$g incomplete: ${rows.length}")
+    // the surviving generation was actually attempted on this partition;
+    // once ANY contended commit landed cleanly, rollback can only reach
+    // phase-2 generations (old always holds the latest pre-swap dst)
+    assert(attempted.contains(g) || g <= gens,
+      s"phantom generation g$g (attempted=$attempted)")
+    if (!succeeded.isEmpty)
+      assert(attempted.contains(g),
+        s"clean commits landed ($succeeded) but partition reads phase-1 g$g")
+  }
+
+  test("post-copy tagger receives exactly the success receipts' header " +
+       "columns, and is silent on all-skip cycles") {
+    import org.apache.spark.sql.DataFrame
+    val root = Files.createTempDirectory("graft-sync-tag")
+    write(root.resolve("src/a.txt"), "aaa")
+    write(root.resolve("src/sub/b.json"), """{"b":2}""")
+    val cfg = mkConfig(root)
+
+    val calls = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Array[(String, String, Map[String, String])])]
+    val recorder = new graft.sources.PostCopyTagger {
+      override def tag(mappingId: String, targetUri: String,
+                       tagged: DataFrame): Unit =
+        calls += ((mappingId, targetUri, tagged
+          .select("object_name", "content_type", "metadata").collect()
+          .map(r => (r.getString(0), r.getString(1),
+                     r.getAs[Map[String, String]]("metadata")))))
+    }
+    val engine = new SyncEngine(spark, cfg, recorder)
+
+    // cycle 1: both copies succeed → one tag call, one row per object,
+    // header values = what the catalog scanned (the reference's PUT
+    // headers, gcp/client.go:110-115)
+    engine.syncAll()
+    assert(calls.size == 1)
+    val (mid, uri, rows) = calls.head
+    assert(mid == "local:src->local:dst")
+    assert(uri == cfg.targetUri(cfg.mappings.head))
+    val scanned = ObjectStoreCatalog
+      .scanCatalog(spark, cfg.sourceUri(cfg.mappings.head))
+      .select("name", "content_type", "metadata").collect()
+      .map(r => r.getString(0) -> ((r.getString(1),
+        r.getAs[Map[String, String]]("metadata")))).toMap
+    assert(rows.map(_._1).sorted.sameElements(Array("a.txt", "sub/b.json")))
+    rows.foreach { case (name, ct, md) =>
+      assert((ct, md) == scanned(name), s"header drift for $name")
+    }
+
+    // cycle 2: all-skip → the hook must NOT fire (no empty-frame calls)
+    engine.syncAll()
+    assert(calls.size == 1, "tagger fired on an all-skip cycle")
+  }
+
+  test("taggableReceipts drops failed copies — only physically written " +
+       "objects reach the tagger") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t1 = Timestamp.valueOf("2025-01-01 00:00:00")
+    val toCopy = Seq(
+      ("ok.txt", 4L, "text/plain", t1, "e1", Map("k" -> "v")),
+      ("ghost.txt", 9L, "app/x", t1, "e2", Map("g" -> "w"))
+    ).toDF("name", "size", "content_type", "last_modified", "etag",
+           "metadata")
+    val receipts = Seq(("ok.txt", "success"), ("ghost.txt", "failed_get"))
+      .toDF("object_name", "sync_status")
+    val got = SyncEngine.taggableReceipts(toCopy, receipts)
+      .as[(String, String, Map[String, String])].collect()
+    assert(got.sameElements(
+      Array(("ok.txt", "text/plain", Map("k" -> "v")))))
+  }
 }
