@@ -13,6 +13,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // drift sentinel: Barriers' unpersist-WARN filter is fail-open; count
+    // any such line that still reaches the log and report it at the end
+    graft.operators.Barriers.armUnpersistNoiseSentinel()
     // optional warmup pass (SPARK_GRAFT_WARMUP=1): separates steady-state
     // per-query cost from session/codegen warmup; default off (driver runs cold)
     if (sys.env.get("SPARK_GRAFT_WARMUP").contains("1"))
@@ -137,6 +140,12 @@ object Bench {
       },"queries_elided":${results.length - kept.length},"full":"$outPath","errors":$nErr,"sf":"$sfDir"}"""
     }
     println(stdoutLine)
+    val leaks = graft.operators.Barriers.unpersistNoiseLeaks()
+    if (leaks > 0)
+      System.err.println(s"[bench] NOISE-DRIFT: $leaks unpersist WARN " +
+        "line(s) reached the log despite Barriers' message filter — " +
+        "Spark's warning text has drifted; re-pin the regex in " +
+        "Barriers.muteUnpersistWarn")
     spark.stop()
     if (nErr > 0) sys.exit(2)
   }

@@ -105,6 +105,46 @@ object Barriers {
       ctx.updateLoggers()
     }
 
+  /** Drift sentinel for [[muteUnpersistWarn]] (r14 advisory): the regex
+    * filter is fail-open — if Spark's warning text drifts past it, bench
+    * logs silently re-flood and the "quiet log" reading of a bench run
+    * becomes a lie. This appender counts unpersist-WARN lines that
+    * actually REACH the appenders (a working filter DENYs them earlier):
+    * nonzero after a bench run means the filter no longer matches and
+    * `muteUnpersistWarn`'s regex needs re-pinning to the new text. The
+    * match here is deliberately LOOSER than the filter's (any WARN
+    * mentioning "unpersist" from an RDD-class logger, plus the exact
+    * phrase anywhere) so near-drift is caught, at the cost of this being
+    * an advisory count, never a hard failure.
+    */
+  private val noiseLeaks = new java.util.concurrent.atomic.AtomicLong
+  private val sentinelArmed = new java.util.concurrent.atomic.AtomicBoolean
+  private[graft] def armUnpersistNoiseSentinel(): Unit =
+    if (sentinelArmed.compareAndSet(false, true)) {
+      import org.apache.logging.log4j.core.LogEvent
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+      val cfg = ctx.getConfiguration
+      val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+          "graft-unpersist-noise-sentinel", null, null, true,
+          org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+        override def append(e: LogEvent): Unit = {
+          val msg = e.getMessage.getFormattedMessage
+          val rddWarn =
+            e.getLevel == org.apache.logging.log4j.Level.WARN &&
+            e.getLoggerName != null &&
+            e.getLoggerName.contains("rdd.") && msg.contains("unpersist")
+          if (rddWarn || msg.contains("cannot be recomputed after unpersisting"))
+            noiseLeaks.incrementAndGet()
+        }
+      }
+      app.start()
+      cfg.getRootLogger.addAppender(
+        app, org.apache.logging.log4j.Level.WARN, null)
+      ctx.updateLoggers()
+    }
+  private[graft] def unpersistNoiseLeaks(): Long = noiseLeaks.get()
+
   /** Unpersist without the locally-checkpointed WARN — for bulk purge
     * paths (Bench's between-query cache hygiene, Spec.sweepCaches) that
     * drop EVERY persistent RDD and can't tell which ones are local

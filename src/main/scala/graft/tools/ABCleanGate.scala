@@ -51,8 +51,15 @@ object ABCleanGate {
     val nB = docs.filter(declarative).count()
     require(nA == nB, s"forms diverge: gate=$nA declarative=$nB")
     println(s"[ab] both forms keep $nA rows")
-    time("warmup", gate)
+    // SYMMETRIC warm-up (r14 advisory): each form pays its whole-stage
+    // codegen compile/JIT cold run before ITS measured reps — a one-sided
+    // warmup would bias the A/B toward the warmed form, the exact
+    // decision this tool exists to make. (The parity counts above also
+    // ran each form once; these keep the discipline explicit and local
+    // to the timed section.)
+    time("warmup_a", gate)
     val a = time("clean_gate", gate)
+    time("warmup_b", declarative)
     val b = time("declarative", declarative)
     println(f"""{"clean_gate_s":$a%.3f,"declarative_s":$b%.3f,"ratio":${b / a}%.3f}""")
     spark.stop()

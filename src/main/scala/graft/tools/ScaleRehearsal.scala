@@ -54,6 +54,32 @@ object ScaleRehearsal {
     "multimodal_stream_frame_near_dedup", "docs_stream_near_minhash_capped",
     "events_stream_asof_join", "events_stream_sessionize")
 
+  /** PINNED-bench rehearsal forms (r14 verdict item 1): the declared
+    * `decontaminate_semantic*` queries split bench out of the corpus by
+    * `vec_id % 23`, so a naive ×N rehearsal grows the BENCH side with the
+    * corpus and reads quadratic by construction — the same caveat
+    * SCALE.md records for `decontaminate`. These variants pin the bench
+    * slice to the ×1 source and scale only the training side, isolating
+    * the claims under test: Θ(n·|bench|) map-side work for the exact
+    * broadcast screen, and ∝n banded candidates for the escalation.
+    * Signature: (spark, scaledDir, pinnedSrcDir) → frame.
+    */
+  val PinnedBench: Map[String, (SparkSession, String, String) => org.apache.spark.sql.DataFrame] = Map(
+    "decontaminate_semantic_pinned" -> ((sp, dir, src) =>
+      graft.operators.VectorOps.decontaminateSemantic(
+        sp.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 23 =!= 0),
+        sp.read.parquet(s"$src/embeddings.parquet")
+          .filter(col("vec_id") % 23 === 0),
+        threshold = 0.4)),
+    "decontaminate_semantic_banded_pinned" -> ((sp, dir, src) =>
+      graft.operators.VectorOps.decontaminateSemanticBanded(
+        sp.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 23 =!= 0),
+        sp.read.parquet(s"$src/embeddings.parquet")
+          .filter(col("vec_id") % 23 === 0),
+        threshold = 0.35, dim = 64)))
+
   def scaledDocuments(src: DataFrame, n: Int): DataFrame =
     (0 until n).map { r =>
       if (r == 0) src
@@ -159,7 +185,9 @@ object ScaleRehearsal {
           try {
             val times = (1 to reps).map { _ =>
               val t0 = System.nanoTime()
-              graft.SparkEntry.queries(q)(spark, dir)
+              PinnedBench.get(q)
+                .map(f => f(spark, dir, srcDir))
+                .getOrElse(graft.SparkEntry.queries(q)(spark, dir))
                 .write.format("noop").mode("overwrite").save()
               val dt = (System.nanoTime() - t0) / 1e9
               spark.sparkContext.getPersistentRDDs.values

@@ -151,4 +151,32 @@ class BarriersSpec extends AnyFunSuite {
         "the lineage-truncation message must be denied")
     } finally lc.removeAppender("graft-test-capture")
   }
+
+  test("noise sentinel counts unpersist WARNs that leak past the filter") {
+    // r14 advisory: the suppression filter is fail-open — if Spark's
+    // warning text drifts, bench logs silently re-flood. The sentinel is
+    // the detection: it counts unpersist-WARN events that actually reach
+    // the appenders. A logger with NO filter installed (a class the mute
+    // never touched) models exactly the drift scenario.
+    import org.apache.logging.log4j.LogManager
+    Barriers.armUnpersistNoiseSentinel()
+    val before = Barriers.unpersistNoiseLeaks()
+    val unmuted = LogManager.getLogger("org.apache.spark.rdd.DriftedRDD")
+    unmuted.warn(
+      "RDD 7 was truncated so it cannot be recomputed after unpersisting")
+    unmuted.warn("some unpersist-adjacent but differently-worded warning")
+    unmuted.warn("a warning about something else entirely")
+    assert(Barriers.unpersistNoiseLeaks() >= before + 2,
+      "sentinel must count both the exact phrase and the rdd.* unpersist WARN")
+    // and a MUTED class's exact-phrase WARN is denied before the root
+    // appenders — the sentinel stays quiet when the filter works
+    val rdd = spark.range(4).rdd.map(identity).persist()
+    rdd.count()
+    Barriers.quietUnpersist(rdd) // installs the filter + really unpersists
+    val mid = Barriers.unpersistNoiseLeaks()
+    LogManager.getLogger(rdd.getClass.getName)
+      .warn("RDD 9 is truncated and cannot be recomputed after unpersisting")
+    assert(Barriers.unpersistNoiseLeaks() == mid,
+      "a working filter must deny the line before the sentinel sees it")
+  }
 }

@@ -24,11 +24,28 @@ def standing_rows(path):
     return rows
 
 
-def main(bench_path, baseline_path="BASELINE.md"):
+def main(bench_path=None, baseline_path="BASELINE.md"):
+    if bench_path is None:
+        print("usage: compare_baseline.py bench_out.json [BASELINE.md]",
+              file=sys.stderr)
+        return 2
     bench = json.load(open(bench_path))["queries"]
     base = standing_rows(baseline_path)
+    # a standing value of 0 would divide-by-zero below AND means the
+    # baseline row is nonsense (no query runs in 0.00s at sf0.1)
+    zeros = sorted(q for q, v in base.items() if v <= 0)
+    if zeros:
+        print(f"ERROR: standing rows with non-positive values: {zeros} "
+              f"— fix {baseline_path}", file=sys.stderr)
+        return 2
     both = sorted(set(bench) & set(base))
     missing = sorted(set(bench) - set(base))
+    if not both:
+        print(f"ERROR: no overlap between {bench_path} ({len(bench)} "
+              f"queries) and {baseline_path} ({len(base)} standing rows) "
+              "— wrong file, or the baseline table format drifted",
+              file=sys.stderr)
+        return 2
     total_b = sum(bench[q] for q in both)
     total_s = sum(base[q] for q in both)
     over = [(q, bench[q], base[q], bench[q] / base[q])
@@ -46,4 +63,4 @@ def main(bench_path, baseline_path="BASELINE.md"):
 
 
 if __name__ == "__main__":
-    sys.exit(main(*sys.argv[1:]))
+    sys.exit(main(*sys.argv[1:3]))

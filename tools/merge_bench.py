@@ -5,6 +5,12 @@ the standing total. Reproduces the committed bench_out.json artifact:
 
     python3 tools/merge_bench.py bench_full_run1.json bench_full_run2.json \
         bench_full_run3.json > bench_out.json
+
+Fails hard (exit 2, no output) when the runs disagree on the query set or
+any run carries an error row: a silently-shrunken query set would deflate
+the standing total that compare_baseline.py judges against BASELINE.md.
+Pass --allow-partial to merge anyway; the dropped queries then travel in
+an explicit "excluded" field so the total is never quietly smaller.
 """
 import json
 import statistics
@@ -12,17 +18,37 @@ import sys
 
 
 def main(paths):
+    allow_partial = "--allow-partial" in paths
+    paths = [p for p in paths if p != "--allow-partial"]
+    if not paths:
+        print("usage: merge_bench.py [--allow-partial] run1.json "
+              "[run2.json ...] > bench_out.json", file=sys.stderr)
+        return 2
     runs = [json.load(open(p)) for p in paths]
     qsets = [set(r["queries"]) for r in runs]
     common = set.intersection(*qsets)
     union = set.union(*qsets)
-    if common != union:
-        print(f"WARN: runs disagree on query set: {sorted(union - common)}",
-              file=sys.stderr)
-    errs = sorted(q for r in runs for q, v in r["queries"].items()
-                  if not isinstance(v, (int, float)))
-    if errs:
-        print(f"ERROR rows present: {errs}", file=sys.stderr)
+    disagree = sorted(union - common)
+    errs = sorted({q for r in runs for q, v in r["queries"].items()
+                   if not isinstance(v, (int, float))})
+    excluded = sorted(set(disagree) | set(errs))
+    if excluded:
+        why = []
+        if disagree:
+            why.append(f"runs disagree on query set: {disagree}")
+        if errs:
+            why.append(f"error rows present: {errs}")
+        if not allow_partial:
+            for w in why:
+                print(f"ERROR: {w}", file=sys.stderr)
+            print("ERROR: refusing to emit a silently-smaller total; "
+                  "re-run the failed bench or pass --allow-partial "
+                  "(excluded queries are then recorded in the artifact)",
+                  file=sys.stderr)
+            return 2
+        for w in why:
+            print(f"WARN: {w} (merged with --allow-partial; "
+                  "see 'excluded' field)", file=sys.stderr)
     med = {q: statistics.median(r["queries"][q] for r in runs)
            for q in sorted(common)
            if all(isinstance(r["queries"][q], (int, float)) for r in runs)}
@@ -34,11 +60,12 @@ def main(paths):
         "protocol": f"median-of-{len(runs)}",
         "queries": med,
         "errors": len(errs),
+        "excluded": excluded,
         "sf": runs[0].get("sf", ""),
     }
     json.dump(out, sys.stdout)
     print()
-    return 1 if errs else 0
+    return 0
 
 
 if __name__ == "__main__":
