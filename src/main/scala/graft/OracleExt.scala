@@ -1011,6 +1011,50 @@ object OracleExt {
            s.n_sampled
     FROM rates r JOIN samp s USING (source) ORDER BY source"""
 
+  /** Mirrors CorpusOps.dsirWeights: hashed-n-gram (unigram+bigram)
+    * buckets via the md5-slice idiom, add-1-smoothed target/raw bucket
+    * distributions, per-doc fixed-point log-ratio weight. Every log term
+    * is `⌊ln(integer)·10⁶ + 0.5⌋` (the zipf pattern) and weights are
+    * integer sums, so the hash pins the full pipeline bit-for-bit.
+    * `targetWhere` must restate the Spark side's target-slice predicate.
+    */
+  def dsirWeights(buckets: Int, targetWhere: String): String = s"""
+    WITH $DocsTokCte,
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(toks || [toks[i] || ' ' || toks[i+1]
+                             for i in range(1, len(toks))]) AS gram
+      FROM docs_tok),
+    gb AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(gram), 1, 6))::BIGINT % $buckets AS b
+      FROM grams),
+    p AS (SELECT b, count(*) AS cp FROM gb WHERE $targetWhere GROUP BY b),
+    q AS (SELECT b, count(*) AS cq FROM gb GROUP BY b),
+    allb AS (SELECT range AS b FROM range($buckets)),
+    counts AS (
+      SELECT allb.b, coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+      FROM allb LEFT JOIN p USING (b) LEFT JOIN q USING (b)),
+    tots AS (
+      SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq
+      FROM counts),
+    delta AS (
+      SELECT b,
+             (CAST(floor(ln(cp + 1) * 1e6 + 0.5) AS BIGINT)
+              - CAST(floor(ln(np + $buckets) * 1e6 + 0.5) AS BIGINT))
+             - (CAST(floor(ln(cq + 1) * 1e6 + 0.5) AS BIGINT)
+                - CAST(floor(ln(nq + $buckets) * 1e6 + 0.5) AS BIGINT))
+               AS delta_fp
+      FROM counts, tots)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(delta_fp) AS BIGINT) AS weight_fp,
+           CAST(CAST(sum(delta_fp) AS BIGINT) // count(*) AS BIGINT)
+             AS w_per_gram_fp,
+           CAST(sum(delta_fp) AS BIGINT) > 0 AS target_like
+    FROM gb JOIN delta USING (b)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   /** k=25 on lang — constants must match the SparkEntry call. Same salted
     * md5 rank order as CorpusOps.hashUniform("pick", doc_id).
     */
@@ -1278,6 +1322,33 @@ object OracleExt {
              // count(*)) >= ${TextOps.DefaultContaminationPpm} AS is_dirty
     FROM corp c LEFT JOIN benchs b ON c.s = b.s
     GROUP BY doc_id ORDER BY doc_id""")
+
+  /** Mirrors TextOps.winnowedPairs (the MOSS winnowing algorithm): md5
+    * 3-gram hashes, lexicographic min over each FULL window of `w`
+    * consecutive positions, distinct fingerprints df-capped, pair
+    * overlap counts. The window min is a plain SQL window function, so
+    * the oracle restates the selection (not just the output) and the
+    * hash pins fingerprint parity.
+    */
+  def dedupWinnowed(w: Int, minShared: Int, maxDf: Int): String = docQ(s"""
+    , p0 AS (SELECT doc_id, unnest(range(1, len(sh)+1)) AS i, sh
+             FROM docs_sh),
+    p AS (SELECT doc_id, i AS pos, md5(sh[i]) AS h, len(sh) AS n FROM p0),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, pos, n,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND ${w - 1} FOLLOWING) AS fp
+        FROM p)
+      WHERE pos <= n - $w + 1),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $maxDf),
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fp
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= $minShared
+    ORDER BY doc_a, doc_b""")
 
   /** Mirrors TextOps.ngramJaccardPairs including the document-frequency
     * cap: shingles in more than `maxDf` docs are dropped from both the

@@ -449,6 +449,14 @@ object SparkEntry {
           benchMaxDf = 2)
         .orderBy("doc_id", "bench_doc_id")),
 
+    "docs_stream_importance" -> ((s, d) =>
+      // ingest-time DSIR scoring: the 64-row model fitted offline from
+      // the static corpus folds into a map literal, so each arriving doc
+      // scores in a STATELESS codegen'd projection (Append mode, zero
+      // state rows) — shares the batch sample_importance oracle
+      graft.streaming.StreamingOps.importanceStream(s, d)
+        .orderBy("doc_id")),
+
     "docs_stream_vocab" -> ((s, d) =>
       // live tokenizer-engineering view: complete-mode per-token counts
       // (state = one row per distinct token, vocabulary-bounded);
@@ -858,6 +866,14 @@ object SparkEntry {
       TextOps.ngramJaccardPairs(T.documents(s, d), 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    "dedup_winnowed" -> ((s, d) =>
+      // MOSS winnowing (SIGMOD'03): per-window min fingerprints give the
+      // LOCAL-overlap guarantee MinHash lacks — any shared run of
+      // ≥ w+k−1 tokens certainly shares a fingerprint; index density
+      // ~2/(w+1) of the full shingle index
+      TextOps.winnowedPairs(T.documents(s, d))
+        .orderBy("doc_a", "doc_b")),
+
     "dedup_clusters" -> ((s, d) =>
       // pairs → transitive clusters (iterative min-label propagation);
       // the canonical row is what a pipeline keeps
@@ -900,6 +916,21 @@ object SparkEntry {
       graft.operators.CorpusOps.sampleTemperature(T.documents(s, d),
           budgetDocs = 100L)
         .orderBy("source")),
+
+    "sample_importance" -> ((s, d) => {
+      // DSIR-style data selection (Xie et al. 2023): score every raw doc
+      // by the fixed-point log-likelihood ratio of its hashed-n-gram bag
+      // under a small curated target slice vs the raw corpus — the
+      // principled "more like THIS reference corpus" filter, vs the
+      // absolute quality gates. Target = the en docs at doc_id % 7 == 0
+      // (a held-out ~7% slice, the %23-bench pattern); 64 hash buckets
+      val docs = T.documents(s, d)
+      graft.operators.CorpusOps.dsirWeights(
+          docs,
+          docs.filter(col("lang") === "en" && col("doc_id") % 7 === 0),
+          buckets = 64)
+        .orderBy("doc_id")
+    }),
 
     "sample_token_budget" -> ((s, d) =>
       // reproducible corpus subsetting: per-source salted-hash-ordered
@@ -2179,6 +2210,8 @@ object SparkEntry {
     "dedup_near_minhash" -> OracleExt.dedupNearMinhash,
     "dedup_simhash" -> OracleExt.dedupSimhash,
     "dedup_ngram_jaccard" -> OracleExt.dedupNgramJaccard(0.5),
+    "dedup_winnowed" -> OracleExt.dedupWinnowed(w = 4, minShared = 2,
+      maxDf = 128),
     "decontaminate" -> OracleExt.decontaminate,
     "decontaminate_exact" -> OracleExt.decontaminateExact,
     "decontaminate_bloom" -> OracleExt.decontaminateExact,
@@ -2233,6 +2266,10 @@ object SparkEntry {
     "corpus_shard" -> OracleExt.corpusShard(nShards = 8),
     "sample_per_group" -> OracleExt.samplePerGroup,
     "sample_temperature" -> OracleExt.sampleTemperature(100L),
+    "sample_importance" -> OracleExt.dsirWeights(64,
+      "lang = 'en' AND doc_id % 7 = 0"),
+    "docs_stream_importance" -> OracleExt.dsirWeights(64,
+      "lang = 'en' AND doc_id % 7 = 0"),
     "corpus_pack_sequences" -> OracleExt.corpusPackSequences,
     "pii_scrub" -> OracleExt.piiScrub,
     "tfidf_top_terms" -> OracleExt.tfidfTopTerms,

@@ -327,6 +327,92 @@ object CorpusOps {
       .select(col(groupCol), col("doc_id"), col("rk"))
   }
 
+  /** DSIR-style importance weighting (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169): score every RAW
+    * document by how much more likely its hashed-n-gram bag is under a
+    * small TARGET distribution (the curated/high-quality slice a
+    * pretraining run wants more of) than under the raw corpus itself —
+    * log w(x) = Σ_grams [log p̂(bucket) − log q̂(bucket)], add-1 smoothed.
+    * Positive weight ⇒ the doc reads target-like; a selection pass keeps
+    * the top mass. This is the principled form of "quality filtering
+    * toward a reference corpus", vs the absolute gates (CleanGate,
+    * doc_lm_score) that score documents in isolation.
+    *
+    * Determinism (the doc_lm_score discipline): everything integer.
+    * Grams (unigrams + bigrams) hash into `buckets` cells via the md5
+    * slice idiom; per-bucket log terms are `⌊ln(integer)·10⁶ + 0.5⌋`
+    * fixed-point longs (each ln's argument is an exact integer — the
+    * zipf-slope pattern, green across engines since r9), and per-doc
+    * weights are SUMS of those longs — no float ever crosses an engine
+    * boundary unrounded, no accumulation-order sensitivity.
+    *
+    * Scale shape: ONE raw-corpus scan. The gram stream (~2× tokens,
+    * map-side explode + md5) collapses immediately into per-doc bucket
+    * HISTOGRAMS — ≤ `buckets` rows per doc, partial-combined before any
+    * exchange — and that small (doc_id, b, cnt) frame is materialized
+    * once (Barriers): it is strictly SMALLER than the corpus text, so
+    * staging it beats re-scanning parquet and re-hashing every gram for
+    * the second pass (the opposite trade from staging raw grams, which
+    * are larger than the text). The corpus histogram q sums it
+    * (B-bounded state, B ≪ corpus — the paper uses 10⁴ buckets at web
+    * scale); the target side is eval/curated-slice-sized and pays one
+    * small scan; the B-row delta table then broadcasts back onto the
+    * staged histograms for the weight sum. No window, no global sort,
+    * no corpus-sized shuffle or broadcast anywhere.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+                  buckets: Int = 64): DataFrame = {
+    val rawB = Barriers.materialize(
+      gramBuckets(raw, buckets).groupBy("doc_id", "b")
+        .agg(count(lit(1)).as("cnt")))
+    val delta = dsirDelta(rawB.groupBy("b").agg(sum(col("cnt")).as("cq")),
+                          target, buckets)
+    rawB.join(broadcast(delta), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_grams"),
+           sum(col("cnt") * col("delta_fp")).as("weight_fp"))
+      .withColumn("w_per_gram_fp", expr("weight_fp div n_grams"))
+      .withColumn("target_like", col("weight_fp") > 0)
+  }
+
+  /** Grams (unigrams + bigrams) exploded with their md5-slice hash
+    * bucket — the DSIR feature stream, shared by the batch weights and
+    * the streaming twin's delta fit.
+    */
+  private[graft] def gramBuckets(d: DataFrame, buckets: Int): DataFrame = {
+    val t = d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    t.select(col("doc_id"),
+        explode(concat(col("toks"), TextOps.shingles(col("toks"), 2)))
+          .as("gram"))
+      .withColumn("b",
+        conv(substring(md5(col("gram")), 1, 6), 16, 10).cast("long")
+          % buckets)
+  }
+
+  /** The fitted per-bucket log-ratio table (b, delta_fp) from a raw
+    * bucket histogram `q` (b, cq) and the TARGET slice — exactly
+    * `buckets` rows (absent buckets still carry their smoothed terms).
+    * Split out of [[dsirWeights]] so the streaming twin can fit the same
+    * table from the static corpus and fold it to a scoring literal.
+    */
+  private[graft] def dsirDelta(q: DataFrame, target: DataFrame,
+                               buckets: Int): DataFrame = {
+    val p = gramBuckets(target, buckets).groupBy("b")
+      .agg(count(lit(1)).as("cp"))
+    val allB = q.sparkSession.range(buckets).toDF("b")
+    val counts = allB
+      .join(p, Seq("b"), "left").na.fill(0L, Seq("cp"))
+      .join(q, Seq("b"), "left").na.fill(0L, Seq("cq"))
+    val tots = counts.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))
+    def lnFp(c: Column): Column =
+      floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    counts.crossJoin(broadcast(tots))
+      .withColumn("delta_fp",
+        (lnFp(col("cp") + 1) - lnFp(col("np") + buckets))
+          - (lnFp(col("cq") + 1) - lnFp(col("nq") + buckets)))
+      .select("b", "delta_fp")
+  }
+
   /** Sequence packing: shard-local contiguous packing of documents into
     * fixed-capacity token sequences — the batch-construction step of a
     * training pipeline. Docs are ordered deterministically within their

@@ -737,6 +737,57 @@ object TextOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS algorithm): in every window of `w` consecutive k-gram hashes,
+    * keep the minimum — the selected hashes are the document's
+    * fingerprint set. The guarantee MinHash doesn't give: any shared
+    * substring of ≥ `w + k − 1` tokens between two documents is
+    * CERTAIN to share at least one fingerprint (MinHash detects
+    * whole-document set resemblance probabilistically; winnowing detects
+    * local overlap deterministically, at ~2/(w+1) of the full k-gram
+    * index's density). Pairs sharing ≥ `minShared` fingerprints are the
+    * partial-overlap candidates a plagiarism/citation-contamination
+    * pass re-verifies.
+    *
+    * Determinism: hashes are md5 hex strings and the window "min" is
+    * their lexicographic minimum — both engines compare the same
+    * strings, no numeric conversion anywhere.
+    *
+    * Scale shape: positions explode map-side; the window min is a
+    * per-doc window function (partitionBy doc_id — bounded by document
+    * length, never corpus-wide); fingerprint dedup + df-cap + the
+    * self-equi-join on fingerprint mirror [[ngramJaccardPairs]]'s
+    * blocked geometry, with the same `maxDf` hub-key bound. The
+    * fingerprint index is ~2/(w+1) the size of the full shingle index —
+    * winnowing exists precisely to make this join affordable.
+    */
+  def winnowedPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                    minShared: Int = 2, maxDf: Int = 128): DataFrame = {
+    val pos = docs.select(col("doc_id"),
+        posexplode(shingles(tokens(col("text")), k)).as(Seq("pos", "sh")))
+      .withColumn("h", md5(col("sh")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, w - 1)
+    // only FULL windows select (n-w+1 of them) — the last w-1 positions
+    // start truncated windows whose "min" the algorithm never takes
+    val fp = Barriers.materialize(pos
+      .withColumn("n_pos", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") <= col("n_pos") - w)
+      .select(col("doc_id"), col("fp"))
+      .distinct())
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val kept = Barriers.materialize(fp.join(rare, Seq("fp")))
+    kept.as("a")
+      .join(kept.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct 3-gram shingles with any document in `benchmark`
     * — the standard eval-leakage check a training pipeline runs before a

@@ -267,6 +267,53 @@ object StreamingOps {
     runToTable(spark, agg, OutputMode.Complete())
   }
 
+  /** Streaming DSIR scoring — the ingest-time twin of
+    * `CorpusOps.dsirWeights`: every arriving document gets its
+    * reference-corpus importance weight as it lands. The model (the
+    * per-bucket log-ratio table) is fitted OFFLINE from the static
+    * corpus — exactly the deployment shape: DSIR refits its reference
+    * distributions out-of-band, the ingest path only scores.
+    *
+    * State honesty — the strongest row in the streaming family: state is
+    * ZERO. The fitted delta table is `buckets` rows, collected once on
+    * the driver (the kmeans-centroid bounded-collect discipline) and
+    * folded into a map LITERAL, so scoring is a stateless per-row
+    * projection — `transform`/`aggregate` higher-order functions over
+    * the gram array, whole-stage codegen, Append mode, no groupBy, no
+    * state store, nothing to watermark. A doc's weight needs only its
+    * own grams, so this is the form a 100 TB ingest actually wants (the
+    * batch twin's per-doc groupBy exists to share the staged histogram,
+    * not because the computation needs state). Shares the batch oracle.
+    */
+  def importanceStream(spark: SparkSession, dir: String,
+                       buckets: Int = 64): DataFrame = {
+    import graft.operators.{CorpusOps, TextOps}
+    val static = spark.read.parquet(s"$dir/documents.parquet")
+    val target = static.filter(col("lang") === "en" && col("doc_id") % 7 === 0)
+    val q = CorpusOps.gramBuckets(static, buckets)
+      .groupBy("b").agg(count(lit(1)).as("cq"))
+    // bounded driver collect: exactly `buckets` rows (64), the model
+    val fitted = CorpusOps.dsirDelta(q, target, buckets)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deltaLit = map(fitted.toSeq.sortBy(_._1)
+      .flatMap { case (b, d) => Seq(lit(b), lit(d)) }: _*)
+    val scored = docsStream(spark, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("grams",
+        concat(col("toks"), TextOps.shingles(col("toks"), 2)))
+      .filter(size(col("grams")) > 0) // the batch explode drops these too
+      .withColumn("deltas", transform(col("grams"), g =>
+        element_at(deltaLit,
+          conv(substring(md5(g), 1, 6), 16, 10).cast("long") % buckets)))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        aggregate(col("deltas"), lit(0L), (acc, x) => acc + x)
+          .as("weight_fp"))
+      .withColumn("w_per_gram_fp", expr("weight_fp div n_grams"))
+      .withColumn("target_like", col("weight_fp") > 0)
+    runToTable(spark, scored, OutputMode.Append())
+  }
+
   /** Sliding (overlapping) watermarked windows — the only structural
     * difference from [[windowCounts]] is that each event lands in
     * duration/slide windows, which Spark's `window()` expands BEFORE the

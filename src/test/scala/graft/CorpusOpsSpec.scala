@@ -310,4 +310,61 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("good.org", "kept") -> 2L,
       ("evil.net", "kept") -> 1L))
   }
+
+  test("DSIR importance weights equal an in-memory fixed-point model " +
+       "and rank the target's language above the rest") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = docs.filter($"lang" === "en" && $"doc_id" % 7 === 0)
+    val B = 64
+    val got = CorpusOps.dsirWeights(docs, target, buckets = B)
+      .select("doc_id", "n_grams", "weight_fp", "w_per_gram_fp",
+              "target_like")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // independent model: same md5-bucket hash, same ⌊ln·1e6+0.5⌋ terms
+    val rows = docs.select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+    def grams(text: String): Seq[String] = {
+      val t = "\\S+".r.findAllIn(text.toLowerCase).toSeq
+      t ++ t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    def bucket(g: String): Int = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(6), 16) % B).toInt
+    }
+    def lnFp(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    val cq = new Array[Long](B)
+    val cp = new Array[Long](B)
+    rows.foreach { case (id, lang, text) =>
+      grams(text).foreach { g =>
+        val b = bucket(g)
+        cq(b) += 1
+        if (lang == "en" && id % 7 == 0) cp(b) += 1
+      }
+    }
+    val (np, nq) = (cp.sum, cq.sum)
+    val delta = (0 until B).map(b =>
+      (lnFp(cp(b) + 1) - lnFp(np + B)) - (lnFp(cq(b) + 1) - lnFp(nq + B)))
+    assert(got.size == rows.count(_._3.trim.nonEmpty))
+    rows.foreach { case (id, _, text) =>
+      val gs = grams(text)
+      if (gs.nonEmpty) {
+        val w = gs.map(g => delta(bucket(g))).sum
+        val (_, n, wf, wpg, tl) = got(id)
+        assert(n == gs.length && wf == w && wpg == w / n && tl == (w > 0),
+          s"doc $id: got ($n,$wf,$wpg,$tl) want (${gs.length},$w)")
+      }
+    }
+    // semantic sanity: weights measure target-likeness, so en docs must
+    // average strictly above zh docs (disjoint marker vocabulary)
+    def meanWpg(lang: String): Double = {
+      val ids = rows.filter(_._2 == lang).map(_._1)
+      ids.map(id => got(id)._4.toDouble).sum / ids.length
+    }
+    assert(meanWpg("en") > meanWpg("zh"),
+      s"en ${meanWpg("en")} must rank above zh ${meanWpg("zh")}")
+  }
 }

@@ -112,6 +112,20 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming DSIR scoring equals the batch weights exactly " +
+       "(stateless map-literal model = staged-histogram model)") {
+    import org.apache.spark.sql.functions.col
+    val streamed = StreamingOps.importanceStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val docs = Tables.documents(spark, dir)
+    val batch = graft.operators.CorpusOps.dsirWeights(
+        docs,
+        docs.filter(col("lang") === "en" && col("doc_id") % 7 === 0),
+        buckets = 64)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming exact-substring decontamination equals the batch gate") {
     val streamed = StreamingOps.exactContaminationStream(spark, dir)
       .collect().map(_.toSeq).toSet

@@ -590,4 +590,44 @@ class TextOpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty)                // fixture shares 3-token runs
     assert(viaBloom == exact)
   }
+
+  test("winnowing: a shared run of >= w+k-1 tokens ALWAYS pairs, and " +
+       "fingerprints equal an in-memory model") {
+    import spark.implicits._
+    // k=3, w=4 → guarantee threshold w+k-1 = 6 tokens. Docs 1 and 2
+    // share exactly a 6-token run embedded in different contexts; docs
+    // 3/4 share nothing 6 tokens long.
+    val run = "alpha bravo charlie delta echo foxtrot"
+    val docs = Seq(
+      (1L, s"intro words here $run and a tail"),
+      (2L, s"$run completely different ending text now"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.winnowedPairs(docs, minShared = 1)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)),
+      "the SIGMOD'03 guarantee: a >= w+k-1 token run must share a fingerprint")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L || p._2 == 4L),
+      s"no 6-token overlap may pair: $pairs")
+
+    // fingerprint selection equals an in-memory winnow (md5 hex strings,
+    // lexicographic window min over FULL windows only)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def winnow(text: String, k: Int = 3, w: Int = 4): Set[String] = {
+      val t = "\\S+".r.findAllIn(text.toLowerCase).toSeq
+      val hs = t.sliding(k).filter(_.size == k)
+        .map(g => md5hex(g.mkString(" "))).toSeq
+      hs.sliding(w).filter(_.size == w).map(_.min).toSet
+    }
+    val wantShared = (winnow(s"intro words here $run and a tail")
+      & winnow(s"$run completely different ending text now")).size
+    val got = TextOps.winnowedPairs(docs, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+      .find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(got == wantShared.toLong,
+      s"shared fingerprint count $got != model $wantShared")
+  }
 }
