@@ -76,4 +76,37 @@ class NullSafetySpec extends AnyFunSuite {
     assert(topk.nonEmpty &&
       topk.forall(r => !r.isNullAt(2))) // no null sim survives ranking
   }
+
+  test("r15 operators tolerate null/empty/short inputs and empty slices") {
+    // DSIR: null/empty text drops out (no grams); an EMPTY target slice
+    // still yields a well-defined model (every bucket's p̂ is the same
+    // smoothed 1/(0+B), so weights reduce to -Σ log q̂ terms — finite,
+    // no throw, no null)
+    val w = CorpusOps.dsirWeights(docs,
+      docs.filter($"doc_id" < 0), buckets = 8).collect()
+    assert(w.length == 2 && w.forall(r => !r.isNullAt(2)))
+    val wNull = CorpusOps.dsirWeights(docs,
+      docs.filter($"doc_id" === 3), buckets = 8).collect()
+    assert(wNull.length == 2) // null/empty text rows never score
+
+    // semantic banded screen: null embeddings band to null (never join),
+    // empty bench side yields an empty (not failing) result
+    val emb = Seq(
+      (1L, "a", Array.fill(8)(0.5f)),
+      (2L, "b", Array.fill(8)(0.5f)),
+      (3L, "n", null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "label", "embedding")
+    val banded = VectorOps.decontaminateSemanticBanded(
+      emb.filter($"vec_id" === 1L || $"vec_id" === 3L),
+      emb.filter($"vec_id" === 2L), threshold = 0.4, dim = 8).collect()
+    assert(banded.map(_.getLong(0)).toSet == Set(1L)) // null never pairs
+    assert(VectorOps.decontaminateSemanticBanded(
+      emb, emb.filter($"vec_id" < 0), 0.4, dim = 8).isEmpty)
+
+    // winnowing: docs shorter than w+k-1 tokens have no full window →
+    // no fingerprints, no pairs, no throw (docs 1/2 are null/empty)
+    val shortDocs = docs.withColumn("text",
+      when($"doc_id" === 3L, lit("a b c d")).otherwise($"text"))
+    assert(TextOps.winnowedPairs(shortDocs, minShared = 1).isEmpty)
+  }
 }
