@@ -43,6 +43,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing pairs equal the brute-force model on random corpora") {
+    // random small-vocab docs force heavy shingle collisions — the
+    // shapes the planted-run fixture can't reach (adjacent equal
+    // windows, repeated shingles inside one doc, hub fingerprints)
+    val vocab = Array("ox", "ant", "bee", "cat", "dog", "elk", "fox", "gnu")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def modelPairs(ds: Seq[(Long, String)], k: Int, w: Int,
+                   minShared: Int, maxDf: Int): Map[(Long, Long), Long] = {
+      val fps = ds.map { case (id, text) =>
+        val t = "\\S+".r.findAllIn(text.toLowerCase).toSeq
+        val hs = t.sliding(k).filter(_.size == k)
+          .map(g => md5hex(g.mkString(" "))).toSeq
+        id -> hs.sliding(w).filter(_.size == w).map(_.min).toSet
+      }.toMap
+      val df = fps.values.flatten.groupBy(identity).map { case (f, xs) => f -> xs.size }
+      val kept = fps.map { case (id, s) => id -> s.filter(df(_) <= maxDf) }
+      val ids = ds.map(_._1).sorted
+      (for {
+        i <- ids; j <- ids if i < j
+        shared = (kept(i) & kept(j)).size if shared >= minShared
+      } yield (i, j) -> shared.toLong).toMap
+    }
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 6) {
+      val ds = (1L to (4 + rnd.nextInt(10)).toLong).map { id =>
+        val n = rnd.nextInt(18)
+        id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val maxDf = 1 + rnd.nextInt(8)
+      val got = graft.operators.TextOps
+        .winnowedPairs(ds.toDF("doc_id", "text"),
+          minShared = 1, maxDf = maxDf)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val want = modelPairs(ds, k = 3, w = 4, minShared = 1, maxDf = maxDf)
+      assert(got == want, s"trial $trial maxDf=$maxDf: $got vs $want\n$ds")
+    }
+  }
+
   test("anomaly MAD exact + hist equal brute models on random value frames") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 8) {
