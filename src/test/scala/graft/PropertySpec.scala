@@ -84,6 +84,64 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("banded semantic decontamination equals the brute-force banding " +
+       "model on random vectors") {
+    import graft.operators.VectorOps
+    val dim = 8
+    val (bands, rpb) = (8, 4)
+    def bucket(v: Array[Float], j: Int): Int =
+      (0 until rpb).map { i =>
+        val p = j * rpb + i
+        val proj = (0 until dim)
+          .map(d => v(d).toDouble * VectorOps.planeComponent(p, d)).sum
+        if (proj > 0) 1 << i else 0
+      }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = (0 until dim).map(d => a(d).toDouble * b(d).toDouble).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rnd = new scala.util.Random(47)
+    var totalContaminated = 0
+    for (trial <- 1 to 4) {
+      val n = 12 + rnd.nextInt(16)
+      // dim-8 random vectors: cosine std ≈ 1/√8, so τ=0.3 crossings are
+      // plentiful and the trials are non-vacuous (asserted at the end)
+      val vecs = (1L to n.toLong).map { id =>
+        id -> Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      }.toMap
+      val tau = 0.3
+      val trainIds = vecs.keys.filter(_ % 3 != 0).toSeq.sorted
+      val benchIds = vecs.keys.filter(_ % 3 == 0).toSeq.sorted
+      val want = trainIds.flatMap { t =>
+        val cands = benchIds.filter { b =>
+          (0 until bands).exists(j => bucket(vecs(t), j) == bucket(vecs(b), j))
+        }
+        val sims = cands.map(b => cos(vecs(t), vecs(b))).filter(_ >= tau)
+        if (sims.isEmpty) None
+        else Some(t -> ((sims.max, sims.length.toLong)))
+      }.toMap
+      val df = vecs.toSeq.sortBy(_._1)
+        .map { case (id, v) => (id, "x", v) }
+        .toDF("vec_id", "label", "embedding")
+      val got = VectorOps.decontaminateSemanticBanded(
+          df.filter($"vec_id" % 3 =!= 0), df.filter($"vec_id" % 3 === 0),
+          threshold = tau, dim = dim, bands = bands, rowsPerBand = rpb)
+        .as[(Long, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.keySet == want.keySet, s"trial $trial: contaminated sets " +
+        s"diverge: ${got.keySet} vs ${want.keySet}")
+      want.foreach { case (id, (s, c)) =>
+        assert(math.abs(got(id)._1 - s) < 1e-9 && got(id)._2 == c,
+          s"trial $trial doc $id: ${got(id)} vs ($s,$c)")
+      }
+      totalContaminated += want.size
+    }
+    assert(totalContaminated > 0, "trials were vacuous — no crossings")
+  }
+
   test("anomaly MAD exact + hist equal brute models on random value frames") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 8) {
