@@ -63,4 +63,12 @@ def main(bench_path=None, baseline_path="BASELINE.md"):
 
 
 if __name__ == "__main__":
+    # error, don't slice: a typo'd third argument (e.g. a misspelled
+    # baseline path pushed to position 3 by a stray flag) must not be
+    # silently dropped while the default BASELINE.md is compared instead
+    if len(sys.argv) > 3:
+        print("usage: compare_baseline.py bench_out.json [BASELINE.md]"
+              f" — unexpected extra arguments: {sys.argv[3:]}",
+              file=sys.stderr)
+        sys.exit(2)
     sys.exit(main(*sys.argv[1:3]))

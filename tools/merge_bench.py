@@ -10,7 +10,9 @@ Fails hard (exit 2, no output) when the runs disagree on the query set or
 any run carries an error row: a silently-shrunken query set would deflate
 the standing total that compare_baseline.py judges against BASELINE.md.
 Pass --allow-partial to merge anyway; the dropped queries then travel in
-an explicit "excluded" field so the total is never quietly smaller.
+an explicit "excluded" field so the total is never quietly smaller, and
+the exit code is 3 (merged-but-partial) so automation can still tell a
+clean merge (0) from a partial one without parsing the artifact.
 """
 import json
 import statistics
@@ -49,6 +51,9 @@ def main(paths):
         for w in why:
             print(f"WARN: {w} (merged with --allow-partial; "
                   "see 'excluded' field)", file=sys.stderr)
+        partial = True
+    else:
+        partial = False
     med = {q: statistics.median(r["queries"][q] for r in runs)
            for q in sorted(common)
            if all(isinstance(r["queries"][q], (int, float)) for r in runs)}
@@ -65,7 +70,11 @@ def main(paths):
     }
     json.dump(out, sys.stdout)
     print()
-    return 0
+    # distinct nonzero exit for a merged-but-partial artifact (r15
+    # advisory): --allow-partial used to exit 0, so automation keying on
+    # the exit code could mistake a merge with dropped/error rows for a
+    # clean one. 0 = clean, 2 = refused (no output), 3 = merged partial.
+    return 3 if partial else 0
 
 
 if __name__ == "__main__":
