@@ -1020,6 +1020,17 @@ object OracleExt {
     */
   def dsirWeights(buckets: Int, targetWhere: String): String = s"""
     WITH $DocsTokCte,
+    ${dsirWeightCtes(buckets, targetWhere)}
+    SELECT doc_id, n_grams, weight_fp,
+           CAST(weight_fp // n_grams AS BIGINT) AS w_per_gram_fp,
+           weight_fp > 0 AS target_like
+    FROM wts ORDER BY doc_id"""
+
+  /** Shared CTE chain of the DSIR family, ending in
+    * `wts(doc_id, n_grams, weight_fp)` — one definition for the weights
+    * query and the selection step so the two cannot drift.
+    */
+  private def dsirWeightCtes(buckets: Int, targetWhere: String): String = s"""
     grams AS (
       SELECT doc_id, lang,
              unnest(toks || [toks[i] || ' ' || toks[i+1]
@@ -1045,15 +1056,40 @@ object OracleExt {
              - (CAST(floor(ln(cq + 1) * 1e6 + 0.5) AS BIGINT)
                 - CAST(floor(ln(nq + $buckets) * 1e6 + 0.5) AS BIGINT))
                AS delta_fp
-      FROM counts, tots)
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_grams,
-           CAST(sum(delta_fp) AS BIGINT) AS weight_fp,
-           CAST(CAST(sum(delta_fp) AS BIGINT) // count(*) AS BIGINT)
-             AS w_per_gram_fp,
-           CAST(sum(delta_fp) AS BIGINT) > 0 AS target_like
-    FROM gb JOIN delta USING (b)
-    GROUP BY doc_id ORDER BY doc_id"""
+      FROM counts, tots),
+    wts AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(delta_fp) AS BIGINT) AS weight_fp
+      FROM gb JOIN delta USING (b)
+      GROUP BY doc_id)"""
+
+  /** Mirrors CorpusOps.dsirSelect — deliberately an INDEPENDENT
+    * formulation: one straight global running sum over
+    * (weight_fp DESC, salted-md5 tiebreak, doc_id), where the Spark side
+    * decomposes the same sum into coarse-cell offsets + per-cell windows;
+    * agreement therefore checks the decomposition itself, not just the
+    * weights.
+    */
+  def dsirSelect(buckets: Int, targetWhere: String,
+                 budgetTokens: Long): String = s"""
+    WITH $DocsTokCte,
+    ${dsirWeightCtes(buckets, targetWhere)},
+    scored AS (
+      SELECT w.doc_id, w.weight_fp,
+             CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             ${hexParse8("substr(md5('dsirsel:' || w.doc_id), 1, 8)")} AS u
+      FROM wts w JOIN docs_tok t USING (doc_id)),
+    cum AS (
+      SELECT doc_id, weight_fp, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY weight_fp DESC, u, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM scored)
+    SELECT doc_id, weight_fp, n_tokens, cum_tokens,
+           cum_tokens <= $budgetTokens AS kept
+    FROM cum ORDER BY doc_id"""
 
   /** k=25 on lang — constants must match the SparkEntry call. Same salted
     * md5 rank order as CorpusOps.hashUniform("pick", doc_id).
@@ -1331,7 +1367,16 @@ object OracleExt {
     * hash pins fingerprint parity.
     */
   def dedupWinnowed(w: Int, minShared: Int, maxDf: Int): String = docQ(s"""
-    , p0 AS (SELECT doc_id, unnest(range(1, len(sh)+1)) AS i, sh
+    , ${winnowedPairCtes(w, minShared, maxDf)}
+    SELECT doc_a, doc_b, n_shared_fp
+    FROM wpairs ORDER BY doc_a, doc_b""")
+
+  /** Shared CTE chain of the winnowing family, ending in
+    * `wpairs(doc_a, doc_b, n_shared_fp)` — one selection definition for
+    * the pair query and the drop-list verdict so the two cannot drift.
+    */
+  private def winnowedPairCtes(w: Int, minShared: Int, maxDf: Int): String =
+    s"""p0 AS (SELECT doc_id, unnest(range(1, len(sh)+1)) AS i, sh
              FROM docs_sh),
     p AS (SELECT doc_id, i AS pos, md5(sh[i]) AS h, len(sh) AS n FROM p0),
     fps AS (
@@ -1343,12 +1388,45 @@ object OracleExt {
         FROM p)
       WHERE pos <= n - $w + 1),
     rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $maxDf),
-    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(count(*) AS BIGINT) AS n_shared_fp
-    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY 1, 2 HAVING count(*) >= $minShared
-    ORDER BY doc_a, doc_b""")
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+    wpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared_fp
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= $minShared)"""
+
+  /** Mirrors CorpusOps.winnowedDropList: recursive-closure clusters over
+    * the winnowed pairs + keeper = (max n_chars, min doc_id) per cluster
+    * + the per-doc verdict — the dedupDropList pattern with the MOSS
+    * pair CTEs swapped in for the minhash bands.
+    */
+  def dedupWinnowedDropList(w: Int, minShared: Int, maxDf: Int): String = s"""
+    WITH RECURSIVE $DocCtes,
+      ${winnowedPairCtes(w, minShared, maxDf)},
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM wpairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM wpairs),
+      walk(doc, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, wk.lab FROM edges e JOIN walk wk ON wk.doc = e.dst),
+      comp AS (SELECT doc AS doc_id, min(lab) AS cluster_id
+               FROM walk GROUP BY doc),
+      sized AS (
+        SELECT c.doc_id, c.cluster_id, d.n_chars
+        FROM comp c JOIN documents d USING (doc_id)),
+      k AS (
+        SELECT cluster_id, doc_id AS keeper_id FROM (
+          SELECT cluster_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id) AS r
+          FROM sized)
+        WHERE r = 1)
+    SELECT s.doc_id, s.cluster_id, k.keeper_id,
+           s.doc_id <> k.keeper_id AS dropped
+    FROM sized s JOIN k USING (cluster_id)
+    ORDER BY s.doc_id"""
 
   /** Mirrors TextOps.ngramJaccardPairs including the document-frequency
     * cap: shingles in more than `maxDf` docs are dropped from both the
@@ -2310,6 +2388,91 @@ object OracleExt {
     SELECT vec_a // $shift AS media_a, vec_a % $shift AS frame_a,
            vec_b // $shift AS media_b, vec_b % $shift AS frame_b, sim
     FROM pairs ORDER BY media_a, frame_a, media_b, frame_b"""
+  }
+
+  /** Mirrors Multimodal.captionFrameMatch: the frame-near-dedup feature
+    * chain plus a CAPTION side (the same mean-centered byte-statistics
+    * formula over the WHOLE payload hex), both banded with the shared
+    * plane literals, band-key equi-join across the modality boundary,
+    * exact cosine re-verify, per-media hit/own-hit/best aggregation.
+    */
+  def multimodalCaptionMatch(frameBytes: Int, stride: Int,
+                             threshold: Double, dim: Int,
+                             bands: Int, rowsPerBand: Int): String = {
+    val step = frameBytes * stride
+    val shift = graft.operators.Multimodal.FrameIdShift
+    val bandExprs = bandExprsSql(dim, bands, rowsPerBand)
+    s"""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS blen
+      FROM documents),
+    n AS (
+      SELECT media_id, hx,
+             greatest(CAST(ceil((blen // $frameBytes) / ${stride}.0)
+                        AS BIGINT), 1) AS n_frames
+      FROM m),
+    fr AS (
+      SELECT media_id, i AS frame_idx,
+             substr(hx, CAST(i * $step * 2 + 1 AS BIGINT),
+                    ${frameBytes * 2}) AS fhx
+      FROM (SELECT media_id, hx, unnest(range(0, n_frames)) AS i FROM n)),
+    fb AS (
+      SELECT media_id, frame_idx,
+             [ (strpos('0123456789ABCDEF', substr(fhx, k*2-1, 1))-1)*16
+               + (strpos('0123456789ABCDEF', substr(fhx, k*2, 1))-1)
+               for k in range(1, CAST(len(fhx)//2 AS BIGINT) + 1) ] AS bytes
+      FROM fr WHERE len(fhx) > 0),
+    feats AS (
+      SELECT media_id * $shift + frame_idx AS vec_id,
+             [ CAST($dim * coalesce(
+                      list_sum(list_filter(bytes,
+                        (x, i) -> (i-1) % $dim = j)), 0)
+                    - coalesce(list_sum(bytes), 0) AS DOUBLE)
+               for j in range(0, $dim) ] AS v
+      FROM fb),
+    femb AS (SELECT vec_id, v FROM feats WHERE list_dot_product(v, v) > 0),
+    cb AS (
+      SELECT media_id,
+             [ (strpos('0123456789ABCDEF', substr(hx, k*2-1, 1))-1)*16
+               + (strpos('0123456789ABCDEF', substr(hx, k*2, 1))-1)
+               for k in range(1, CAST(len(hx)//2 AS BIGINT) + 1) ] AS bytes
+      FROM m WHERE len(hx) > 0),
+    cfeats AS (
+      SELECT media_id,
+             [ CAST($dim * coalesce(
+                      list_sum(list_filter(bytes,
+                        (x, i) -> (i-1) % $dim = j)), 0)
+                    - coalesce(list_sum(bytes), 0) AS DOUBLE)
+               for j in range(0, $dim) ] AS v
+      FROM cb),
+    cemb AS (SELECT media_id, v FROM cfeats
+             WHERE list_dot_product(v, v) > 0),
+    fbands AS (
+      SELECT vec_id, unnest([$bandExprs]) AS band FROM femb),
+    cbands AS (
+      SELECT media_id, unnest([$bandExprs]) AS band FROM cemb),
+    cand AS (
+      SELECT DISTINCT c.media_id, f.vec_id
+      FROM cbands c JOIN fbands f USING (band)),
+    hits AS (
+      SELECT media_id, vec_id, sim FROM (
+        SELECT c.media_id, c.vec_id,
+               round(list_dot_product(ce.v, fe.v)
+                 / (sqrt(list_dot_product(ce.v, ce.v))
+                    * sqrt(list_dot_product(fe.v, fe.v))), 6) AS sim
+        FROM cand c
+        JOIN cemb ce ON ce.media_id = c.media_id
+        JOIN femb fe ON fe.vec_id = c.vec_id)
+      WHERE sim >= $threshold)
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_frame_hits,
+           CAST(sum(CASE WHEN vec_id // $shift = media_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_own_hits,
+           max(sim) AS best_sim,
+           sum(CASE WHEN vec_id // $shift = media_id
+                    THEN 1 ELSE 0 END) > 0 AS matched
+    FROM hits GROUP BY media_id ORDER BY media_id"""
   }
 
   // ---- events ----------------------------------------------------------

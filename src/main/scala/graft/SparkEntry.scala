@@ -457,6 +457,17 @@ object SparkEntry {
       graft.streaming.StreamingOps.importanceStream(s, d)
         .orderBy("doc_id")),
 
+    "docs_stream_winnowed" -> ((s, d) =>
+      // live MOSS winnowing (r15 verdict item 5): fingerprint selection
+      // is a stateless native per-row projection as docs land; pair
+      // detection rides the shared band-state machine keyed by
+      // fingerprint, and the drained per-pair emission count IS
+      // n_shared_fp — shares dedup_winnowed's oracle (densest
+      // fingerprint df 24 at sf0.1, far under both the batch df-cap and
+      // the stream state cap)
+      graft.streaming.StreamingOps.winnowedPairsStream(s, d)
+        .orderBy("doc_a", "doc_b")),
+
     "docs_stream_vocab" -> ((s, d) =>
       // live tokenizer-engineering view: complete-mode per-token counts
       // (state = one row per distinct token, vocabulary-bounded);
@@ -603,6 +614,17 @@ object SparkEntry {
           col("sim"))
         .orderBy("media_a", "frame_a", "media_b", "frame_b")
     }),
+
+    "multimodal_caption_match" -> ((s, d) =>
+      // cross-modal caption↔frame agreement (r15 verdict item 6, the
+      // CLIP-score shape): caption byte-feature vectors vs the frame
+      // vectors of the whole media corpus through the shared 4×16-bit
+      // sign bands (never caption×frame), exact cosine re-verify,
+      // per-media verdict — n_frame_hits / n_own_hits / best_sim /
+      // matched. τ=0.9 over the stub features (own-frame best cosine
+      // median 0.70, p90 0.88 at sf0.01 — the threshold splits)
+      Multimodal.captionFrameMatch(T.documents(s, d), threshold = 0.9)
+        .orderBy("media_id")),
 
     "multimodal_stream_frame_near_dedup" -> ((s, d) =>
       // media landing dir, NEAR-dup grain: frames banded on the batch
@@ -874,6 +896,14 @@ object SparkEntry {
       TextOps.winnowedPairs(T.documents(s, d))
         .orderBy("doc_a", "doc_b")),
 
+    "dedup_winnowed_drop_list" -> ((s, d) =>
+      // the winnowing family's VERDICT (r15 verdict item 4): MOSS
+      // fingerprint pairs → transitive clusters → keeper (longest doc,
+      // ties lowest id) + per-doc keep/drop — the drop-list shape every
+      // other dedup family already ends in
+      graft.operators.CorpusOps.winnowedDropList(T.documents(s, d))
+        .orderBy("doc_id")),
+
     "dedup_clusters" -> ((s, d) =>
       // pairs → transitive clusters (iterative min-label propagation);
       // the canonical row is what a pipeline keeps
@@ -929,6 +959,22 @@ object SparkEntry {
           docs,
           docs.filter(col("lang") === "en" && col("doc_id") % 7 === 0),
           buckets = 64)
+        .orderBy("doc_id")
+    }),
+
+    "sample_importance_select" -> ((s, d) => {
+      // the DSIR SELECTION step (r15 verdict item 3 — Xie et al. §3
+      // resample, deterministic form): docs ranked by (weight_fp DESC,
+      // salted-hash tiebreak, doc_id), kept while the exact cumulative
+      // token count fits the budget; the global running sum is cell-
+      // offset + per-cell window, never a single-partition sort. Same
+      // target slice + buckets as sample_importance (its substrate,
+      // CorpusOps.dsirWeights)
+      val docs = T.documents(s, d)
+      graft.operators.CorpusOps.dsirSelect(
+          docs,
+          docs.filter(col("lang") === "en" && col("doc_id") % 7 === 0),
+          budgetTokens = 15000L, buckets = 64)
         .orderBy("doc_id")
     }),
 
@@ -2212,6 +2258,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleExt.dedupNgramJaccard(0.5),
     "dedup_winnowed" -> OracleExt.dedupWinnowed(w = 4, minShared = 2,
       maxDf = 128),
+    // the stream twin drains to the identical pair set (densest
+    // fingerprint df far under both caps — see the query's comment)
+    "docs_stream_winnowed" -> OracleExt.dedupWinnowed(w = 4, minShared = 2,
+      maxDf = 128),
+    "dedup_winnowed_drop_list" -> OracleExt.dedupWinnowedDropList(w = 4,
+      minShared = 2, maxDf = 128),
     "decontaminate" -> OracleExt.decontaminate,
     "decontaminate_exact" -> OracleExt.decontaminateExact,
     "decontaminate_bloom" -> OracleExt.decontaminateExact,
@@ -2268,6 +2320,8 @@ object SparkEntry {
     "sample_temperature" -> OracleExt.sampleTemperature(100L),
     "sample_importance" -> OracleExt.dsirWeights(64,
       "lang = 'en' AND doc_id % 7 = 0"),
+    "sample_importance_select" -> OracleExt.dsirSelect(64,
+      "lang = 'en' AND doc_id % 7 = 0", budgetTokens = 15000L),
     "docs_stream_importance" -> OracleExt.dsirWeights(64,
       "lang = 'en' AND doc_id % 7 = 0"),
     "corpus_pack_sequences" -> OracleExt.corpusPackSequences,
@@ -2313,6 +2367,9 @@ object SparkEntry {
       frameBytes = 64, stride = 2),
     "multimodal_frame_near_dedup" -> OracleExt.multimodalFrameNearDedup(
       frameBytes = 64, stride = 2, threshold = 0.99, dim = 8,
+      bands = 4, rowsPerBand = 16),
+    "multimodal_caption_match" -> OracleExt.multimodalCaptionMatch(
+      frameBytes = 64, stride = 2, threshold = 0.9, dim = 8,
       bands = 4, rowsPerBand = 16),
     "multimodal_stream_frame_near_dedup" -> OracleExt.multimodalFrameNearDedup(
       frameBytes = 64, stride = 2, threshold = 0.99, dim = 8,

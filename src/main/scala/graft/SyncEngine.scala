@@ -25,8 +25,13 @@ class SyncEngine(spark: SparkSession, config: SyncConfig,
                    graft.sources.PostCopyTagger.Noop) {
   import SyncEngine._
 
+  /** `tagFailed` counts post-copy TAGGING failures (the cycle itself
+    * succeeded: objects copied, ledger committed) — a flaky tagging SDK
+    * must surface without wedging sync progress (r15 advisory).
+    */
   case class MappingReport(mappingId: String, synced: Long, skipped: Long,
-                           failed: Long, orphansRemoved: Long)
+                           failed: Long, orphansRemoved: Long,
+                           tagFailed: Long = 0L)
 
   /** SyncAll (sync.go:32-53): per-mapping isolation — one failed mapping
     * logs and continues. One exception: a thread INTERRUPT is not a mapping
@@ -188,10 +193,32 @@ class SyncEngine(spark: SparkSession, config: SyncConfig,
     // gets exactly the success receipts' header columns to re-apply via
     // its provider SDK. Noop (the default) costs nothing; the guard
     // keeps all-skip cycles from running a count job per mapping when
-    // no tagger is configured.
+    // no tagger is configured. The frame is pinned once (Barriers) so
+    // the isEmpty guard and the tagger's own action share one evaluation
+    // of the receipts join instead of running it twice (r15 advisory).
+    var tagFailed = 0L
     if (!(tagger eq graft.sources.PostCopyTagger.Noop)) {
-      val tagged = SyncEngine.taggableReceipts(toCopy, receipts)
-      if (!tagged.isEmpty) tagger.tag(mid, dstUri, tagged)
+      val tagged = graft.operators.Barriers.materialize(
+        SyncEngine.taggableReceipts(toCopy, receipts), eager = true)
+      try {
+        // tagger failure is NOT a cycle failure: the objects ARE copied
+        // and the ledger upsert below must still record them, or every
+        // successful copy would be forgotten and re-copied (and re-tagged)
+        // next cycle. The failed tags surface in MappingReport.tagFailed;
+        // the next cycle's tagger sees only ITS copies, so re-tagging is
+        // the deployment's retry loop (PostCopyTagger scaladoc contract).
+        if (!tagged.isEmpty) tagger.tag(mid, dstUri, tagged)
+      } catch {
+        case e: Exception if !isInterruption(e) =>
+          // count over the pinned blocks; if even that fails the session
+          // is broken and the -1 sentinel says "failed, count unknown"
+          tagFailed = try tagged.count()
+                      catch { case _: Exception => -1L }
+          System.err.println(s"[sync] mapping $mid post-copy tagging " +
+            s"failed for $tagFailed object(s): ${e.getClass.getName}: " +
+            s"${e.getMessage} - copies and ledger commit proceed; " +
+            "re-apply headers via the tagger's own retry path")
+      } finally graft.operators.Barriers.release(tagged)
     }
 
     // 6e: ledger upsert from receipts (sync.go:179-196) — receipt status
@@ -287,7 +314,8 @@ class SyncEngine(spark: SparkSession, config: SyncConfig,
                counts.getOrElse("sync_retry", 0L) - failed,
       skipped = counts.getOrElse("skip", 0L),
       failed = failed,
-      orphansRemoved = removed)
+      orphansRemoved = removed,
+      tagFailed = tagFailed)
   }
 
   /** Continuous mode (main.go:87-106): initial sync, then fixed-interval

@@ -66,14 +66,14 @@ object CorpusOps {
     // PLANNING dominates the loop (Barriers.withSizeEstimate scaladoc).
     // Row counts are one cheap action each over just-materialized blocks;
     // both frames are two longs wide.
-    val symRaw = edges
+    val symRaw = LoopProbe.timed("cc", 0, "edges") { edges
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .transform(Barriers.materialize(_, eager = true))
+      .transform(Barriers.materialize(_, eager = true)) }
     val sym = Barriers.withSizeEstimate(symRaw, symRaw.count(), 32)
-    val labels0 = nodes
+    val labels0 = LoopProbe.timed("cc", 0, "labels0") { nodes
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .transform(Barriers.materialize(_, eager = true))
+      .transform(Barriers.materialize(_, eager = true)) }
     val nNodes = labels0.count()
     var labels = Barriers.withSizeEstimate(labels0, nNodes, 32)
     var prevSum = Option.empty[Long]
@@ -97,17 +97,19 @@ object CorpusOps {
               Seq("cluster_id"))
         .select(col("doc_id"), col("jump_lab"))
       val next = Barriers.withSizeEstimate(
-        labels
-          .join(nbrMin, Seq("doc_id"), "left_outer")
-          .join(jump, Seq("doc_id"))
-          .select(col("doc_id"),
-            least(col("cluster_id"),
-                  coalesce(col("nbr_min"), col("cluster_id")),
-                  col("jump_lab")).as("cluster_id"))
-          .transform(Barriers.materialize(_, eager = true)),
+        LoopProbe.timed("cc", iter + 1, "round") {
+          labels
+            .join(nbrMin, Seq("doc_id"), "left_outer")
+            .join(jump, Seq("doc_id"))
+            .select(col("doc_id"),
+              least(col("cluster_id"),
+                    coalesce(col("nbr_min"), col("cluster_id")),
+                    col("jump_lab")).as("cluster_id"))
+            .transform(Barriers.materialize(_, eager = true)) },
         nNodes, 32)
-      val s = next.agg(coalesce(sum(col("cluster_id")), lit(0L)))
-        .head().getLong(0)
+      val s = LoopProbe.timed("cc", iter + 1, "sum") {
+        next.agg(coalesce(sum(col("cluster_id")), lit(0L)))
+          .head().getLong(0) }
       // the old round's blocks are dead once `next` is materialized —
       // without this, persist/localCheckpoint pins one label copy per round
       Barriers.release(labels)
@@ -166,6 +168,27 @@ object CorpusOps {
       .withColumn("dropped", col("doc_id") =!= col("keeper_id"))
       .select("doc_id", "cluster_id", "keeper_id", "dropped")
   }
+
+  /** The winnowing family's VERDICT form — [[dedupDropList]]'s shape over
+    * the MOSS fingerprint pairs instead of the MinHash bands: winnowed
+    * candidate pairs ([[TextOps.winnowedPairs]] — the deterministic
+    * local-overlap detector) become transitive clusters
+    * ([[connectedComponents]]) and each cluster keeps its longest doc
+    * (ties: lowest id, [[keepBestPerCluster]]). This closes the family:
+    * every other dedup path ends in a keeper + keep/drop verdict; until
+    * now winnowing stopped at pairs.
+    *
+    * Scale shape is the sum of its parts, all keyed: the per-row native
+    * fingerprint pass + df-capped fingerprint equi-join (winnowedPairs),
+    * O(log diameter) label-propagation rounds, one max-struct partial
+    * aggregate for the keeper — no window over the corpus, no all-pairs
+    * stage anywhere.
+    */
+  def winnowedDropList(docs: DataFrame): DataFrame =
+    keepBestPerCluster(
+      connectedComponents(docs.select("doc_id"),
+        TextOps.winnowedPairs(docs).select("doc_a", "doc_b")),
+      docs)
 
   /** What the dedup decision actually SAVES, per source: document and
     * exact token counts before/after applying [[dedupDropList]], with the
@@ -411,6 +434,63 @@ object CorpusOps {
         (lnFp(col("cp") + 1) - lnFp(col("np") + buckets))
           - (lnFp(col("cq") + 1) - lnFp(col("nq") + buckets)))
       .select("b", "delta_fp")
+  }
+
+  /** The DSIR SELECTION step (Xie et al. 2023 §3, the resample half of
+    * [[dsirWeights]]): keep the documents carrying the top importance
+    * mass under a token budget. Docs are ranked by (weight_fp DESC,
+    * salted-md5 tiebreak, doc_id) — the tiebreak is the paper's "sample
+    * without replacement" made deterministic, so equal-weight docs are
+    * admitted in a reproducible hash order, not a partition-dependent
+    * one — and a doc is kept iff its exact cumulative token count in
+    * that order fits `budgetTokens` (the [[sampleTokenBudget]] prefix
+    * rule pointed at the weight ordering). Emits the full per-doc
+    * verdict (doc_id, weight_fp, n_tokens, cum_tokens, kept); the kept
+    * corpus is the `kept` filter upstream of the writer.
+    *
+    * Scale shape — the global running sum WITHOUT a global single-
+    * partition window: weights coarsen into ~2²⁰-wide cells
+    * (`weight_fp div 2^20`; truncating div is monotone, so cell order
+    * equals weight order), per-cell token totals aggregate map-side,
+    * the |cells|-row running offset table broadcasts back, and each
+    * doc's exact cumulative sum = its cell's offset + a running sum
+    * over a window PARTITIONED BY CELL — parallelism is the cell count
+    * and no corpus-wide sort exists. This is [[sampleTokenBudget]]'s
+    * documented "two-pass histogram" production variant implemented,
+    * not just noted: the one-partition `Window.orderBy(weight)` form
+    * would serialize the corpus through a single task.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, budgetTokens: Long,
+                 buckets: Int = 64): DataFrame = {
+    val cellWidth = 1L << 20
+    val scored = Barriers.materialize(
+      dsirWeights(raw, target, buckets).select("doc_id", "weight_fp")
+        .join(raw.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+          Seq("doc_id"))
+        .withColumn("cell", expr(s"weight_fp div ${cellWidth}L")))
+    // |cells| is bounded by weight range / 2^20 (hundreds at the declared
+    // corpora) — the running offset is a window over CELLS, not docs; the
+    // constant pmod key is the vocabGrowth idiom (one partition is the
+    // point, the non-foldable key only silences WindowExec's warning)
+    val cellOffsets = scored.groupBy("cell")
+      .agg(sum(col("n_tokens")).as("cell_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("cell_tokens")).over(
+          Window.partitionBy(pmod(col("cell"), lit(1)))
+            .orderBy(col("cell").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("cell", "tokens_before")
+    val inCell = Window.partitionBy("cell")
+      .orderBy(col("weight_fp").desc,
+               hashUniform("dsirsel", col("doc_id")), col("doc_id"))
+    scored
+      .join(broadcast(cellOffsets), Seq("cell"))
+      .withColumn("cum_tokens",
+        col("tokens_before") + sum(col("n_tokens")).over(
+          inCell.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("kept", col("cum_tokens") <= budgetTokens)
+      .select("doc_id", "weight_fp", "n_tokens", "cum_tokens", "kept")
   }
 
   /** Sequence packing: shard-local contiguous packing of documents into

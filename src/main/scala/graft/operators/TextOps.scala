@@ -31,6 +31,19 @@ object TextOps {
   def shingles(toks: Column, n: Int): Column =
     graft.functions.WordShingles.word_shingles(toks, n)
 
+  /** Per-document winnowing fingerprint SET (Schleimer et al. 2003) as a
+    * stateless projection: the distinct lexicographic minima of md5'd
+    * k-gram hashes over every full window of `w` consecutive positions —
+    * the same selection [[winnowedPairs]] indexes and the DuckDB oracle
+    * restates. One native pass per row (no explode, no per-doc window —
+    * see graft.functions.WinnowedFingerprints for why the composable
+    * HOF form is O(n²)); documents with fewer than `w` k-gram positions
+    * select nothing.
+    */
+  def winnowedFingerprintSet(text: Column, k: Int = 3, w: Int = 4): Column =
+    graft.functions.WinnowedFingerprints
+      .winnowed_fingerprints(shingles(tokens(text), k), w)
+
   /** BPE-ish subword count: letter runs, digit runs, single punctuation. */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
@@ -754,9 +767,9 @@ object TextOps {
     * their lexicographic minimum — both engines compare the same
     * strings, no numeric conversion anywhere.
     *
-    * Scale shape: positions explode map-side; the window min is a
-    * per-doc window function (partitionBy doc_id — bounded by document
-    * length, never corpus-wide); fingerprint dedup + df-cap + the
+    * Scale shape: fingerprint selection is a per-row native projection
+    * ([[winnowedFingerprintSet]] — no explode, no window, nothing
+    * shuffles before the fingerprint index exists); the df-cap + the
     * self-equi-join on fingerprint mirror [[ngramJaccardPairs]]'s
     * blocked geometry, with the same `maxDf` hub-key bound. The
     * fingerprint index is ~2/(w+1) the size of the full shingle index —
@@ -764,19 +777,16 @@ object TextOps {
     */
   def winnowedPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
                     minShared: Int = 2, maxDf: Int = 128): DataFrame = {
-    val pos = docs.select(col("doc_id"),
-        posexplode(shingles(tokens(col("text")), k)).as(Seq("pos", "sh")))
-      .withColumn("h", md5(col("sh")))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(0, w - 1)
-    // only FULL windows select (n-w+1 of them) — the last w-1 positions
-    // start truncated windows whose "min" the algorithm never takes
-    val fp = Barriers.materialize(pos
-      .withColumn("n_pos", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .withColumn("fp", min(col("h")).over(win))
-      .filter(col("pos") <= col("n_pos") - w)
-      .select(col("doc_id"), col("fp"))
-      .distinct())
+    // fingerprint selection is ONE stateless native pass per document
+    // (functions/WinnowedFingerprints.scala — md5 + O(n) deque window-min
+    // + distinct), shared verbatim with the streaming twin
+    // (StreamingOps.winnowedPairsStream) so the two cannot drift. The
+    // original explode → per-doc-window → distinct formulation computed
+    // the same set through a corpus-wide shuffle of every position; the
+    // expression form shuffles nothing before the fingerprint index.
+    val fp = Barriers.materialize(
+      docs.select(col("doc_id"),
+        explode(winnowedFingerprintSet(col("text"), k, w)).as("fp")))
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
     val kept = Barriers.materialize(fp.join(rare, Seq("fp")))

@@ -25,6 +25,20 @@ import org.apache.spark.sql.DataFrame
   * implementation must drive its SDK calls from the executors
   * (`foreachPartition`), never `collect()`; the default is a no-op so
   * the engine pays nothing when no tagger is configured.
+  *
+  * Failure contract (r15 advisory): a throwing `tag` does NOT abort the
+  * mapping cycle — the objects are already physically copied, so the
+  * engine catches the failure, records it in
+  * `MappingReport.tagFailed`, and commits the ledger anyway (aborting
+  * would forget every successful copy and re-copy the whole batch next
+  * cycle). The corollary an implementation must design for: the engine
+  * does NOT re-drive failed tags — a later cycle's `tagged` frame
+  * contains only that cycle's copies. Implementations should therefore
+  * (a) be idempotent per object (re-applying the same headers twice must
+  * be safe — true of S3 CopyObject/REPLACE and GCS patch), and (b) keep
+  * their own retry queue (or re-derive pending objects from the ledger,
+  * where every header value persists) if at-least-once tagging is
+  * required.
   */
 trait PostCopyTagger {
 

@@ -612,6 +612,43 @@ object StreamingOps {
       OutputMode.Append())
       .distinct()
 
+  /** Streaming winnowing — the live pairing of `dedup_winnowed`:
+    * fingerprint selection is per-document and STATELESS (the native
+    * [[graft.operators.TextOps.winnowedFingerprintSet]] projection — an
+    * ingest path selects MOSS fingerprints with no state at all, the
+    * deployment shape), and pair detection rides the shared
+    * [[bandedCandidatePairs]] state machine keyed by FINGERPRINT instead
+    * of minhash band. Each arriving doc emits one pair per fingerprint
+    * shared with an earlier arrival, so the drained per-pair emission
+    * count IS the shared-fingerprint count: the post-drain groupBy
+    * reproduces the batch `n_shared_fp` exactly and the query shares
+    * `dedup_winnowed`'s oracle.
+    *
+    * State honesty: one id list per OCCUPIED fingerprint, `maxPerBand`
+    * bounding it under the minhash cap's first-m-retained contract. The
+    * BATCH operator instead df-caps hot fingerprints (drops them
+    * entirely at df > maxDf = 128); the two agree wherever no
+    * fingerprint exceeds min(cap, maxDf) — the declared corpora's
+    * densest fingerprint sits at df 24 (sf0.1), far under both, which
+    * is what lets the stream share the batch oracle bit-for-bit.
+    */
+  def winnowedPairsStream(spark: SparkSession, dir: String,
+                          k: Int = 3, w: Int = 4, minShared: Int = 2,
+                          nFiles: Int = 4,
+                          maxPerBand: Int = 128): DataFrame = {
+    import spark.implicits._
+    val banded = stagedStreamSplit(spark, dir, "documents", nFiles)
+      .select(col("doc_id"),
+        explode(graft.operators.TextOps
+          .winnowedFingerprintSet(col("text"), k, w)).as("band"))
+      .as[BandRow]
+    runToTable(spark, bandedCandidatePairs(spark, banded, maxPerBand),
+        OutputMode.Append())
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+  }
+
   /** Core of the streaming near-dup detector: band keys → one
     * `flatMapGroupsWithState` keyed by band whose state is the doc ids
     * seen so far (first `maxPerBand` retained). Takes the document stream

@@ -85,6 +85,64 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(empty.count() == 0L)
   }
 
+  test("dsirSelect: decomposed cell-offset sum equals the straight " +
+       "global running sum, and kept is exactly the budget prefix") {
+    // two text populations so weights spread across several 2^20 cells;
+    // target = the alpha-ish slice
+    val docs = (1L to 40L).map { i =>
+      val t = if (i % 4 == 0)
+        s"alpha beta gamma delta epsilon zeta eta theta extra$i"
+      else s"zz$i yy$i xx$i ww$i vv$i uu$i tt$i"
+      (i, "en", "s", t.length.toLong, t)
+    }.toDF("doc_id", "lang", "source", "n_chars", "text")
+    val target = docs.filter(col("doc_id") % 4 === 0)
+    val budget = 120L
+    val got = CorpusOps.dsirSelect(docs, target, budget, buckets = 16)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got.length == 40)
+    // brute force: (weight DESC, salted-md5 u, doc_id) straight prefix
+    def u(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"dsirsel:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ordered = got.sortBy { case (id, w, _, _, _) => (-w, u(id), id) }
+    var cum = 0L
+    ordered.foreach { case (id, _, nTok, cumGot, kept) =>
+      cum += nTok
+      assert(cumGot == cum, s"cum drift at doc $id: $cumGot vs $cum")
+      assert(kept == (cum <= budget), s"verdict drift at doc $id")
+    }
+    // the budget actually splits the corpus (guards a degenerate fixture)
+    val nKept = got.count(_._5)
+    assert(nKept > 0 && nKept < 40, s"degenerate split: $nKept kept")
+  }
+
+  test("winnowedDropList: transitive winnowed pairs collapse to one " +
+       "keeper (longest doc), singletons keep themselves") {
+    val shared = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val docs = Seq(
+      (1L, shared + " tail one"),
+      (2L, shared + " tail two is the longest of them all here"),
+      (3L, shared),
+      (4L, "completely different words nothing shared here at all " +
+           "rather unique phrasing throughout the entire document body")
+    ).map { case (i, t) => (i, "en", "s", t.length.toLong, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val got = CorpusOps.winnowedDropList(docs)
+      .select("doc_id", "cluster_id", "keeper_id", "dropped")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 1,2,3 share a >= w+k-1 token run -> certainly pair -> one cluster
+    // labeled by its min id; keeper = 2 (longest, no tie)
+    assert(got(1L) == ((1L, 2L, true)))
+    assert(got(2L) == ((1L, 2L, false)))
+    assert(got(3L) == ((1L, 2L, true)))
+    assert(got(4L) == ((4L, 4L, false)))
+  }
+
   test("stratified sample keeps none at 0 pct and all at 100 pct") {
     val docs = (1L to 50L).map(i => (i, "en", "s", 10L, s"text $i"))
       .toDF("doc_id", "lang", "source", "n_chars", "text")

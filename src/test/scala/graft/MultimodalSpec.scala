@@ -111,4 +111,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) =>        // reversal: not near
       (a == 3L * sh) != (b == 3L * sh) && (a == 1L * sh || b == 1L * sh) })
   }
+
+  test("caption match: a byte-periodic payload matches its own frames " +
+       "(sim 1.0 survives banding), constant-byte captions drop, and " +
+       "verdict columns are internally consistent") {
+    // doc 1: period-8 byte pattern -> every 64-byte frame's byte-position
+    // sums are EXACTLY proportional to the whole payload's -> cosine 1.0,
+    // identical sign bands, so the own-frame hit is certain, not lucky.
+    // doc 2: constant bytes -> mean-centered caption vector is zero-norm
+    // -> dropped on the caption side (no row at all).
+    // doc 3: ordinary text -> whatever it scores, columns must agree.
+    val fixture = Seq(
+      (1L, "abcdefgh" * 64),
+      (2L, "aaaaaaaa" * 64),
+      (3L, "the quick brown fox jumps over the lazy dog " * 8))
+      .map { case (i, t) => (i, "en", "s", t.length.toLong, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val got = Multimodal.captionFrameMatch(fixture, threshold = 0.9)
+      .select("media_id", "n_frame_hits", "n_own_hits", "best_sim", "matched")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, hits1, own1, best1, matched1) = got(1L)
+    assert(matched1 && own1 >= 1L && best1 == 1.0,
+      s"periodic payload must match its own frames exactly: ${got(1L)}")
+    assert(!got.contains(2L), "zero-norm caption must emit no verdict row")
+    got.values.foreach { case (id, hits, own, best, matched) =>
+      assert(hits >= own && own >= 0, s"hit accounting broken for $id")
+      assert(best >= 0.9, s"sub-threshold row leaked for $id")
+      assert(matched == (own > 0), s"verdict disagrees with counts for $id")
+    }
+    assert(hits1 >= own1)
+  }
 }

@@ -137,6 +137,67 @@ class S3CompatIntegrationSpec extends AnyFunSuite {
     }
   }
 
+  test("s3a post-copy tagger: executor-driven foreachPartition tag pass " +
+       "round-trips the receipts through the real store") {
+    withS3 { base =>
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val src = graft.sources.IoFixtures.freshDir(s"s3it-tag-$runId")
+      graft.sources.IoFixtures.write(src, "x.txt", "xx")
+      graft.sources.IoFixtures.write(src, "p/y.json", """{"y":1}""")
+      val tgt = s"$base/tag-$runId"
+      val cfg = graft.config.SyncConfig(
+        providers = Seq(
+          graft.config.ProviderConf("local", "file",
+            graft.sources.IoFixtures.uri(src.getParent)),
+          graft.config.ProviderConf("s3", "s3", base)),
+        mappings = Seq(graft.config.MappingConf(
+          "local", src.getFileName.toString, "s3", s"tag-$runId")),
+        ledgerPath = src.resolveSibling(s"ledger-$runId").toString)
+
+      // a provider-SDK stand-in driven EXACTLY per the scale contract:
+      // foreachPartition, task-side FileSystem from TaskConf (never a
+      // collect) — it "re-applies" each success receipt's header by
+      // writing a `tags/<name>.tag` witness object whose body is the
+      // content_type, so the store itself proves what reached the tagger
+      val taskConf = graft.sources.TaskConf(spark)
+      val witnessTagger = new graft.sources.PostCopyTagger {
+        override def tag(mappingId: String, targetUri: String,
+                         tagged: org.apache.spark.sql.DataFrame): Unit =
+          tagged.select("object_name", "content_type").foreachPartition {
+            (it: Iterator[org.apache.spark.sql.Row]) =>
+              val conf = taskConf.value
+              it.foreach { r =>
+                val p = new org.apache.hadoop.fs.Path(
+                  s"$targetUri/tags/${r.getString(0)}.tag")
+                val fs = p.getFileSystem(conf)
+                val out = fs.create(p, true)
+                try out.write(r.getString(1).getBytes("UTF-8"))
+                finally out.close()
+              }
+          }
+      }
+      val report = new SyncEngine(spark, cfg, witnessTagger).syncAll()
+      assert(report.head.synced == 2 && report.head.tagFailed == 0)
+
+      import spark.implicits._
+      val listed = ObjectStoreCatalog.scanCatalog(spark, tgt)
+        .select("name").as[String].collect().toSet
+      assert(listed.contains("tags/x.txt.tag") &&
+             listed.contains("tags/p/y.json.tag"),
+        s"tag witnesses missing from the store: $listed")
+      // witness bodies carry the receipts' header values through the store
+      val fs = new org.apache.hadoop.fs.Path(tgt)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def body(n: String): String = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$tgt/tags/$n.tag"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      assert(body("x.txt") == "text/plain")
+      assert(body("p/y.json") == "application/json")
+    }
+  }
+
   test("s3a copy/delete/ledger-commit round-trip: receipts, orphans, partitions") {
     withS3 { base =>
       import spark.implicits._

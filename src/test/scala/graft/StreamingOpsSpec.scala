@@ -175,6 +175,19 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming winnowing drains to the batch winnowed pair set") {
+    // fingerprint selection is stateless per-row; the fp-keyed band-state
+    // machine's per-pair emission count must reproduce n_shared_fp across
+    // split-file triggers (densest fp df is far under both caps here, so
+    // the batch df-cap is non-binding and exact equality holds)
+    val streamed = StreamingOps.winnowedPairsStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.TextOps
+      .winnowedPairs(Tables.documents(spark, dir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("binding maxPerBand loses exactly the dropped members' later pairs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

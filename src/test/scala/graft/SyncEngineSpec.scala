@@ -943,4 +943,38 @@ class SyncEngineSpec extends AnyFunSuite {
     assert(got.sameElements(
       Array(("ok.txt", "text/plain", Map("k" -> "v")))))
   }
+
+  test("a throwing tagger cannot wedge sync progress: copies commit to " +
+       "the ledger, the failure surfaces in MappingReport.tagFailed") {
+    import org.apache.spark.sql.DataFrame
+    val root = Files.createTempDirectory("graft-sync-tagfail")
+    write(root.resolve("src/a.txt"), "aaa")
+    write(root.resolve("src/sub/b.json"), """{"b":2}""")
+    val cfg = mkConfig(root)
+    var callCount = 0
+    val flaky = new graft.sources.PostCopyTagger {
+      override def tag(mappingId: String, targetUri: String,
+                       tagged: DataFrame): Unit = {
+        callCount += 1
+        throw new RuntimeException("SDK outage")
+      }
+    }
+    val engine = new SyncEngine(spark, cfg, flaky)
+
+    // cycle 1: copies succeed, tagger throws -> cycle must still commit
+    val r1 = engine.syncAll()
+    assert(callCount == 1)
+    assert(r1.head.synced == 2 && r1.head.failed == 0,
+      s"tagger failure leaked into the copy outcome: ${r1.head}")
+    assert(r1.head.tagFailed == 2, s"tag failure not reported: ${r1.head}")
+
+    // cycle 2: ledger recorded the copies despite the tagging failure ->
+    // all-skip, so nothing is re-copied or re-tagged (the failure
+    // contract: retries belong to the tagger/deployment, not the engine)
+    val r2 = engine.syncAll()
+    assert(callCount == 1, "all-skip cycle re-invoked the tagger")
+    assert(r2.head.synced == 0 && r2.head.skipped == 2,
+      s"copies were forgotten after a tagging failure: ${r2.head}")
+    assert(r2.head.tagFailed == 0)
+  }
 }

@@ -630,4 +630,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == wantShared.toLong,
       s"shared fingerprint count $got != model $wantShared")
   }
+
+  test("winnowedFingerprintSet (native expression) equals the in-memory " +
+       "model per doc and is empty below w full windows") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def model(text: String, k: Int = 3, w: Int = 4): Set[String] = {
+      val t = "\\S+".r.findAllIn(text.toLowerCase).toSeq
+      val hs = t.sliding(k).filter(_.size == k)
+        .map(g => md5hex(g.mkString(" "))).toSeq
+      hs.sliding(w).filter(_.size == w).map(_.min).toSet
+    }
+    val texts = Seq(
+      "The Quick brown fox JUMPS over the lazy dog today",
+      "alpha alpha alpha alpha alpha alpha",  // constant grams -> 1 fp
+      "a b c d e f",                          // exactly one full window
+      "a b c d e",                            // k=3 -> 3 grams < w -> empty
+      "a b",                                  // no grams at all
+      "")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextOps.winnowedFingerprintSet($"text").as("fps"))
+      .as[(Long, Seq[String])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val fps = got(i.toLong)
+      assert(fps.toSet == model(t), s"doc $i fingerprint drift")
+      assert(fps.distinct == fps, s"doc $i emitted duplicate fingerprints")
+    }
+  }
 }
