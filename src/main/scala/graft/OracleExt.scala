@@ -2398,7 +2398,8 @@ object OracleExt {
     */
   def multimodalCaptionMatch(frameBytes: Int, stride: Int,
                              threshold: Double, dim: Int,
-                             bands: Int, rowsPerBand: Int): String = {
+                             bands: Int, rowsPerBand: Int,
+                             maxBucket: Int): String = {
     val step = frameBytes * stride
     val shift = graft.operators.Multimodal.FrameIdShift
     val bandExprs = bandExprsSql(dim, bands, rowsPerBand)
@@ -2450,11 +2451,14 @@ object OracleExt {
              WHERE list_dot_product(v, v) > 0),
     fbands AS (
       SELECT vec_id, unnest([$bandExprs]) AS band FROM femb),
+    okb AS (
+      SELECT band FROM fbands GROUP BY band
+      HAVING count(*) <= $maxBucket),
     cbands AS (
       SELECT media_id, unnest([$bandExprs]) AS band FROM cemb),
     cand AS (
       SELECT DISTINCT c.media_id, f.vec_id
-      FROM cbands c JOIN fbands f USING (band)),
+      FROM cbands c JOIN okb USING (band) JOIN fbands f USING (band)),
     hits AS (
       SELECT media_id, vec_id, sim FROM (
         SELECT c.media_id, c.vec_id,

@@ -2370,7 +2370,7 @@ object SparkEntry {
       bands = 4, rowsPerBand = 16),
     "multimodal_caption_match" -> OracleExt.multimodalCaptionMatch(
       frameBytes = 64, stride = 2, threshold = 0.9, dim = 8,
-      bands = 4, rowsPerBand = 16),
+      bands = 4, rowsPerBand = 16, maxBucket = 1024),
     "multimodal_stream_frame_near_dedup" -> OracleExt.multimodalFrameNearDedup(
       frameBytes = 64, stride = 2, threshold = 0.99, dim = 8,
       bands = 4, rowsPerBand = 16),

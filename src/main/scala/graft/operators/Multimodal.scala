@@ -198,22 +198,43 @@ object Multimodal {
     * restates the same planes, so the green hash verifies parity, not
     * recall). Swapping the stub byte-features for real CLIP image/text
     * towers changes no plan shape — the vectors just get wider.
+    *
+    * Hub-bucket bound (`maxBucket` — the maxDf discipline in band
+    * space): per-bucket candidate volume is captions×frames WITHIN the
+    * bucket, so when BOTH sides grow, a bucket the correlated features
+    * keep hot grows its pair count quadratically (the r16 ×10 rehearsal
+    * hit exactly this — multi-GB join pages). Frame-side buckets holding
+    * more than `maxBucket` frames are boilerplate-frame buckets
+    * (whitespace-heavy chunks; no match signal) and are dropped whole,
+    * bounding any bucket's fan-out. Non-binding at the declared corpora
+    * (max occupancy 26 at sf0.01 / 224 at sf0.1, measured) so the
+    * oracle restates it without changing a row; at deployment scale the
+    * other two dials are higher-entropy features (real CLIP towers
+    * decorrelate the sign bits) and wider bands (rowsPerBand ↑).
     */
   def captionFrameMatch(docs: DataFrame, threshold: Double,
                         frameBytes: Int = 64, stride: Int = 2,
                         dim: Int = 8, bands: Int = 4,
-                        rowsPerBand: Int = 16): DataFrame = {
+                        rowsPerBand: Int = 16,
+                        maxBucket: Int = 1024): DataFrame = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
     val frames = frameSample(mediaFromDocuments(docs), frameBytes, stride)
     val feats = frameFeatures(frames, dim)
     val caps = captionVectors(docs, dim)
-    val fBands = feats.select(col("vec_id"),
+    // both the occupancy count and the candidate join read the frame
+    // bands — materialize so the 64 plane projections run once
+    val fBands = Barriers.materialize(feats.select(col("vec_id"),
       explode(array(VectorOps.bandKeyCols(col("embedding"), dim,
-                                          bands, rowsPerBand): _*)).as("band"))
+                                          bands, rowsPerBand): _*)).as("band")))
+    val okBuckets = fBands.groupBy("band")
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= maxBucket)
+      .select("band")
     val cBands = caps.select(col("media_id"),
       explode(array(VectorOps.bandKeyCols(col("cv"), dim,
                                           bands, rowsPerBand): _*)).as("band"))
-    val cand = cBands.join(fBands, Seq("band"))
+    val cand = cBands.join(okBuckets, Seq("band"))
+      .join(fBands, Seq("band"))
       .select("media_id", "vec_id").distinct()
     val c = caps.withColumn("nc", l2_norm(col("cv")))
     val f = feats.select(col("vec_id"), col("embedding").as("fv"))

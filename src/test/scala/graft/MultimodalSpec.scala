@@ -141,5 +141,13 @@ class MultimodalSpec extends AnyFunSuite {
       assert(matched == (own > 0), s"verdict disagrees with counts for $id")
     }
     assert(hits1 >= own1)
+
+    // a BINDING hub-bucket cap (maxDf discipline in band space) only
+    // removes candidates — it can never invent a verdict row
+    val capped = Multimodal
+      .captionFrameMatch(fixture, threshold = 0.9, maxBucket = 1)
+      .select("media_id").as[Long].collect().toSet
+    assert(capped.subsetOf(got.keySet),
+      s"binding cap invented rows: ${capped -- got.keySet}")
   }
 }
