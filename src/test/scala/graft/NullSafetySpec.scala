@@ -109,4 +109,36 @@ class NullSafetySpec extends AnyFunSuite {
       when($"doc_id" === 3L, lit("a b c d")).otherwise($"text"))
     assert(TextOps.winnowedPairs(shortDocs, minShared = 1).isEmpty)
   }
+
+  test("r16 operators tolerate null/empty/short inputs") {
+    // winnowed drop list: null/empty docs pair with nobody (own-keeper
+    // singletons), while the identical docs 3/4 pair and 4 drops — the
+    // verdict still covers all 4 rows, nulls never poison the clustering
+    val dl = CorpusOps.winnowedDropList(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(dl.keySet == Set(1L, 2L, 3L, 4L))
+    assert(dl(1L) == ((1L, false)) && dl(2L) == ((2L, false)))
+    assert(dl(3L) == ((3L, false)) && dl(4L) == ((3L, true)))
+
+    // native fingerprint expression on null text: nullSafeEval → null
+    // array, never a throw; explode drops it
+    val fps = docs.select($"doc_id",
+        TextOps.winnowedFingerprintSet($"text").as("fps"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(fps(1L) && !fps(3L))
+
+    // DSIR selection: null/empty docs never score (no grams), the
+    // remaining docs still carry a complete exact prefix verdict
+    val sel = CorpusOps.dsirSelect(docs, docs.filter($"doc_id" === 3L),
+        budgetTokens = 8L, buckets = 8).collect()
+    assert(sel.length == 2 && sel.forall(r => !r.isNullAt(4)))
+
+    // caption match: null text → null payload bytes → no caption vector
+    // AND no frames; the all-null corpus yields empty, not a throw
+    val nullDocs = docs.withColumn("text",
+      when($"doc_id" >= 3L, lit(null.asInstanceOf[String]))
+        .otherwise($"text"))
+    assert(graft.operators.Multimodal
+      .captionFrameMatch(nullDocs, threshold = 0.9).isEmpty)
+  }
 }

@@ -84,6 +84,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native winnowed fingerprint selection equals the in-memory model " +
+       "across random (k, w) and degenerate window sizes") {
+    // the pairs test above pins only the default (k=3, w=4); the native
+    // deque must hold for w=1 (every full window selects its own hash),
+    // k=1 (unigram grams), ties from repeated shingles, and docs at the
+    // exact full-window boundary
+    val vocab = Array("ox", "ant", "bee", "cat")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def model(text: String, k: Int, w: Int): Set[String] = {
+      val t = "\\S+".r.findAllIn(text.toLowerCase).toSeq
+      val hs = t.sliding(k).filter(_.size == k)
+        .map(g => md5hex(g.mkString(" "))).toSeq
+      hs.sliding(w).filter(_.size == w).map(_.min).toSet
+    }
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 8) {
+      val k = 1 + rnd.nextInt(4)
+      val w = 1 + rnd.nextInt(6)
+      val ds = (1L to 8L).map { id =>
+        val n = rnd.nextInt(14)
+        id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val got = ds.toDF("doc_id", "text")
+        .select($"doc_id", graft.operators.TextOps
+          .winnowedFingerprintSet($"text", k, w).as("fps"))
+        .as[(Long, Seq[String])].collect().toMap
+      ds.foreach { case (id, text) =>
+        assert(got(id).toSet == model(text, k, w),
+          s"trial $trial k=$k w=$w doc $id '$text'")
+      }
+    }
+  }
+
   test("banded semantic decontamination equals the brute-force banding " +
        "model on random vectors") {
     import graft.operators.VectorOps
