@@ -1402,6 +1402,18 @@ object OracleExt {
     */
   def dedupWinnowedDropList(w: Int, minShared: Int, maxDf: Int): String = s"""
     WITH RECURSIVE $DocCtes,
+      ${winnowedVerdictCtes(w, minShared, maxDf)}
+    SELECT s.doc_id, s.cluster_id, k.keeper_id,
+           s.doc_id <> k.keeper_id AS dropped
+    FROM sized s JOIN k USING (cluster_id)
+    ORDER BY s.doc_id"""
+
+  /** The winnowed pairs → recursive closure → keeper CTE chain, ending
+    * in `sized` + `k` (and `verdict`) — shared by the drop-list and
+    * savings oracles so the keeper rule is stated once.
+    */
+  private def winnowedVerdictCtes(w: Int, minShared: Int,
+                                  maxDf: Int): String = s"""
       ${winnowedPairCtes(w, minShared, maxDf)},
       edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM wpairs
@@ -1422,11 +1434,58 @@ object OracleExt {
                  ROW_NUMBER() OVER (PARTITION BY cluster_id
                    ORDER BY n_chars DESC, doc_id) AS r
           FROM sized)
-        WHERE r = 1)
-    SELECT s.doc_id, s.cluster_id, k.keeper_id,
-           s.doc_id <> k.keeper_id AS dropped
-    FROM sized s JOIN k USING (cluster_id)
-    ORDER BY s.doc_id"""
+        WHERE r = 1),
+      verdict AS (
+        SELECT s.doc_id, s.doc_id <> k.keeper_id AS dropped
+        FROM sized s JOIN k USING (cluster_id))"""
+
+  /** Mirrors CorpusOps.winnowedSavings: the shared savings aggregation
+    * over the winnowed drop list's verdicts.
+    */
+  def dedupWinnowedSavings(w: Int, minShared: Int, maxDf: Int): String = s"""
+    WITH RECURSIVE $DocCtes,
+      ${winnowedVerdictCtes(w, minShared, maxDf)},
+      toks AS (
+        SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks
+        FROM docs_tok)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN dropped THEN n_toks ELSE 0 END) AS BIGINT)
+             AS tokens_dropped,
+           CAST(sum(CASE WHEN dropped THEN n_toks ELSE 0 END) * 1000000
+                // sum(n_toks) AS BIGINT) AS savings_ppm
+    FROM toks JOIN verdict USING (doc_id)
+    GROUP BY source ORDER BY source"""
+
+  /** Mirrors CorpusOps.splitLeakage: the corpusSplit assignment restated,
+    * distinct (doc, split, shingle) index df-capped, equi-join across the
+    * train/heldout boundary, shared-shingle counts thresholded.
+    */
+  def corpusSplitLeakage(minShared: Int, maxDf: Int): String = docQ(s"""
+    , spl AS (
+      SELECT doc_id,
+             CASE WHEN u < 80 THEN 'train'
+                  WHEN u < 90 THEN 'valid' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   ${hexParse8("substr(md5('split:' || doc_id), 1, 8)")}
+                     % 100 AS u
+            FROM docs_tok)),
+    shd AS (
+      SELECT DISTINCT x.doc_id, s.split, x.s2
+      FROM (SELECT doc_id, unnest(sh) AS s2 FROM docs_sh) x
+      JOIN spl s USING (doc_id)),
+    rare AS (SELECT s2 FROM shd GROUP BY s2 HAVING count(*) <= $maxDf),
+    kept AS (SELECT doc_id, split, s2 FROM shd JOIN rare USING (s2))
+    SELECT t.doc_id AS train_doc, h.doc_id AS heldout_doc,
+           h.split AS heldout_split,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept t JOIN kept h
+      ON t.s2 = h.s2 AND t.split = 'train' AND h.split <> 'train'
+    GROUP BY 1, 2, 3 HAVING count(*) >= $minShared
+    ORDER BY train_doc, heldout_doc""")
 
   /** Mirrors TextOps.ngramJaccardPairs including the document-frequency
     * cap: shingles in more than `maxDf` docs are dropped from both the

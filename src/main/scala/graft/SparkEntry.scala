@@ -932,6 +932,21 @@ object SparkEntry {
       graft.operators.CorpusOps.dedupSavings(T.documents(s, d))
         .orderBy("source")),
 
+    "dedup_winnowed_savings" -> ((s, d) =>
+      // the winnowing family's sign-off number: the shared savings
+      // aggregation over the MOSS drop list's verdicts (family symmetry
+      // with dedup_savings — one report shape, two policies)
+      graft.operators.CorpusOps.winnowedSavings(T.documents(s, d))
+        .orderBy("source")),
+
+    "corpus_split_leakage" -> ((s, d) =>
+      // post-split eval-leakage audit: train docs sharing >= 3 capped
+      // shingles with any valid/test doc — the check that catches
+      // near-dups straddling the split boundary. Equi-join form, NOT the
+      // broadcast contamination: the heldout side is 20% of the corpus
+      graft.operators.CorpusOps.splitLeakage(T.documents(s, d))
+        .orderBy("train_doc", "heldout_doc")),
+
     "sample_stratified" -> ((s, d) =>
       graft.operators.CorpusOps.sampleStratified(T.documents(s, d))
         .orderBy("lang")),
@@ -2264,6 +2279,10 @@ object SparkEntry {
       maxDf = 128),
     "dedup_winnowed_drop_list" -> OracleExt.dedupWinnowedDropList(w = 4,
       minShared = 2, maxDf = 128),
+    "dedup_winnowed_savings" -> OracleExt.dedupWinnowedSavings(w = 4,
+      minShared = 2, maxDf = 128),
+    "corpus_split_leakage" -> OracleExt.corpusSplitLeakage(minShared = 3,
+      maxDf = 128),
     "decontaminate" -> OracleExt.decontaminate,
     "decontaminate_exact" -> OracleExt.decontaminateExact,
     "decontaminate_bloom" -> OracleExt.decontaminateExact,

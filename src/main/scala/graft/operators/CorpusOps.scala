@@ -196,12 +196,28 @@ object CorpusOps {
     * off on a dedup pass. One join of the verdict against per-doc token
     * counts + one partial-agg'd groupBy(source); all integer arithmetic.
     */
-  def dedupSavings(docs: DataFrame): DataFrame = {
-    val verdict = dedupDropList(docs).select("doc_id", "dropped")
+  def dedupSavings(docs: DataFrame): DataFrame =
+    savingsFromVerdict(docs, dedupDropList(docs))
+
+  /** Winnowing's savings twin: what [[winnowedDropList]] saves, per
+    * source — the sign-off number for a MOSS-based dedup pass, sharing
+    * the one savings aggregation so the two families' reports cannot
+    * drift in shape.
+    */
+  def winnowedSavings(docs: DataFrame): DataFrame =
+    savingsFromVerdict(docs, winnowedDropList(docs))
+
+  /** The savings aggregation over ANY per-doc keep/drop verdict
+    * (doc_id, dropped): one join against per-doc token counts + one
+    * partial-agg'd groupBy(source), all integer arithmetic. The verdict
+    * column is the policy, this is the report.
+    */
+  private def savingsFromVerdict(docs: DataFrame,
+                                 verdict: DataFrame): DataFrame =
     docs
       .withColumn("n_toks", size(TextOps.tokens(col("text"))).cast("long"))
       .select("doc_id", "source", "n_toks")
-      .join(verdict, Seq("doc_id"))
+      .join(verdict.select("doc_id", "dropped"), Seq("doc_id"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
@@ -210,7 +226,6 @@ object CorpusOps {
              .as("tokens_dropped"))
       .withColumn("savings_ppm",
         expr("tokens_dropped * 1000000 div tokens_total"))
-  }
 
   // ---- deterministic sampling / sharding ------------------------------
 
@@ -568,15 +583,57 @@ object CorpusOps {
     * doc and token counts; the split corpus itself is the upstream frame
     * partitioned-by-`split` write.
     */
-  def corpusSplit(docs: DataFrame): DataFrame = {
-    val u = hashUniform("split", col("doc_id")) % 100
-    docs
-      .withColumn("split",
-        when(u < 80, lit("train")).when(u < 90, lit("valid"))
-          .otherwise(lit("test")))
+  def corpusSplit(docs: DataFrame): DataFrame =
+    withSplit(docs)
       .withColumn("n_toks", size(TextOps.tokens(col("text"))).cast("long"))
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+
+  /** The one split-assignment definition (salted-hash 80/10/10), shared
+    * by the audit ([[corpusSplit]]) and the leakage check
+    * ([[splitLeakage]]) so the two can never disagree on who is train.
+    */
+  private def withSplit(docs: DataFrame): DataFrame = {
+    val u = hashUniform("split", col("doc_id")) % 100
+    docs.withColumn("split",
+      when(u < 80, lit("train")).when(u < 90, lit("valid"))
+        .otherwise(lit("test")))
+  }
+
+  /** Post-split eval-leakage audit: train documents sharing ≥ `minShared`
+    * distinct 3-gram shingles with any valid/test document of the SAME
+    * corpus — the check a pipeline runs after [[corpusSplit]] to catch
+    * near-duplicates straddling the split boundary (exactly the rows a
+    * pre-split dedup pass should have collapsed; a nonzero report means
+    * eval metrics are inflated by memorization). One row per leaking
+    * (train, heldout) pair with the shared-shingle count and the heldout
+    * doc's split.
+    *
+    * Scale shape — deliberately NOT [[TextOps.contamination]]'s broadcast
+    * form: the heldout side here is 20% OF THE CORPUS, not a bounded eval
+    * suite, so broadcasting it is wrong at 100 TB. Both sides instead
+    * meet in a shingle EQUI-join over the df-capped distinct
+    * (doc, split, shingle) index (the winnowedPairs/ngramJaccard blocked
+    * geometry): every shuffle keyed, per-shingle fan-out bounded by
+    * `maxDf`, never an n·m stage.
+    */
+  def splitLeakage(docs: DataFrame, minShared: Int = 3,
+                   maxDf: Int = 128): DataFrame = {
+    val sh = Barriers.materialize(withSplit(docs)
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col("text")), 3))).as("sh")))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val kept = Barriers.materialize(sh.join(rare, Seq("sh")))
+    kept.filter(col("split") === "train").alias("t")
+      .join(kept.filter(col("split") =!= "train").alias("h"),
+        col("t.sh") === col("h.sh"))
+      .groupBy(col("t.doc_id").as("train_doc"),
+               col("h.doc_id").as("heldout_doc"),
+               col("h.split").as("heldout_split"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   // ---- domain blocklist ------------------------------------------------

@@ -143,6 +143,78 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, 4L, false)))
   }
 
+  test("winnowedSavings equals the savings aggregation recomputed from " +
+       "the winnowed drop list") {
+    val shared = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val docs = Seq(
+      (1L, "alpha", shared + " tail one"),
+      (2L, "alpha", shared + " tail two is the longest of them all here"),
+      (3L, "beta", shared),
+      (4L, "beta", "completely different words nothing shared here at " +
+                   "all rather unique phrasing throughout the document")
+    ).map { case (i, src, t) => (i, "en", src, t.length.toLong, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val got = CorpusOps.winnowedSavings(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // recompute from the verdict + whitespace token counts
+    val verdict = CorpusOps.winnowedDropList(docs)
+      .select("doc_id", "dropped").as[(Long, Boolean)].collect().toMap
+    val toks = docs.select($"doc_id", $"source",
+        size(split($"text", "\\s+")).cast("long")) // texts have no leading ws
+      .as[(Long, String, Long)].collect()
+    Seq("alpha", "beta").foreach { src =>
+      val mine = toks.filter(_._2 == src)
+      val dropped = mine.filter(t => verdict(t._1))
+      val want = (src, mine.length.toLong, dropped.length.toLong,
+        mine.map(_._3).sum, dropped.map(_._3).sum,
+        dropped.map(_._3).sum * 1000000L / mine.map(_._3).sum)
+      assert(got(src) == want, s"savings drift for $src")
+    }
+    // the fixture actually exercises a drop (guards degeneracy)
+    assert(got("alpha")._3 + got("beta")._3 == 2L)
+  }
+
+  test("splitLeakage reports exactly the planted cross-split duplicate, " +
+       "never same-split pairs, and dedup-then-split silences it") {
+    // derive each id's split from the operator's own salted hash so the
+    // plant is deterministic, not hoped-for
+    def splitOf(id: Long): String = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex, 16) % 100
+      if (u < 80) "train" else if (u < 90) "valid" else "test"
+    }
+    val ids = (1L to 40L)
+    val trainIds = ids.filter(splitOf(_) == "train")
+    val heldIds = ids.filter(splitOf(_) != "train")
+    assert(trainIds.size >= 2 && heldIds.nonEmpty,
+      "fixture ids don't cover both sides of the split")
+    val (tDup, hDup) = (trainIds.head, heldIds.head)
+    val tDup2 = trainIds(1) // same-split duplicate pair: must NOT report
+    val dupText = "the quick brown fox jumps over the lazy dog again " +
+      "and again until the very end of this long shared passage"
+    val docs = ids.map { i =>
+      val t =
+        // fully disjoint shingle space per unique doc ($i in every token:
+        // a shared template phrase would itself cross the 3-shingle bar)
+        if (i == tDup || i == hDup || i == tDup2) dupText
+        else (0 to 9).map(j => s"u${i}w$j").mkString(" ")
+      (i, "en", "s", t.length.toLong, t)
+    }.toDF("doc_id", "lang", "source", "n_chars", "text")
+    val got = CorpusOps.splitLeakage(docs)
+      .select("train_doc", "heldout_doc", "heldout_split")
+      .as[(Long, Long, String)].collect()
+    assert(got.toSet == Set((tDup, hDup, splitOf(hDup)),
+                            (tDup2, hDup, splitOf(hDup))),
+      s"leak report drift: ${got.toSeq} (planted $tDup/$tDup2 -> $hDup)")
+    // apply the dedup verdict first (keep one copy) -> no leakage left
+    val deduped = docs.filter($"doc_id" =!= hDup && $"doc_id" =!= tDup2)
+    assert(CorpusOps.splitLeakage(deduped).isEmpty)
+  }
+
   test("stratified sample keeps none at 0 pct and all at 100 pct") {
     val docs = (1L to 50L).map(i => (i, "en", "s", 10L, s"text $i"))
       .toDF("doc_id", "lang", "source", "n_chars", "text")
