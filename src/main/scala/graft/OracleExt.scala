@@ -2451,9 +2451,10 @@ object OracleExt {
 
   /** Mirrors Multimodal.captionFrameMatch: the frame-near-dedup feature
     * chain plus a CAPTION side (the same mean-centered byte-statistics
-    * formula over the WHOLE payload hex), both banded with the shared
-    * plane literals, band-key equi-join across the modality boundary,
-    * exact cosine re-verify, per-media hit/own-hit/best aggregation.
+    * formula over the WHOLE payload hex). The OWN half is the exact
+    * media-keyed equi-join (no banding — mirrors the operator's split);
+    * the FOREIGN half restates the banded screen with the shared plane
+    * literals and the hub-bucket cap, cross-media candidates only.
     */
   def multimodalCaptionMatch(frameBytes: Int, stride: Int,
                              threshold: Double, dim: Int,
@@ -2518,24 +2519,40 @@ object OracleExt {
     cand AS (
       SELECT DISTINCT c.media_id, f.vec_id
       FROM cbands c JOIN okb USING (band) JOIN fbands f USING (band)),
-    hits AS (
-      SELECT media_id, vec_id, sim FROM (
+    own AS (
+      SELECT ce.media_id,
+             CAST(sum(CASE WHEN round(list_dot_product(ce.v, fe.v)
+                 / (sqrt(list_dot_product(ce.v, ce.v))
+                    * sqrt(list_dot_product(fe.v, fe.v))), 6)
+                 >= $threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_own_hits,
+             max(round(list_dot_product(ce.v, fe.v)
+                 / (sqrt(list_dot_product(ce.v, ce.v))
+                    * sqrt(list_dot_product(fe.v, fe.v))), 6))
+               AS own_best_sim
+      FROM cemb ce JOIN femb fe ON fe.vec_id // $shift = ce.media_id
+      GROUP BY ce.media_id),
+    fhits AS (
+      SELECT media_id, sim FROM (
         SELECT c.media_id, c.vec_id,
                round(list_dot_product(ce.v, fe.v)
                  / (sqrt(list_dot_product(ce.v, ce.v))
                     * sqrt(list_dot_product(fe.v, fe.v))), 6) AS sim
         FROM cand c
         JOIN cemb ce ON ce.media_id = c.media_id
-        JOIN femb fe ON fe.vec_id = c.vec_id)
-      WHERE sim >= $threshold)
-    SELECT media_id,
-           CAST(count(*) AS BIGINT) AS n_frame_hits,
-           CAST(sum(CASE WHEN vec_id // $shift = media_id
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_own_hits,
-           max(sim) AS best_sim,
-           sum(CASE WHEN vec_id // $shift = media_id
-                    THEN 1 ELSE 0 END) > 0 AS matched
-    FROM hits GROUP BY media_id ORDER BY media_id"""
+        JOIN femb fe ON fe.vec_id = c.vec_id
+        WHERE fe.vec_id // $shift <> c.media_id)
+      WHERE sim >= $threshold),
+    foreignAgg AS (
+      SELECT media_id,
+             CAST(count(*) AS BIGINT) AS n_foreign_hits,
+             max(sim) AS best_foreign_sim
+      FROM fhits GROUP BY media_id)
+    SELECT o.media_id, o.n_own_hits, o.own_best_sim,
+           o.n_own_hits > 0 AS matched,
+           coalesce(f.n_foreign_hits, 0) AS n_foreign_hits,
+           f.best_foreign_sim
+    FROM own o LEFT JOIN foreignAgg f USING (media_id)
+    ORDER BY o.media_id"""
   }
 
   // ---- events ----------------------------------------------------------

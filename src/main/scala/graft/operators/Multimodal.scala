@@ -175,48 +175,87 @@ object Multimodal {
         .dot_product(col("cv"), col("cv")) > 0)
 
   /** Cross-modal caption↔frame agreement — the CLIP-score shape over the
-    * stub features: every caption vector ([[captionVectors]]) is matched
-    * against the frame vectors of the WHOLE media corpus through the
-    * shared sign-bit cosine bands (VectorOps.bandKeyCols — the
-    * decontaminateSemanticBanded geometry pointed across the
-    * caption/frame modality boundary), exact cosine re-verifies the
-    * candidates, and each caption gets a per-media verdict: how many
-    * frames agree at/above `threshold`, how many of those are its OWN
-    * media's frames, the best similarity, and `matched` (≥1 own-frame
-    * hit — the keep signal of a caption-quality gate; a caption whose
-    * hits are all foreign is the mislabeled-pair review queue).
+    * stub features, in two halves with different machinery because they
+    * have different geometry:
     *
-    * Scale shape: captions and frames are both corpus-sized, so the
-    * right form is NEVER caption×frame (n·m) — both sides band under
-    * the shared hyperplane layout and candidates are the band-key
-    * EQUI-join across the modality boundary; the 4×16-bit layout is the
-    * frame near-dedup's (byte-statistic features are heavily
-    * direction-correlated; measured at sf0.01: 3.4 k candidates of the
-    * 1.35 M cross pairs = 0.25%). Threshold BEFORE the groupBy keeps
-    * the aggregate one row per caption WITH a hit. Approximate exactly
-    * like nearDupCosine (recall rises with similarity; the oracle
-    * restates the same planes, so the green hash verifies parity, not
-    * recall). Swapping the stub byte-features for real CLIP image/text
-    * towers changes no plan shape — the vectors just get wider.
+    *  - the OWN half (does this caption agree with its own media's
+    *    frames — the keep signal of a caption-quality gate) is an
+    *    EQUI-JOIN on media_id: caption vs its own ~frames/media rows,
+    *    exact cosine, Θ(n·frames_per_media), keyed, linear. `matched`
+    *    and `n_own_hits` are therefore EXACT — no banding, no recall
+    *    caveat, because none is needed for a keyed question;
+    *  - the FOREIGN half (does some OTHER media's frame agree better —
+    *    the mislabeled-pair review queue) is genuinely corpus×corpus,
+    *    so it rides the banded screen: both modalities band under the
+    *    shared hyperplane layout (VectorOps.bandKeyCols — the
+    *    decontaminateSemanticBanded geometry across the modality
+    *    boundary, 4×16-bit bands, 0.25% candidate rate measured at
+    *    sf0.01), exact cosine re-verifies candidates, threshold before
+    *    the groupBy. Approximate like nearDupCosine — recall measured
+    *    (tools.CaptionRecall, SCALE.md), rises with similarity, oracle
+    *    restates the planes so the hash verifies parity.
+    *
+    * Output: one row per media with a caption vector and ≥1 frame
+    * vector — n_own_hits / own_best_sim / matched (exact) plus
+    * n_foreign_hits / best_foreign_sim (banded; 0/null when no foreign
+    * candidate crossed τ).
     *
     * Hub-bucket bound (`maxBucket` — the maxDf discipline in band
-    * space): per-bucket candidate volume is captions×frames WITHIN the
-    * bucket, so when BOTH sides grow, a bucket the correlated features
-    * keep hot grows its pair count quadratically (the r16 ×10 rehearsal
-    * hit exactly this — multi-GB join pages). Frame-side buckets holding
-    * more than `maxBucket` frames are boilerplate-frame buckets
-    * (whitespace-heavy chunks; no match signal) and are dropped whole,
-    * bounding any bucket's fan-out. Non-binding at the declared corpora
-    * (max occupancy 26 at sf0.01 / 224 at sf0.1, measured) so the
-    * oracle restates it without changing a row; at deployment scale the
-    * other two dials are higher-entropy features (real CLIP towers
-    * decorrelate the sign bits) and wider bands (rowsPerBand ↑).
+    * space, FOREIGN side only): per-bucket candidate volume is
+    * captions×frames WITHIN the bucket, so when both sides grow, a
+    * bucket the correlated features keep hot grows its pair count
+    * quadratically (the r16 ×10 rehearsal hit exactly this — multi-GB
+    * join pages). Frame-side buckets holding more than `maxBucket`
+    * frames are boilerplate-frame buckets and are dropped whole,
+    * bounding any bucket's fan-out; non-binding at the declared corpora
+    * (max occupancy 26 at sf0.01 / 224 at sf0.1, measured), restated by
+    * the oracle. The exact own half is untouched by the cap. Swapping
+    * the stub byte-features for real CLIP towers changes no plan shape.
     */
   def captionFrameMatch(docs: DataFrame, threshold: Double,
                         frameBytes: Int = 64, stride: Int = 2,
                         dim: Int = 8, bands: Int = 4,
                         rowsPerBand: Int = 16,
                         maxBucket: Int = 1024): DataFrame = {
+    import graft.functions.ArrayMath.{dot_product, l2_norm}
+    val feats = frameFeatures(
+        frameSample(mediaFromDocuments(docs), frameBytes, stride), dim)
+      .withColumn("fmedia", expr(s"vec_id div ${FrameIdShift}L"))
+      .withColumn("nf", l2_norm(col("embedding")))
+    val caps = captionVectors(docs, dim)
+      .withColumn("nc", l2_norm(col("cv")))
+    val own = caps.join(feats, col("media_id") === col("fmedia"))
+      .withColumn("sim", round(
+        dot_product(col("cv"), col("embedding")) /
+          (col("nc") * col("nf")), 6))
+      .groupBy("media_id")
+      .agg(sum(when(col("sim") >= threshold, 1L).otherwise(0L))
+             .as("n_own_hits"),
+           max(col("sim")).as("own_best_sim"))
+      .withColumn("matched", col("n_own_hits") > 0)
+    val foreign = captionFrameHits(docs, threshold, frameBytes, stride,
+        dim, bands, rowsPerBand, maxBucket)
+      .filter(!col("own"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_foreign_hits"),
+           max(col("sim")).as("best_foreign_sim"))
+    own.join(foreign, Seq("media_id"), "left")
+      .na.fill(0L, Seq("n_foreign_hits"))
+      .select("media_id", "n_own_hits", "own_best_sim", "matched",
+              "n_foreign_hits", "best_foreign_sim")
+  }
+
+  /** The pre-aggregation hit rows of [[captionFrameMatch]]:
+    * one (media_id, vec_id, sim, own) row per banded candidate at/above
+    * `threshold` — split out so the recall tool
+    * (graft.tools.CaptionRecall) can measure the banding against the
+    * exact cross screen at PAIR granularity.
+    */
+  private[graft] def captionFrameHits(
+      docs: DataFrame, threshold: Double,
+      frameBytes: Int = 64, stride: Int = 2,
+      dim: Int = 8, bands: Int = 4,
+      rowsPerBand: Int = 16, maxBucket: Int = 1024): DataFrame = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
     val frames = frameSample(mediaFromDocuments(docs), frameBytes, stride)
     val feats = frameFeatures(frames, dim)
@@ -246,11 +285,7 @@ object Multimodal {
       .filter(col("sim") >= threshold)
       .withColumn("own",
         expr(s"vec_id div ${FrameIdShift}L") === col("media_id"))
-      .groupBy("media_id")
-      .agg(count(lit(1)).as("n_frame_hits"),
-           sum(when(col("own"), 1L).otherwise(0L)).as("n_own_hits"),
-           max(col("sim")).as("best_sim"))
-      .withColumn("matched", col("n_own_hits") > 0)
+      .select("media_id", "vec_id", "sim", "own")
   }
 
   /** Metadata-only projection over media + decoded features + documents —

@@ -112,15 +112,16 @@ class MultimodalSpec extends AnyFunSuite {
       (a == 3L * sh) != (b == 3L * sh) && (a == 1L * sh || b == 1L * sh) })
   }
 
-  test("caption match: a byte-periodic payload matches its own frames " +
-       "(sim 1.0 survives banding), constant-byte captions drop, and " +
-       "verdict columns are internally consistent") {
+  test("caption match: the own-frame verdict is EXACT (periodic payload " +
+       "scores 1.0, ordinary text is judged too), zero-norm captions " +
+       "drop, and a binding hub cap touches only the foreign columns") {
     // doc 1: period-8 byte pattern -> every 64-byte frame's byte-position
-    // sums are EXACTLY proportional to the whole payload's -> cosine 1.0,
-    // identical sign bands, so the own-frame hit is certain, not lucky.
+    // sums are EXACTLY proportional to the whole payload's -> own cosine
+    // 1.0 (and the own half is an exact equi-join, so no banding luck).
     // doc 2: constant bytes -> mean-centered caption vector is zero-norm
     // -> dropped on the caption side (no row at all).
-    // doc 3: ordinary text -> whatever it scores, columns must agree.
+    // doc 3: ordinary text -> a row regardless of verdict (the own half
+    // judges every media with a caption vector and >= 1 frame vector).
     val fixture = Seq(
       (1L, "abcdefgh" * 64),
       (2L, "aaaaaaaa" * 64),
@@ -128,26 +129,36 @@ class MultimodalSpec extends AnyFunSuite {
       .map { case (i, t) => (i, "en", "s", t.length.toLong, t) }
       .toDF("doc_id", "lang", "source", "n_chars", "text")
     val got = Multimodal.captionFrameMatch(fixture, threshold = 0.9)
-      .select("media_id", "n_frame_hits", "n_own_hits", "best_sim", "matched")
-      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .select("media_id", "n_own_hits", "own_best_sim", "matched",
+              "n_foreign_hits")
+      .as[(Long, Long, Double, Boolean, Long)].collect()
       .map(r => r._1 -> r).toMap
-    val (_, hits1, own1, best1, matched1) = got(1L)
+    assert(got.keySet == Set(1L, 3L),
+      s"one exact verdict row per valid media expected: ${got.keySet}")
+    val (_, own1, best1, matched1, _) = got(1L)
     assert(matched1 && own1 >= 1L && best1 == 1.0,
       s"periodic payload must match its own frames exactly: ${got(1L)}")
     assert(!got.contains(2L), "zero-norm caption must emit no verdict row")
-    got.values.foreach { case (id, hits, own, best, matched) =>
-      assert(hits >= own && own >= 0, s"hit accounting broken for $id")
-      assert(best >= 0.9, s"sub-threshold row leaked for $id")
+    got.values.foreach { case (id, own, _, matched, foreignN) =>
       assert(matched == (own > 0), s"verdict disagrees with counts for $id")
+      assert(foreignN >= 0L, s"negative foreign count for $id")
     }
-    assert(hits1 >= own1)
 
-    // a BINDING hub-bucket cap (maxDf discipline in band space) only
-    // removes candidates — it can never invent a verdict row
+    // a BINDING hub-bucket cap (maxDf discipline in band space) affects
+    // only the banded FOREIGN columns — the exact own verdict (media set,
+    // n_own_hits, matched) is identical, and foreign hits only shrink
     val capped = Multimodal
       .captionFrameMatch(fixture, threshold = 0.9, maxBucket = 1)
-      .select("media_id").as[Long].collect().toSet
-    assert(capped.subsetOf(got.keySet),
-      s"binding cap invented rows: ${capped -- got.keySet}")
+      .select("media_id", "n_own_hits", "own_best_sim", "matched",
+              "n_foreign_hits")
+      .as[(Long, Long, Double, Boolean, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(capped.keySet == got.keySet)
+    got.keySet.foreach { id =>
+      assert(capped(id)._2 == got(id)._2 && capped(id)._4 == got(id)._4,
+        s"cap leaked into the exact own verdict for $id")
+      assert(capped(id)._5 <= got(id)._5,
+        s"binding cap grew foreign hits for $id")
+    }
   }
 }
