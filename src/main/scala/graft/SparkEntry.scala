@@ -620,8 +620,8 @@ object SparkEntry {
       // CLIP-score shape): caption byte-feature vectors vs the frame
       // vectors of the whole media corpus through the shared 4×16-bit
       // sign bands (never caption×frame), exact cosine re-verify,
-      // per-media verdict — n_frame_hits / n_own_hits / best_sim /
-      // matched. τ=0.9 over the stub features (own-frame best cosine
+      // per-media verdict — n_own_hits / own_best_sim / n_foreign_hits /
+      // best_foreign_sim / matched. τ=0.9 over the stub features (own-frame best cosine
       // median 0.70, p90 0.88 at sf0.01 — the threshold splits)
       Multimodal.captionFrameMatch(T.documents(s, d), threshold = 0.9)
         .orderBy("media_id")),

@@ -28,6 +28,11 @@ class SyncEngine(spark: SparkSession, config: SyncConfig,
   /** `tagFailed` counts post-copy TAGGING failures (the cycle itself
     * succeeded: objects copied, ledger committed) — a flaky tagging SDK
     * must surface without wedging sync progress (r15 advisory).
+    * Granularity caveat: a tagger failure is counted as the WHOLE
+    * taggable batch even if some objects in it were tagged before the
+    * throw (the tagger API gives no partial-progress signal), so this
+    * may overcount; -1 means the count itself could not be taken
+    * (broken session).
     */
   case class MappingReport(mappingId: String, synced: Long, skipped: Long,
                            failed: Long, orphansRemoved: Long,
@@ -214,8 +219,11 @@ class SyncEngine(spark: SparkSession, config: SyncConfig,
           // is broken and the -1 sentinel says "failed, count unknown"
           tagFailed = try tagged.count()
                       catch { case _: Exception => -1L }
+          val batchDesc =
+            if (tagFailed >= 0) s"a batch of $tagFailed object(s)"
+            else "a batch of unknown size (count failed)"
           System.err.println(s"[sync] mapping $mid post-copy tagging " +
-            s"failed for $tagFailed object(s): ${e.getClass.getName}: " +
+            s"failed for $batchDesc: ${e.getClass.getName}: " +
             s"${e.getMessage} - copies and ledger commit proceed; " +
             "re-apply headers via the tagger's own retry path")
       } finally graft.operators.Barriers.release(tagged)

@@ -79,9 +79,10 @@ case class WinnowedFingerprints(child: Expression, w: Int)
       hashes(i) = UTF8String.fromString(new String(hex))
       i += 1
     }
-    // monotonic deque of indices: front is the window minimum. Ties keep
-    // the EARLIER index (strict < when evicting), which is irrelevant to
-    // the emitted hash value (equal strings) — the output is the hash set.
+    // monotonic deque of indices: front is the window minimum. Equal
+    // hashes evict (compareTo >= 0), so ties keep the LATER index — which
+    // is irrelevant to the emitted hash value (equal strings) since the
+    // output is the hash set.
     val deque = new Array[Int](n)
     var head = 0
     var tail = 0 // exclusive

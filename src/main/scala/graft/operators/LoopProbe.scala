@@ -6,7 +6,7 @@ package graft.operators
   * cycles (embedding_kmeans_assign 1.22× → 1.44×, dedup_clusters_cosine
   * 1.26×) and two rounds of "watch" bought no mechanism. The probe
   * records (operator, round, phase, seconds) for every barrier /
-  * convergence action inside a loop, so a driver (tools.LoopProbeDrift)
+  * convergence action inside a loop, so a driver ([[graft.tools.LoopDrift]])
   * can answer WHERE the extra seconds live — checkpoint write, planning,
   * convergence check — and whether they grow with rep index inside one
   * JVM (accumulating session state) or stay flat (scheduling variance).

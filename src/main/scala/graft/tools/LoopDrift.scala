@@ -26,6 +26,11 @@ import org.apache.spark.sql.SparkSession
   * (findings land in SCALE.md's "iterative-loop drift" section)
   */
 object LoopDrift {
+  /** Locale-pinned %.3f — the f-interpolator uses the default JVM locale,
+    * so on comma-decimal locales the emitted JSON would be invalid. */
+  private def f3(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", java.lang.Double.valueOf(d))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -48,10 +53,10 @@ object LoopDrift {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val total = (System.nanoTime() - t0) / 1e9
       val rounds = graft.operators.LoopProbe.drain()
-        .map(s => s""""${s.op}.${s.round}.${s.phase}":${f"${s.secs}%.3f"}""")
+        .map(s => s""""${s.op}.${s.round}.${s.phase}":${f3(s.secs)}""")
         .mkString(",")
       println(s"""{"query":"$name","rep":$r,""" +
-        s""""total":${f"$total%.3f"},"phases":{$rounds}}""")
+        s""""total":${f3(total)},"phases":{$rounds}}""")
       // Bench's between-query hygiene, so reps see the same block-manager
       // state a bench rep does
       spark.sparkContext.getPersistentRDDs.values

@@ -6,6 +6,12 @@ Standing row = the LAST occurrence of each query in BASELINE.md's
 rows). Over budget = measured > 2x the standing row (the judge's weak
 threshold).
 
+If the artifact carries a "noise" map (graft.Bench's interleaved
+noise-floor sentinel, r17+), rows whose measurement window's sentinel
+read >= 2.5x the run's quiet floor are annotated [NOISY] — flagged, never
+excused: the over-budget count is unchanged, the flag only says the
+machine was contended when that row was timed.
+
     python3 tools/compare_baseline.py bench_out.json [BASELINE.md]
 """
 import json
@@ -29,8 +35,36 @@ def main(bench_path=None, baseline_path="BASELINE.md"):
         print("usage: compare_baseline.py bench_out.json [BASELINE.md]",
               file=sys.stderr)
         return 2
-    bench = json.load(open(bench_path))["queries"]
+    artifact = json.load(open(bench_path))
+    bench = artifact["queries"]
     base = standing_rows(baseline_path)
+    # per-query sentinel window ratios (graft.Bench r17+): the noise map
+    # holds window-sentinel / run-floor per query. Two contention shapes:
+    #   - BURSTY load: some windows' sentinels exceed the run's own floor
+    #     (relative ratio catches it);
+    #   - UNIFORM load: every reading inflates together, relative ratios
+    #     stay flat — so the run's floor is also anchored against the
+    #     standing `sentinel_floor` row in BASELINE.md (the sentinel is
+    #     fixed work, its quiet cost is a machine constant) and per-query
+    #     ratios are rescaled to that absolute anchor.
+    # A row at >= 2.5x the ANCHORED floor is annotated [NOISY] — flagged,
+    # NOT excused: it still counts as over budget; the flag tells the
+    # adjudicator where to look first.
+    noise = artifact.get("noise", {})
+    NOISY = 2.5
+    standing_floor = base.pop("sentinel_floor", None)
+    sent = artifact.get("sentinel", {})
+    floors = sent.get("floors") or ([sent["floor"]] if "floor" in sent
+                                    else [])
+    scale = 1.0
+    if standing_floor and floors:
+        import statistics
+        scale = statistics.median(floors) / standing_floor
+
+    def tag(q):
+        r = noise.get(q, 0) * scale
+        return f"  [NOISY window {r:.2f}x quiet floor]" if r >= NOISY else ""
+
     # a standing value of 0 would divide-by-zero below AND means the
     # baseline row is nonsense (no query runs in 0.00s at sf0.1)
     zeros = sorted(q for q, v in base.items() if v <= 0)
@@ -52,11 +86,20 @@ def main(bench_path=None, baseline_path="BASELINE.md"):
             for q in both if bench[q] > 2 * base[q]]
     over.sort(key=lambda r: -r[3])
     for q, b, s, r in over:
-        print(f"OVER  {q}: {b:.2f}s vs standing {s:.2f}s = {r:.2f}x")
+        print(f"OVER  {q}: {b:.2f}s vs standing {s:.2f}s = {r:.2f}x{tag(q)}")
     worst = max(((q, bench[q] / base[q]) for q in both), key=lambda x: x[1])
+    n_noisy = sum(1 for q in both if noise.get(q, 0) * scale >= NOISY)
+    noisy_note = (f"; {n_noisy} rows in noisy windows"
+                  if noise else "; no sentinel data in artifact")
+    if standing_floor and floors and scale >= 2.0:
+        print(f"RUN CONTENDED: sentinel floor(s) "
+              f"{[round(f, 3) for f in floors]} vs standing quiet floor "
+              f"{standing_floor} = {scale:.2f}x — the whole run was timed "
+              "on a loaded machine; treat every row as suspect")
     print(f"\n{len(both)} rows compared: sum {total_b:.1f}s vs standing "
           f"{total_s:.1f}s = {total_b / total_s:.2f}x; "
-          f"{len(over)} over 2x budget; worst {worst[0]} {worst[1]:.2f}x")
+          f"{len(over)} over 2x budget; worst {worst[0]} "
+          f"{worst[1]:.2f}x{tag(worst[0])}{noisy_note}")
     if missing:
         print(f"no standing row yet (new queries): {missing}")
     return 0

@@ -57,6 +57,15 @@ def main(paths):
     med = {q: statistics.median(r["queries"][q] for r in runs)
            for q in sorted(common)
            if all(isinstance(r["queries"][q], (int, float)) for r in runs)}
+    # noise carries through as the per-query MEDIAN of the runs' window
+    # ratios — aligned with the value median: one contended run out of
+    # three is discarded by both medians, two or more contaminate both,
+    # so a flagged merged row means its merged value is actually suspect.
+    noise = {}
+    if all("noise" in r for r in runs):
+        noise = {q: statistics.median(r["noise"][q] for r in runs)
+                 for q in med if all(q in r["noise"] for r in runs)}
+    sentinels = [r["sentinel"] for r in runs if "sentinel" in r]
     out = {
         "metric": "total",
         "value": sum(med.values()),
@@ -68,6 +77,14 @@ def main(paths):
         "excluded": excluded,
         "sf": runs[0].get("sf", ""),
     }
+    if noise:
+        out["noise"] = noise
+    if sentinels:
+        out["sentinel"] = {
+            "floors": [s["floor"] for s in sentinels],
+            "maxes": [s["max"] for s in sentinels],
+            "noisy_windows": [s["noisy_windows"] for s in sentinels],
+        }
     json.dump(out, sys.stdout)
     print()
     # distinct nonzero exit for a merged-but-partial artifact (r15
