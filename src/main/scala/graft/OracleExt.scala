@@ -1460,12 +1460,13 @@ object OracleExt {
     FROM toks JOIN verdict USING (doc_id)
     GROUP BY source ORDER BY source"""
 
-  /** Mirrors CorpusOps.splitLeakage: the corpusSplit assignment restated,
-    * distinct (doc, split, shingle) index df-capped, equi-join across the
-    * train/heldout boundary, shared-shingle counts thresholded.
+  /** The split assignment + df-capped shingle index + leaking-pair CTE
+    * chain, ending in `leaks` — shared by the leakage audit and the
+    * quarantine apply so the two cannot disagree (mirrors the Spark
+    * side's one shared withSplit/splitLeakage).
     */
-  def corpusSplitLeakage(minShared: Int, maxDf: Int): String = docQ(s"""
-    , spl AS (
+  private def splitLeakCtes(minShared: Int, maxDf: Int): String = s"""
+    spl AS (
       SELECT doc_id,
              CASE WHEN u < 80 THEN 'train'
                   WHEN u < 90 THEN 'valid' ELSE 'test' END AS split
@@ -1478,14 +1479,48 @@ object OracleExt {
       FROM (SELECT doc_id, unnest(sh) AS s2 FROM docs_sh) x
       JOIN spl s USING (doc_id)),
     rare AS (SELECT s2 FROM shd GROUP BY s2 HAVING count(*) <= $maxDf),
-    kept AS (SELECT doc_id, split, s2 FROM shd JOIN rare USING (s2))
-    SELECT t.doc_id AS train_doc, h.doc_id AS heldout_doc,
-           h.split AS heldout_split,
-           CAST(count(*) AS BIGINT) AS n_shared
-    FROM kept t JOIN kept h
-      ON t.s2 = h.s2 AND t.split = 'train' AND h.split <> 'train'
-    GROUP BY 1, 2, 3 HAVING count(*) >= $minShared
-    ORDER BY train_doc, heldout_doc""")
+    kept AS (SELECT doc_id, split, s2 FROM shd JOIN rare USING (s2)),
+    leaks AS (
+      SELECT t.doc_id AS train_doc, h.doc_id AS heldout_doc,
+             h.split AS heldout_split,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM kept t JOIN kept h
+        ON t.s2 = h.s2 AND t.split = 'train' AND h.split <> 'train'
+      GROUP BY 1, 2, 3 HAVING count(*) >= $minShared)"""
+
+  /** Mirrors CorpusOps.splitLeakage: the corpusSplit assignment restated,
+    * distinct (doc, split, shingle) index df-capped, equi-join across the
+    * train/heldout boundary, shared-shingle counts thresholded.
+    */
+  def corpusSplitLeakage(minShared: Int, maxDf: Int): String = docQ(s"""
+    , ${splitLeakCtes(minShared, maxDf)}
+    SELECT train_doc, heldout_doc, heldout_split, n_shared
+    FROM leaks ORDER BY train_doc, heldout_doc""")
+
+  /** Mirrors CorpusOps.splitQuarantine: each leaking train doc moves to
+    * the heldout split of its strongest leak (max n_shared, ties prefer
+    * the lexicographically larger split — the Spark side's max(struct)
+    * rule), then the post-quarantine per-(source, split) audit with the
+    * arrivals column.
+    */
+  def corpusSplitQuarantine(minShared: Int, maxDf: Int): String = docQ(s"""
+    , ${splitLeakCtes(minShared, maxDf)},
+    moves AS (
+      SELECT train_doc AS doc_id, heldout_split AS new_split FROM (
+        SELECT train_doc, heldout_split,
+               ROW_NUMBER() OVER (PARTITION BY train_doc
+                 ORDER BY n_shared DESC, heldout_split DESC) AS r
+        FROM leaks)
+      WHERE r = 1)
+    SELECT d.source, coalesce(m.new_split, s.split) AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(d.toks)) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_quarantined_in
+    FROM docs_tok d
+    JOIN spl s USING (doc_id)
+    LEFT JOIN moves m USING (doc_id)
+    GROUP BY 1, 2 ORDER BY source, split""")
 
   /** Mirrors TextOps.ngramJaccardPairs including the document-frequency
     * cap: shingles in more than `maxDf` docs are dropped from both the
@@ -2449,22 +2484,18 @@ object OracleExt {
     FROM pairs ORDER BY media_a, frame_a, media_b, frame_b"""
   }
 
-  /** Mirrors Multimodal.captionFrameMatch: the frame-near-dedup feature
-    * chain plus a CAPTION side (the same mean-centered byte-statistics
-    * formula over the WHOLE payload hex). The OWN half is the exact
-    * media-keyed equi-join (no banding — mirrors the operator's split);
-    * the FOREIGN half restates the banded screen with the shared plane
-    * literals and the hub-bucket cap, cross-media candidates only.
+  /** The caption + frame FEATURE CTE chain shared by the cross-modal
+    * oracles (match / drop list / savings / retrieval): frames from hex
+    * slicing, bytes parsed from hex pairs, `dim` mean-centered integer
+    * position sums on both sides — ends in `femb` (frame vectors keyed
+    * by composite vec_id) and `cemb` (caption vectors keyed by media_id),
+    * zero-norm rows dropped as on the Spark side.
     */
-  def multimodalCaptionMatch(frameBytes: Int, stride: Int,
-                             threshold: Double, dim: Int,
-                             bands: Int, rowsPerBand: Int,
-                             maxBucket: Int): String = {
+  private def captionFrameFeatureCtes(frameBytes: Int, stride: Int,
+                                      dim: Int): String = {
     val step = frameBytes * stride
     val shift = graft.operators.Multimodal.FrameIdShift
-    val bandExprs = bandExprsSql(dim, bands, rowsPerBand)
-    s"""
-    WITH m AS (
+    s"""m AS (
       SELECT doc_id AS media_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS blen
       FROM documents),
@@ -2508,7 +2539,21 @@ object OracleExt {
                for j in range(0, $dim) ] AS v
       FROM cb),
     cemb AS (SELECT media_id, v FROM cfeats
-             WHERE list_dot_product(v, v) > 0),
+             WHERE list_dot_product(v, v) > 0)"""
+  }
+
+  /** The banded screen + own/foreign verdict CTE chain of
+    * multimodal_caption_match, over [[captionFrameFeatureCtes]] — ends in
+    * `own` and `foreignAgg`, shared by the match report and the drop-list
+    * / savings gates so the verdict is stated once.
+    */
+  private def captionMatchCtes(frameBytes: Int, stride: Int,
+                               threshold: Double, dim: Int,
+                               bands: Int, rowsPerBand: Int,
+                               maxBucket: Int): String = {
+    val shift = graft.operators.Multimodal.FrameIdShift
+    val bandExprs = bandExprsSql(dim, bands, rowsPerBand)
+    s"""${captionFrameFeatureCtes(frameBytes, stride, dim)},
     fbands AS (
       SELECT vec_id, unnest([$bandExprs]) AS band FROM femb),
     okb AS (
@@ -2546,13 +2591,155 @@ object OracleExt {
       SELECT media_id,
              CAST(count(*) AS BIGINT) AS n_foreign_hits,
              max(sim) AS best_foreign_sim
-      FROM fhits GROUP BY media_id)
+      FROM fhits GROUP BY media_id)"""
+  }
+
+  /** Mirrors Multimodal.captionFrameMatch: the frame-near-dedup feature
+    * chain plus a CAPTION side (the same mean-centered byte-statistics
+    * formula over the WHOLE payload hex). The OWN half is the exact
+    * media-keyed equi-join (no banding — mirrors the operator's split);
+    * the FOREIGN half restates the banded screen with the shared plane
+    * literals and the hub-bucket cap, cross-media candidates only.
+    */
+  def multimodalCaptionMatch(frameBytes: Int, stride: Int,
+                             threshold: Double, dim: Int,
+                             bands: Int, rowsPerBand: Int,
+                             maxBucket: Int): String = s"""
+    WITH ${captionMatchCtes(frameBytes, stride, threshold, dim,
+                            bands, rowsPerBand, maxBucket)}
     SELECT o.media_id, o.n_own_hits, o.own_best_sim,
            o.n_own_hits > 0 AS matched,
            coalesce(f.n_foreign_hits, 0) AS n_foreign_hits,
            f.best_foreign_sim
     FROM own o LEFT JOIN foreignAgg f USING (media_id)
     ORDER BY o.media_id"""
+
+  /** The caption drop list's verdict CTE chain — [[captionMatchCtes]]
+    * left-joined back onto ALL media ids (absent media — zero-norm
+    * caption or no frame vectors — fill as unmatched/no-signal), the
+    * keep/review/drop action and the `dropped` verdict. Ends in
+    * `verdictm`; shared by the drop-list and savings oracles.
+    */
+  private def captionVerdictCtes(frameBytes: Int, stride: Int,
+                                 threshold: Double, dim: Int,
+                                 bands: Int, rowsPerBand: Int,
+                                 maxBucket: Int): String = s"""
+    ${captionMatchCtes(frameBytes, stride, threshold, dim,
+                       bands, rowsPerBand, maxBucket)},
+    rep AS (
+      SELECT o.media_id, o.n_own_hits > 0 AS matched,
+             coalesce(f.n_foreign_hits, 0) AS n_foreign_hits
+      FROM own o LEFT JOIN foreignAgg f USING (media_id)),
+    verdictm AS (
+      SELECT d.doc_id AS media_id,
+             CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             coalesce(r.matched, false) AS matched,
+             coalesce(r.n_foreign_hits, 0) AS n_foreign_hits,
+             CASE WHEN coalesce(r.matched, false) THEN 'keep'
+                  WHEN coalesce(r.n_foreign_hits, 0) > 0 THEN 'review'
+                  ELSE 'drop' END AS action,
+             NOT coalesce(r.matched, false) AS dropped
+      FROM documents d LEFT JOIN rep r ON r.media_id = d.doc_id)"""
+
+  /** Mirrors Multimodal.captionDropList: the caption-match verdict
+    * applied — keep / review / drop per media with the dropped column the
+    * savings aggregation reads.
+    */
+  def multimodalCaptionDropList(frameBytes: Int, stride: Int,
+                                threshold: Double, dim: Int,
+                                bands: Int, rowsPerBand: Int,
+                                maxBucket: Int): String = s"""
+    WITH ${captionVerdictCtes(frameBytes, stride, threshold, dim,
+                              bands, rowsPerBand, maxBucket)}
+    SELECT media_id, kind, matched, n_foreign_hits, action, dropped
+    FROM verdictm ORDER BY media_id"""
+
+  /** Mirrors Multimodal.captionSavings: the ONE shared savings
+    * aggregation (CorpusOps.savingsFromVerdict) over the caption drop
+    * list's verdicts, grouped by media kind.
+    */
+  def multimodalCaptionSavings(frameBytes: Int, stride: Int,
+                               threshold: Double, dim: Int,
+                               bands: Int, rowsPerBand: Int,
+                               maxBucket: Int): String = s"""
+    WITH ${captionVerdictCtes(frameBytes, stride, threshold, dim,
+                              bands, rowsPerBand, maxBucket)},
+    toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT)
+               AS n_toks
+      FROM documents)
+    SELECT v.kind,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN v.dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(t.n_toks) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN v.dropped THEN t.n_toks ELSE 0 END) AS BIGINT)
+             AS tokens_dropped,
+           CAST(sum(CASE WHEN v.dropped THEN t.n_toks ELSE 0 END) * 1000000
+                // sum(t.n_toks) AS BIGINT) AS savings_ppm
+    FROM verdictm v JOIN toks t ON t.doc_id = v.media_id
+    GROUP BY v.kind ORDER BY v.kind"""
+
+  /** Mirrors Multimodal.crossModalTopk: the shared caption/frame feature
+    * CTEs feeding the IVF restatement of [[similarityTopkIvf]] — centroids
+    * from the FRAME corpus (stride = the same capped-seed scalar
+    * subquery), queries = the md5-sampled CAPTION side, fixed nProbe, NO
+    * self-pair exclusion (disjoint id spaces), composite frame id
+    * decomposed on the way out.
+    */
+  def similarityTopkCrossmodal(k: Int, nProbe: Int, centroidEvery: Int,
+                               maxQueries: Int, maxLists: Int,
+                               frameBytes: Int, stride: Int,
+                               dim: Int): String = {
+    val shift = graft.operators.Multimodal.FrameIdShift
+    s"""
+    WITH ${captionFrameFeatureCtes(frameBytes, stride, dim)},
+    ee AS (SELECT greatest($centroidEvery,
+             CAST(ceil(CAST(count(*) AS DOUBLE) / $maxLists) AS BIGINT))
+             AS stride FROM femb),
+    cent AS (SELECT vec_id AS centroid_id, v AS centv FROM femb
+             WHERE vec_id % (SELECT stride FROM ee) = 0),
+    qsample AS (
+      SELECT c.media_id, c.v FROM cemb c JOIN (
+        SELECT media_id FROM cemb
+        ORDER BY md5(CAST(media_id AS VARCHAR)), media_id
+        LIMIT $maxQueries) qs USING (media_id)),
+    ca AS (
+      SELECT neighbor_id, cv, centroid_id FROM (
+        SELECT e.vec_id AS neighbor_id, e.v AS cv, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.centv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+                 c.centroid_id) AS crank
+        FROM femb e CROSS JOIN cent c)
+      WHERE crank <= 1),
+    qa AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.media_id AS query_id, q.v AS qv, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.media_id ORDER BY
+                 list_dot_product(q.v, c.centv)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.centv, c.centv))) DESC,
+                 c.centroid_id) AS crank
+        FROM qsample q CROSS JOIN cent c)
+      WHERE crank <= $nProbe),
+    scored AS (
+      SELECT q.query_id, n.neighbor_id,
+             round(list_dot_product(q.qv, n.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(n.cv, n.cv))), 6) AS sim
+      FROM qa q JOIN ca n ON q.centroid_id = n.centroid_id)
+    SELECT query_id AS caption_id,
+           neighbor_id // $shift AS media_id,
+           neighbor_id % $shift AS frame_idx,
+           sim, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= $k ORDER BY caption_id, rank"""
   }
 
   // ---- events ----------------------------------------------------------

@@ -626,6 +626,31 @@ object SparkEntry {
       Multimodal.captionFrameMatch(T.documents(s, d), threshold = 0.9)
         .orderBy("media_id")),
 
+    "multimodal_caption_drop_list" -> ((s, d) =>
+      // APPLY the caption-match verdict (r16 verdict item 3 — the
+      // audit→apply arc): keep matched captions (exact own half),
+      // quarantine the review queue (foreign hit but no own agreement),
+      // drop the silent rest; dropped = NOT matched. Shares the
+      // caption-match CTEs end to end
+      Multimodal.captionDropList(T.documents(s, d), threshold = 0.9)
+        .orderBy("media_id")),
+
+    "multimodal_caption_savings" -> ((s, d) =>
+      // the caption gate's sign-off number, per media kind, through the
+      // ONE shared savings aggregation every dedup family reports with
+      Multimodal.captionSavings(T.documents(s, d), threshold = 0.9)
+        .orderBy("kind")),
+
+    "similarity_topk_crossmodal" -> ((s, d) =>
+      // cross-modal RETRIEVAL (r16 verdict item 4): top-k frames per
+      // caption — the ANN ladder's IVF rung pointed across the modality
+      // boundary (caption vectors query the frame corpus in the shared
+      // byte-statistics space). All the ladder's scale bounds: capped
+      // codebook, bounded md5 query sample, fixed nProbe; recall vs the
+      // exact cross scan measured in SCALE.md's ANN table
+      Multimodal.crossModalTopk(T.documents(s, d), k = 5)
+        .orderBy("caption_id", "rank")),
+
     "multimodal_stream_frame_near_dedup" -> ((s, d) =>
       // media landing dir, NEAR-dup grain: frames banded on the batch
       // operator's sign-bit cosine bands as files land, candidate pairs
@@ -633,6 +658,16 @@ object SparkEntry {
       // verification post-drain — shares the batch oracle
       graft.streaming.StreamingOps.frameNearDupStream(s, d)
         .orderBy("media_a", "frame_a", "media_b", "frame_b")),
+
+    "multimodal_stream_caption_match" -> ((s, d) =>
+      // caption landing gate, live (r16 verdict item 5): arriving
+      // captions score against the STATIC frame index — own half a
+      // media-keyed stream-static equi-join, foreign half the shared
+      // capped band screen; both stateless (the state story is in the
+      // operator's scaladoc), exact verify + per-media verdict
+      // post-drain — shares the batch caption-match oracle
+      graft.streaming.StreamingOps.captionMatchStream(s, d)
+        .orderBy("media_id")),
 
     // side-effecting operators over scratch buckets (§2.2) --------------
     "object_put" -> ((s, d) => {
@@ -946,6 +981,16 @@ object SparkEntry {
       // broadcast contamination: the heldout side is 20% of the corpus
       graft.operators.CorpusOps.splitLeakage(T.documents(s, d))
         .orderBy("train_doc", "heldout_doc")),
+
+    "corpus_split_quarantine" -> ((s, d) =>
+      // APPLY the leakage verdict (r16 verdict item 6 — the audit→apply
+      // arc): each leaking train doc moves to its strongest heldout
+      // leak's split (max n_shared, ties prefer 'valid'); shares
+      // withSplit + the leakage CTEs so audit and apply cannot disagree.
+      // Output = the post-quarantine per-(source, split) audit with the
+      // arrivals column
+      graft.operators.CorpusOps.splitQuarantine(T.documents(s, d))
+        .orderBy("source", "split")),
 
     "sample_stratified" -> ((s, d) =>
       graft.operators.CorpusOps.sampleStratified(T.documents(s, d))
@@ -2283,6 +2328,8 @@ object SparkEntry {
       minShared = 2, maxDf = 128),
     "corpus_split_leakage" -> OracleExt.corpusSplitLeakage(minShared = 3,
       maxDf = 128),
+    "corpus_split_quarantine" -> OracleExt.corpusSplitQuarantine(
+      minShared = 3, maxDf = 128),
     "decontaminate" -> OracleExt.decontaminate,
     "decontaminate_exact" -> OracleExt.decontaminateExact,
     "decontaminate_bloom" -> OracleExt.decontaminateExact,
@@ -2390,6 +2437,20 @@ object SparkEntry {
     "multimodal_caption_match" -> OracleExt.multimodalCaptionMatch(
       frameBytes = 64, stride = 2, threshold = 0.9, dim = 8,
       bands = 4, rowsPerBand = 16, maxBucket = 1024),
+    // the stream twin drains to the identical per-media verdict (both
+    // halves stateless stream-static joins, exact verify post-drain)
+    "multimodal_stream_caption_match" -> OracleExt.multimodalCaptionMatch(
+      frameBytes = 64, stride = 2, threshold = 0.9, dim = 8,
+      bands = 4, rowsPerBand = 16, maxBucket = 1024),
+    "multimodal_caption_drop_list" -> OracleExt.multimodalCaptionDropList(
+      frameBytes = 64, stride = 2, threshold = 0.9, dim = 8,
+      bands = 4, rowsPerBand = 16, maxBucket = 1024),
+    "multimodal_caption_savings" -> OracleExt.multimodalCaptionSavings(
+      frameBytes = 64, stride = 2, threshold = 0.9, dim = 8,
+      bands = 4, rowsPerBand = 16, maxBucket = 1024),
+    "similarity_topk_crossmodal" -> OracleExt.similarityTopkCrossmodal(
+      k = 5, nProbe = 4, centroidEvery = 50, maxQueries = 100,
+      maxLists = 128, frameBytes = 64, stride = 2, dim = 8),
     "multimodal_stream_frame_near_dedup" -> OracleExt.multimodalFrameNearDedup(
       frameBytes = 64, stride = 2, threshold = 0.99, dim = 8,
       bands = 4, rowsPerBand = 16),

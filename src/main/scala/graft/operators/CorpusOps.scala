@@ -209,16 +209,20 @@ object CorpusOps {
 
   /** The savings aggregation over ANY per-doc keep/drop verdict
     * (doc_id, dropped): one join against per-doc token counts + one
-    * partial-agg'd groupBy(source), all integer arithmetic. The verdict
-    * column is the policy, this is the report.
+    * partial-agg'd groupBy(groupCol), all integer arithmetic. The verdict
+    * column is the policy, this is the report. `groupCol` defaults to
+    * `source` (the corpus-dedup reports); the cross-modal caption gate
+    * groups by media `kind` ([[Multimodal.captionSavings]]) — one report
+    * shape across every dedup family, batch and multimodal alike.
     */
-  private def savingsFromVerdict(docs: DataFrame,
-                                 verdict: DataFrame): DataFrame =
+  private[operators] def savingsFromVerdict(docs: DataFrame,
+                                            verdict: DataFrame,
+                                            groupCol: String = "source"): DataFrame =
     docs
       .withColumn("n_toks", size(TextOps.tokens(col("text"))).cast("long"))
-      .select("doc_id", "source", "n_toks")
+      .select("doc_id", groupCol, "n_toks")
       .join(verdict.select("doc_id", "dropped"), Seq("doc_id"))
-      .groupBy("source")
+      .groupBy(groupCol)
       .agg(count(lit(1)).as("n_docs"),
            sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
            sum(col("n_toks")).as("tokens_total"),
@@ -634,6 +638,45 @@ object CorpusOps {
                col("h.split").as("heldout_split"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** APPLY the leakage verdict — the audit→apply arc every gate family
+    * follows (quality_percentile_gate → quality_gate_drop_list): each
+    * train document [[splitLeakage]] catches leaking into a heldout split
+    * is QUARANTINED — re-assigned to the heldout doc's split, so the pair
+    * evaluates together instead of train memorizing eval. A doc leaking
+    * into several heldout docs moves once, deterministically: the
+    * destination is the heldout split of the STRONGEST leak
+    * (max n_shared; ties prefer 'valid' — max(struct) string order — so
+    * the rule is a pure function of the audit, reproducible across
+    * engines). Split assignment and leak detection are the ONE shared
+    * [[withSplit]] / [[splitLeakage]], so audit and apply cannot disagree.
+    *
+    * Emits the post-quarantine per-(source, split) audit —
+    * [[corpusSplit]]'s shape plus `n_quarantined_in`, the docs that
+    * ARRIVED in each split by quarantine — so before/after composition
+    * reads off one report.
+    *
+    * Scale shape: the leakage audit (all keyed, df-capped) + one
+    * (train_doc)-keyed max-struct partial agg over its output (≪ corpus) +
+    * one doc-keyed LEFT join of that small move table against the corpus +
+    * the partial-agg'd groupBy — no window, no new unkeyed stage.
+    */
+  def splitQuarantine(docs: DataFrame, minShared: Int = 3,
+                      maxDf: Int = 128): DataFrame = {
+    val moves = splitLeakage(docs, minShared, maxDf)
+      .groupBy(col("train_doc").as("doc_id"))
+      .agg(max(struct(col("n_shared"), col("heldout_split"))).as("m"))
+      .select(col("doc_id"), col("m.heldout_split").as("new_split"))
+    withSplit(docs)
+      .join(moves, Seq("doc_id"), "left")
+      .withColumn("moved", col("new_split").isNotNull)
+      .withColumn("final_split", coalesce(col("new_split"), col("split")))
+      .withColumn("n_toks", size(TextOps.tokens(col("text"))).cast("long"))
+      .groupBy(col("source"), col("final_split").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_toks")).as("n_tokens"),
+           sum(when(col("moved"), 1L).otherwise(0L)).as("n_quarantined_in"))
   }
 
   // ---- domain blocklist ------------------------------------------------

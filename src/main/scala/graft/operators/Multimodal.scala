@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing ([EXT]): image/audio/video payloads ride as
@@ -65,6 +65,14 @@ object Multimodal {
     }
   }
 
+  /** The one media-kind rule (id mod 3 → image/audio/video), shared by
+    * [[mediaFromDocuments]] and the caption gate's per-kind report so the
+    * two cannot disagree on what kind a media id is.
+    */
+  private[graft] def kindCol(id: Column): Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+               (id % 3 + 1).cast("int"))
+
   /** Synthesize a media table from the documents corpus: payload = UTF-8
     * bytes, kind cycles image/audio/video. Deterministic, so tests and the
     * rows-only driver check are stable.
@@ -72,8 +80,7 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-                 (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      kindCol(col("doc_id")).as("kind"),
       element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
                  (col("doc_id") % 3 + 1).cast("int")).as("content_type"),
       encode(col("text"), "UTF-8").as("payload"))
@@ -255,11 +262,24 @@ object Multimodal {
       docs: DataFrame, threshold: Double,
       frameBytes: Int = 64, stride: Int = 2,
       dim: Int = 8, bands: Int = 4,
-      rowsPerBand: Int = 16, maxBucket: Int = 1024): DataFrame = {
+      rowsPerBand: Int = 16, maxBucket: Int = 1024): DataFrame =
+    captionFrameHitsFrom(
+      captionVectors(docs, dim),
+      frameFeatures(frameSample(mediaFromDocuments(docs),
+                                frameBytes, stride), dim),
+      threshold, dim, bands, rowsPerBand, maxBucket)
+
+  /** The foreign screen's GEOMETRY over arbitrary caption/frame vector
+    * frames — split out of [[captionFrameHits]] so the entropy rehearsal
+    * (graft.tools.CaptionEntropyProbe) drives the exact declared plan
+    * with synthetic high-entropy vectors instead of a re-implementation.
+    * `caps` = (media_id, cv); `feats` = (vec_id, embedding).
+    */
+  private[graft] def captionFrameHitsFrom(
+      caps: DataFrame, feats: DataFrame, threshold: Double,
+      dim: Int, bands: Int, rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
-    val frames = frameSample(mediaFromDocuments(docs), frameBytes, stride)
-    val feats = frameFeatures(frames, dim)
-    val caps = captionVectors(docs, dim)
     // both the occupancy count and the candidate join read the frame
     // bands — materialize so the 64 plane projections run once
     val fBands = Barriers.materialize(feats.select(col("vec_id"),
@@ -286,6 +306,111 @@ object Multimodal {
       .withColumn("own",
         expr(s"vec_id div ${FrameIdShift}L") === col("media_id"))
       .select("media_id", "vec_id", "sim", "own")
+  }
+
+  /** APPLY the caption-match verdict — the gate a pipeline actually runs
+    * over [[captionFrameMatch]]'s per-media report (the audit→apply arc
+    * every dedup family ends in: pairs → verdict → drop list → savings):
+    *
+    *  - `keep`  — the caption agrees with its own frames (`matched`,
+    *    which is EXACT: the own half is a keyed equi-join);
+    *  - `review` — unmatched but some OTHER media's frame cleared τ
+    *    (`n_foreign_hits > 0 AND NOT matched`): the mislabeled-pair
+    *    queue, quarantined for human/model review rather than silently
+    *    deleted;
+    *  - `drop`  — unmatched with no foreign signal: the caption carries
+    *    no supported pairing. Media absent from the match report (zero-
+    *    norm caption or no frame vectors — nothing to agree WITH) land
+    *    here via the left join's fills.
+    *
+    * `dropped` (= NOT matched, review included — both leave the training
+    * set) is the column [[captionSavings]] feeds to the one shared
+    * savings aggregation. One left join of the per-media report (≪ frame
+    * count) against the media ids + a per-row projection — adds no
+    * unkeyed stage to the match plan.
+    */
+  def captionDropList(docs: DataFrame, threshold: Double,
+                      frameBytes: Int = 64, stride: Int = 2,
+                      dim: Int = 8, bands: Int = 4,
+                      rowsPerBand: Int = 16,
+                      maxBucket: Int = 1024): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+                kindCol(col("doc_id")).as("kind"))
+      .join(captionFrameMatch(docs, threshold, frameBytes, stride, dim,
+              bands, rowsPerBand, maxBucket)
+          .select("media_id", "matched", "n_foreign_hits"),
+        Seq("media_id"), "left")
+      .na.fill(false, Seq("matched"))
+      .na.fill(0L, Seq("n_foreign_hits"))
+      .withColumn("action",
+        when(col("matched"), lit("keep"))
+          .when(col("n_foreign_hits") > 0, lit("review"))
+          .otherwise(lit("drop")))
+      .withColumn("dropped", !col("matched"))
+      .select("media_id", "kind", "matched", "n_foreign_hits", "action",
+              "dropped")
+
+  /** What the caption gate SAVES, per media kind: document/token counts
+    * before and after [[captionDropList]], through the ONE shared savings
+    * aggregation ([[CorpusOps.savingsFromVerdict]]) every dedup family
+    * reports with — grouped by media `kind` instead of corpus `source`,
+    * so the image/audio/video gates read off one table. Same integer
+    * arithmetic, same report shape; the verdict is the policy.
+    */
+  def captionSavings(docs: DataFrame, threshold: Double,
+                     frameBytes: Int = 64, stride: Int = 2,
+                     dim: Int = 8, bands: Int = 4,
+                     rowsPerBand: Int = 16,
+                     maxBucket: Int = 1024): DataFrame =
+    CorpusOps.savingsFromVerdict(
+      docs.withColumn("kind", kindCol(col("doc_id"))),
+      captionDropList(docs, threshold, frameBytes, stride, dim, bands,
+          rowsPerBand, maxBucket)
+        .select(col("media_id").as("doc_id"), col("dropped")),
+      groupCol = "kind")
+
+  /** Cross-modal RETRIEVAL — the other half of the CLIP-score shape:
+    * [[captionFrameMatch]] answers "does this (caption, media) pair
+    * agree"; this answers "which frames, anywhere in the corpus, best
+    * match this caption" — top-k frames per caption through the ANN
+    * ladder's IVF rung pointed across the modality boundary (caption
+    * vectors as the QUERY side, frame vectors as the CORPUS side, both
+    * from the one shared byte-statistics feature space so the cosine is
+    * well-defined — [[captionVectors]]/[[frameFeatures]] scaladoc).
+    *
+    * Geometry is [[VectorOps.topkCosineIvf]] verbatim with every scale
+    * bound it already carries: capped codebook (seed stride widens past
+    * centroidEvery·maxLists, assignment stays Θ(n·nlist)), bounded
+    * deterministic md5 query sample (Θ(probe·maxQueries) search), fixed
+    * nProbe. `excludeSelf = false`: the self-pair exclusion is an
+    * IDENTITY rule for same-space search, and caption ids (media ids)
+    * share no identity with composite frame ids — a numeric collision
+    * (media 7's caption vs frame 7 of media 0) is a legitimate
+    * cross-modal result, not a self-pair. Approximate like the ladder's
+    * other rungs — recall measured against the brute-force cross scan
+    * (tools.CaptionRecall --topk, SCALE.md ANN table); deterministic, so
+    * the DuckDB restatement hash-verifies the result.
+    *
+    * Output: (caption_id, media_id, frame_idx, sim, rank) — the frame's
+    * composite id decomposed so the consumer reads "caption c's best
+    * frames are media m frame f" directly.
+    */
+  def crossModalTopk(docs: DataFrame, k: Int, nProbe: Int = 4,
+                     centroidEvery: Int = 50, maxQueries: Int = 100,
+                     maxLists: Int = 128,
+                     frameBytes: Int = 64, stride: Int = 2,
+                     dim: Int = 8): DataFrame = {
+    val frames = frameFeatures(
+      frameSample(mediaFromDocuments(docs), frameBytes, stride), dim)
+    val caps = captionVectors(docs, dim)
+      .select(col("media_id").as("vec_id"), col("cv").as("embedding"))
+    VectorOps.topkCosineIvf(frames, k, nProbe, centroidEvery,
+        queries = Some(VectorOps.md5SampleQueries(caps, maxQueries)),
+        maxLists = maxLists, excludeSelf = false)
+      .select(col("query_id").as("caption_id"),
+              expr(s"neighbor_id div ${FrameIdShift}L").as("media_id"),
+              pmod(col("neighbor_id"), lit(FrameIdShift)).as("frame_idx"),
+              col("sim"), col("rank"))
   }
 
   /** Metadata-only projection over media + decoded features + documents —

@@ -419,7 +419,8 @@ object VectorOps {
   def topkCosineIvf(corpus: DataFrame, k: Int, nProbe: Int = 4,
                     centroidEvery: Int = 50,
                     queries: Option[DataFrame] = None,
-                    maxLists: Int = Int.MaxValue): DataFrame = {
+                    maxLists: Int = Int.MaxValue,
+                    excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.ArrayMath.{dot_product, l2_norm}
     val stride =
       if (maxLists == Int.MaxValue) centroidEvery
@@ -449,8 +450,12 @@ object VectorOps {
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    queryAssigned.join(corpusAssigned, Seq("centroid_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = queryAssigned.join(corpusAssigned, Seq("centroid_id"))
+    // excludeSelf is an IDENTITY rule for same-space search; cross-modal
+    // callers (caption queries vs composite frame ids — disjoint id
+    // spaces) pass false so a numeric collision can't drop a real result
+    (if (excludeSelf) scored.filter(col("query_id") =!= col("neighbor_id"))
+     else scored)
       .withColumn("sim", round(
         dot_product(col("qv"), col("cv")) /
           (sqrt(dot_product(col("qv"), col("qv"))) *

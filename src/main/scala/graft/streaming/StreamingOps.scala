@@ -784,6 +784,105 @@ object StreamingOps {
         col("sim"))
   }
 
+  /** Streaming cross-modal caption match: `multimodal_caption_match`'s
+    * per-media verdict maintained as captions LAND — each arriving
+    * document's caption vector is scored against a STATIC frame index
+    * (the already-ingested media corpus; a caption-quality gate at
+    * ingestion scores new captions against the standing index, it does
+    * not re-pair history). Both halves keep the batch operator's
+    * geometry, and both are STATELESS stream-static equi-joins — no
+    * streaming state at all, which is the honest state story here: the
+    * own half is keyed by media_id (a caption meets only its own
+    * media's frames), the foreign half is keyed by the shared sign-bit
+    * band layout with the same hub-bucket cap, so per-trigger work is
+    * frames-per-media + banded-candidate rows for just the captions in
+    * that trigger. A CO-STREAMED frame side would instead ride the
+    * [[bandedCandidatePairs]] band-state machine exactly as
+    * [[frameNearDupStream]] does — that variant carries state
+    * (maxPerBand-capped per band) and is a frame-index freshness
+    * decision, not a plan-shape change.
+    *
+    * In-stream the query emits candidate PAIR rows append-mode (own
+    * pairs = every frame of the caption's media; foreign pairs = banded
+    * candidates through the capped buckets — `src` tags the half);
+    * exact cosine + thresholds + the per-media aggregation run
+    * post-drain against statically recomputed vectors (|candidates|
+    * rows — the [[frameNearDupStream]] zero-restoration discipline), so
+    * the drained result equals the batch operator row-for-row and
+    * SHARES its oracle.
+    */
+  def captionMatchStream(spark: SparkSession, dir: String,
+                         threshold: Double = 0.9,
+                         frameBytes: Int = 64, stride: Int = 2,
+                         dim: Int = 8, bands: Int = 4,
+                         rowsPerBand: Int = 16,
+                         nFiles: Int = 4,
+                         maxBucket: Int = 1024): DataFrame = {
+    import graft.operators.{Barriers, Multimodal, VectorOps}
+    import graft.functions.ArrayMath.{dot_product, l2_norm}
+    val docsStatic = graft.sources.Tables.documents(spark, dir)
+    // static frame index: features once (barrier — the band explode and
+    // the own-half join both read them), bands + hub-cap as in batch
+    val fstat = Barriers.materialize(Multimodal.frameFeatures(
+      Multimodal.frameSample(Multimodal.mediaFromDocuments(docsStatic),
+                             frameBytes, stride), dim))
+    val fBands = Barriers.materialize(fstat.select(col("vec_id"),
+      explode(array(VectorOps.bandKeyCols(col("embedding"), dim,
+                                          bands, rowsPerBand): _*))
+        .as("band")))
+    val okBuckets = fBands.groupBy("band")
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= maxBucket)
+      .select("band")
+    val fIdx = fBands.join(okBuckets, Seq("band"))
+    // landing captions: vectors are a stateless per-row projection
+    val capStream = Multimodal.captionVectors(
+      stagedStreamSplit(spark, dir, "documents", nFiles), dim)
+    val ownCand = capStream.select(col("media_id"))
+      .join(fstat.select(col("vec_id"),
+          expr(s"vec_id div ${Multimodal.FrameIdShift}L").as("fmedia")),
+        col("media_id") === col("fmedia"))
+      .select(col("media_id"), col("vec_id"), lit("own").as("src"))
+    val forCand = capStream.select(col("media_id"),
+        explode(array(VectorOps.bandKeyCols(col("cv"), dim,
+                                            bands, rowsPerBand): _*))
+          .as("band"))
+      .join(fIdx, Seq("band"))
+      .select(col("media_id"), col("vec_id"), lit("band").as("src"))
+    val drained = runToTable(spark, ownCand.union(forCand),
+      OutputMode.Append())
+    // post-drain: exact cosine against statically recomputed vectors,
+    // then the batch operator's own/foreign aggregation shapes
+    val caps = Barriers.materialize(
+      Multimodal.captionVectors(docsStatic, dim)
+        .withColumn("nc", l2_norm(col("cv"))))
+    val fv = fstat.select(col("vec_id"), col("embedding").as("fv"))
+      .withColumn("nf", l2_norm(col("fv")))
+    def sims(cand: DataFrame): DataFrame =
+      cand.join(caps, Seq("media_id")).join(fv, Seq("vec_id"))
+        .withColumn("sim", round(
+          dot_product(col("cv"), col("fv")) / (col("nc") * col("nf")), 6))
+    val own = sims(drained.filter(col("src") === "own")
+        .select("media_id", "vec_id"))
+      .groupBy("media_id")
+      .agg(sum(when(col("sim") >= threshold, 1L).otherwise(0L))
+             .as("n_own_hits"),
+           max(col("sim")).as("own_best_sim"))
+      .withColumn("matched", col("n_own_hits") > 0)
+    val foreign = sims(drained.filter(col("src") === "band")
+        .select("media_id", "vec_id").distinct())
+      .filter(col("sim") >= threshold)
+      .filter(expr(s"vec_id div ${Multimodal.FrameIdShift}L")
+        =!= col("media_id"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_foreign_hits"),
+           max(col("sim")).as("best_foreign_sim"))
+    own.join(foreign, Seq("media_id"), "left")
+      .na.fill(0L, Seq("n_foreign_hits"))
+      .select("media_id", "n_own_hits", "own_best_sim", "matched",
+              "n_foreign_hits", "best_foreign_sim")
+  }
+
   /** Streaming windowed-dedup audit: the per-type (seen / kept / dropped)
     * repair report maintained live. The batch operator's "first per
     * (user, type, window)" winner needs an order — but the AUDIT only

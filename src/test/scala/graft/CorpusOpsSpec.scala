@@ -215,6 +215,64 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(CorpusOps.splitLeakage(deduped).isEmpty)
   }
 
+  test("splitQuarantine moves exactly the leaking train docs to the " +
+       "strongest heldout leak's split, conserves doc/token totals, and " +
+       "is the plain split audit (plus a zero column) on a clean corpus") {
+    def splitOf(id: Long): String = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex, 16) % 100
+      if (u < 80) "train" else if (u < 90) "valid" else "test"
+    }
+    val ids = (1L to 40L)
+    val trainIds = ids.filter(splitOf(_) == "train")
+    val heldIds = ids.filter(splitOf(_) != "train")
+    val (tDup, hDup) = (trainIds.head, heldIds.head)
+    val tDup2 = trainIds(1)
+    val dupText = "the quick brown fox jumps over the lazy dog again " +
+      "and again until the very end of this long shared passage"
+    val docs = ids.map { i =>
+      val t =
+        if (i == tDup || i == hDup || i == tDup2) dupText
+        else (0 to 9).map(j => s"u${i}w$j").mkString(" ")
+      (i, "en", "s", t.length.toLong, t)
+    }.toDF("doc_id", "lang", "source", "n_chars", "text")
+
+    val audit = CorpusOps.splitQuarantine(docs)
+      .select("split", "n_docs", "n_tokens", "n_quarantined_in")
+      .as[(String, Long, Long, Long)].collect()
+
+    // conservation: quarantine re-labels, never adds or drops rows/tokens
+    def nToks(t: String) = t.split("\\s+").count(_.nonEmpty).toLong
+    val totToks = ids.map(i =>
+      nToks(if (i == tDup || i == hDup || i == tDup2) dupText
+            else (0 to 9).map(j => s"u${i}w$j").mkString(" "))).sum
+    assert(audit.map(_._2).sum == 40L && audit.map(_._3).sum == totToks,
+      s"quarantine lost or invented corpus mass: ${audit.toSeq}")
+
+    // exactly the two planted leaking train docs move, both into the
+    // heldout dup's split (their only — hence strongest — leak)
+    val arrivals = audit.map(r => r._1 -> r._4).toMap
+    assert(audit.map(_._4).sum == 2L, s"arrival total drift: ${audit.toSeq}")
+    assert(arrivals(splitOf(hDup)) == 2L,
+      s"quarantined docs landed in the wrong split: ${audit.toSeq}")
+    val trainRow = audit.find(_._1 == "train").get
+    assert(trainRow._2 == trainIds.size.toLong - 2L,
+      s"train must shrink by the two quarantined docs: $trainRow")
+
+    // clean corpus: the audit IS corpusSplit's, with zero arrivals
+    val clean = docs.filter($"doc_id" =!= hDup && $"doc_id" =!= tDup2)
+    val q = CorpusOps.splitQuarantine(clean)
+      .select("source", "split", "n_docs", "n_tokens", "n_quarantined_in")
+      .collect().map(_.toSeq).toSet
+    val plain = CorpusOps.corpusSplit(clean)
+      .withColumn("n_quarantined_in", lit(0L))
+      .select("source", "split", "n_docs", "n_tokens", "n_quarantined_in")
+      .collect().map(_.toSeq).toSet
+    assert(q == plain, "clean-corpus quarantine drifted from corpusSplit")
+  }
+
   test("stratified sample keeps none at 0 pct and all at 100 pct") {
     val docs = (1L to 50L).map(i => (i, "en", "s", 10L, s"text $i"))
       .toDF("doc_id", "lang", "source", "n_chars", "text")

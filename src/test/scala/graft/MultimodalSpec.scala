@@ -161,4 +161,134 @@ class MultimodalSpec extends AnyFunSuite {
         s"binding cap grew foreign hits for $id")
     }
   }
+
+  test("caption drop list: keep/review/drop partitions EVERY media (media " +
+       "absent from the match report fall to drop), dropped = NOT matched") {
+    // the caption-match fixture: doc 1 matches its own frames exactly,
+    // doc 2 has a zero-norm caption (no match row at all), doc 3 is
+    // judged but (at tau=0.9) unmatched
+    val fixture = Seq(
+      (1L, "abcdefgh" * 64),
+      (2L, "aaaaaaaa" * 64),
+      (3L, "the quick brown fox jumps over the lazy dog " * 8))
+      .map { case (i, t) => (i, "en", "s", t.length.toLong, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val rep = Multimodal.captionFrameMatch(fixture, threshold = 0.9)
+      .select("media_id", "matched", "n_foreign_hits")
+      .as[(Long, Boolean, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val dl = Multimodal.captionDropList(fixture, threshold = 0.9)
+      .select("media_id", "kind", "matched", "n_foreign_hits", "action",
+              "dropped")
+      .as[(Long, String, Boolean, Long, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(dl.keySet == Set(1L, 2L, 3L), s"gate must verdict every media")
+    dl.values.foreach { case (id, kind, matched, nf, action, dropped) =>
+      assert(dropped == !matched, s"dropped != !matched for $id")
+      val want =
+        if (matched) "keep" else if (nf > 0) "review" else "drop"
+      assert(action == want, s"action rule drift for $id: $action")
+      val wantKind = Seq("image", "audio", "video")((id % 3).toInt)
+      assert(kind == wantKind, s"kind rule drift for $id")
+      // verdict columns agree with the match report; absent media
+      // (zero-norm caption) fill as unmatched/no-signal
+      rep.get(id) match {
+        case Some((_, m, f)) => assert(matched == m && nf == f, s"$id")
+        case None => assert(!matched && nf == 0L && action == "drop", s"$id")
+      }
+    }
+    assert(dl(1L)._5 == "keep" && dl(2L)._5 == "drop")
+  }
+
+  test("caption savings: the shared report shape over the drop-list " +
+       "verdict, grouped by kind, exact integer arithmetic") {
+    val fixture = Seq(
+      (1L, "abcdefgh" * 64),
+      (2L, "aaaaaaaa" * 64),
+      (3L, "the quick brown fox jumps over the lazy dog " * 8),
+      (4L, "abcdefgh" * 64))
+      .map { case (i, t) => (i, "en", "s", t.length.toLong, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val verdict = Multimodal.captionDropList(fixture, threshold = 0.9)
+      .select("media_id", "kind", "dropped")
+      .as[(Long, String, Boolean)].collect()
+    def nToks(t: String) = t.split("\\s+").count(_.nonEmpty).toLong
+    val toks = Map(1L -> nToks("abcdefgh" * 64),
+      2L -> nToks("aaaaaaaa" * 64),
+      3L -> nToks("the quick brown fox jumps over the lazy dog " * 8),
+      4L -> nToks("abcdefgh" * 64))
+    val got = Multimodal.captionSavings(fixture, threshold = 0.9)
+      .select("kind", "n_docs", "n_dropped", "tokens_total",
+              "tokens_dropped", "savings_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    verdict.groupBy(_._2).foreach { case (kind, rows) =>
+      val dropped = rows.filter(_._3)
+      val tTot = rows.map(r => toks(r._1)).sum
+      val tDrop = dropped.map(r => toks(r._1)).sum
+      val want = (kind, rows.length.toLong, dropped.length.toLong,
+        tTot, tDrop, tDrop * 1000000L / tTot)
+      assert(got(kind) == want, s"savings drift for $kind: ${got(kind)}")
+    }
+    assert(got.keySet == verdict.map(_._2).toSet)
+  }
+
+  test("cross-modal top-k: exhaustive-probe IVF equals the brute-force " +
+       "cross scan; default params keep ranks dense and sims ordered") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, round, row_number}
+    import graft.functions.ArrayMath.{dot_product, l2_norm}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 3
+    // exhaustive probes + stride-1 centroids = every list searched: the
+    // approximate rung must then equal the exact cross scan
+    val got = Multimodal.crossModalTopk(docs, k = k,
+        nProbe = Int.MaxValue, centroidEvery = 1, maxQueries = 5,
+        maxLists = Int.MaxValue)
+      .select("caption_id", "media_id", "frame_idx", "sim", "rank")
+      .collect().map(_.toSeq).toSet
+    val frames = Multimodal.frameFeatures(
+      Multimodal.frameSample(Multimodal.mediaFromDocuments(docs), 64, 2))
+    val caps = Multimodal.captionVectors(docs)
+      .select(col("media_id").as("vec_id"), col("cv").as("embedding"))
+    val qs = graft.operators.VectorOps.md5SampleQueries(caps, 5)
+      .select(col("vec_id").as("caption_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("caption_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val sh = Multimodal.FrameIdShift
+    val brute = qs.crossJoin(
+        frames.select(col("vec_id"), col("embedding").as("fv")))
+      .withColumn("sim", round(
+        dot_product(col("qv"), col("fv")) /
+          (l2_norm(col("qv")) * l2_norm(col("fv"))), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("caption_id"),
+        org.apache.spark.sql.functions.expr(s"vec_id div ${sh}L")
+          .as("media_id"),
+        org.apache.spark.sql.functions.pmod(col("vec_id"),
+          org.apache.spark.sql.functions.lit(sh)).as("frame_idx"),
+        col("sim"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(got == brute && got.nonEmpty,
+      s"exhaustive IVF drifted from brute force (${got.size} vs ${brute.size})")
+
+    // default (approximate) params: dense ranks 1..n per caption, sims
+    // non-increasing in rank, never more than k rows per caption
+    val dflt = Multimodal.crossModalTopk(docs, k = 5, maxQueries = 10)
+      .select("caption_id", "sim", "rank")
+      .as[(Long, Double, Long)].collect()
+      .groupBy(_._1)
+    assert(dflt.nonEmpty)
+    dflt.foreach { case (cid, rows) =>
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1L to rows.length).toSeq,
+        s"ranks not dense for caption $cid")
+      assert(rows.length <= 5, s"k bound broken for caption $cid")
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._2 >= b._2
+        case _ => true
+      }, s"sims not ordered for caption $cid")
+    }
+  }
 }

@@ -799,6 +799,15 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming caption match drains to the batch per-media verdict " +
+       "(both halves stateless stream-static joins)") {
+    val streamed = StreamingOps.captionMatchStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("multimodal_caption_match")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("update-mode variants equal their complete-mode twins") {
     // the three deployment variants: same aggregate, delta sink instead of
     // full-table re-emission — results must be identical
