@@ -802,14 +802,22 @@ object StreamingOps {
     * (maxPerBand-capped per band) and is a frame-index freshness
     * decision, not a plan-shape change.
     *
-    * In-stream the query emits candidate PAIR rows append-mode (own
-    * pairs = every frame of the caption's media; foreign pairs = banded
-    * candidates through the capped buckets — `src` tags the half);
-    * exact cosine + thresholds + the per-media aggregation run
-    * post-drain against statically recomputed vectors (|candidates|
-    * rows — the [[frameNearDupStream]] zero-restoration discipline), so
-    * the drained result equals the batch operator row-for-row and
-    * SHARES its oracle.
+    * In-stream the query VERIFIES, not just screens: the stream-static
+    * joins already carry the caption vector, so each candidate's exact
+    * cosine is computed in the micro-batch and only per-pair SIM rows
+    * drain — every own pair (the per-media verdict needs sub-threshold
+    * sims for own_best_sim; ~frames/media rows per caption) plus the
+    * foreign pairs that actually cleared τ (the review queue). The
+    * first form drained the RAW banded candidate set and re-verified
+    * post-drain; at ×4 that pushed the screen's full (saturated)
+    * candidate volume through the memory sink — 161 s where the batch
+    * operator reads 23 s. Verifying in-stream keeps the drain at
+    * |own pairs| + |hits| (a pair colliding in k bands emits k
+    * IDENTICAL verified rows — the post-drain distinct collapses them;
+    * re-verifying a duplicate costs a dot product, draining a raw
+    * candidate costs sink state). Only the per-media aggregation runs
+    * post-drain, so the drained result equals the batch operator
+    * row-for-row and SHARES its oracle.
     */
   def captionMatchStream(spark: SparkSession, dir: String,
                          threshold: Double = 0.9,
@@ -835,45 +843,52 @@ object StreamingOps {
       .filter(col("bc") <= maxBucket)
       .select("band")
     val fIdx = fBands.join(okBuckets, Seq("band"))
+    val fv = fstat.select(col("vec_id"), col("embedding").as("fv"))
+      .withColumn("nf", l2_norm(col("fv")))
     // landing captions: vectors are a stateless per-row projection
     val capStream = Multimodal.captionVectors(
       stagedStreamSplit(spark, dir, "documents", nFiles), dim)
-    val ownCand = capStream.select(col("media_id"))
-      .join(fstat.select(col("vec_id"),
-          expr(s"vec_id div ${Multimodal.FrameIdShift}L").as("fmedia")),
-        col("media_id") === col("fmedia"))
-      .select(col("media_id"), col("vec_id"), lit("own").as("src"))
-    val forCand = capStream.select(col("media_id"),
-        explode(array(VectorOps.bandKeyCols(col("cv"), dim,
-                                            bands, rowsPerBand): _*))
-          .as("band"))
-      .join(fIdx, Seq("band"))
-      .select(col("media_id"), col("vec_id"), lit("band").as("src"))
-    val drained = runToTable(spark, ownCand.union(forCand),
-      OutputMode.Append())
-    // post-drain: exact cosine against statically recomputed vectors,
-    // then the batch operator's own/foreign aggregation shapes
-    val caps = Barriers.materialize(
-      Multimodal.captionVectors(docsStatic, dim)
-        .withColumn("nc", l2_norm(col("cv"))))
-    val fv = fstat.select(col("vec_id"), col("embedding").as("fv"))
-      .withColumn("nf", l2_norm(col("fv")))
-    def sims(cand: DataFrame): DataFrame =
-      cand.join(caps, Seq("media_id")).join(fv, Seq("vec_id"))
+      .withColumn("nc", l2_norm(col("cv")))
+    // round(…, 6) before compare/max — the nearDupCosine parity rule
+    def withSim(df: DataFrame): DataFrame =
+      df.join(fv, Seq("vec_id"))
         .withColumn("sim", round(
           dot_product(col("cv"), col("fv")) / (col("nc") * col("nf")), 6))
-    val own = sims(drained.filter(col("src") === "own")
-        .select("media_id", "vec_id"))
+        .select("media_id", "vec_id", "sim")
+    // own half: every (caption, own-frame) sim row — sub-threshold sims
+    // feed own_best_sim, so no filter
+    val ownRows = withSim(capStream
+        .join(fstat.select(col("vec_id"),
+            expr(s"vec_id div ${Multimodal.FrameIdShift}L").as("fmedia")),
+          col("media_id") === col("fmedia"))
+        .select("media_id", "vec_id", "cv", "nc"))
+      .withColumn("src", lit("own"))
+    // foreign half: banded candidates through the capped buckets, exact
+    // cosine verified IN-stream, only τ-clearing cross-media hits drain
+    val forRows = withSim(capStream
+        .select(col("media_id"), col("cv"), col("nc"),
+          explode(array(VectorOps.bandKeyCols(col("cv"), dim,
+                                              bands, rowsPerBand): _*))
+            .as("band"))
+        .join(fIdx, Seq("band"))
+        .select("media_id", "vec_id", "cv", "nc"))
+      .filter(col("sim") >= threshold)
+      .filter(expr(s"vec_id div ${Multimodal.FrameIdShift}L")
+        =!= col("media_id"))
+      .withColumn("src", lit("band"))
+    val drained = runToTable(spark, ownRows.union(forRows),
+      OutputMode.Append())
+    // post-drain: only the batch operator's per-media aggregation shapes
+    val own = drained.filter(col("src") === "own")
       .groupBy("media_id")
       .agg(sum(when(col("sim") >= threshold, 1L).otherwise(0L))
              .as("n_own_hits"),
            max(col("sim")).as("own_best_sim"))
       .withColumn("matched", col("n_own_hits") > 0)
-    val foreign = sims(drained.filter(col("src") === "band")
-        .select("media_id", "vec_id").distinct())
-      .filter(col("sim") >= threshold)
-      .filter(expr(s"vec_id div ${Multimodal.FrameIdShift}L")
-        =!= col("media_id"))
+    // distinct collapses a pair's k same-band duplicate emissions (the
+    // sim rows are identical by construction)
+    val foreign = drained.filter(col("src") === "band")
+      .select("media_id", "vec_id", "sim").distinct()
       .groupBy("media_id")
       .agg(count(lit(1)).as("n_foreign_hits"),
            max(col("sim")).as("best_foreign_sim"))

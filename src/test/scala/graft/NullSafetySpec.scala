@@ -141,4 +141,31 @@ class NullSafetySpec extends AnyFunSuite {
     assert(graft.operators.Multimodal
       .captionFrameMatch(nullDocs, threshold = 0.9).isEmpty)
   }
+
+  test("r17 operators tolerate null/empty/short inputs") {
+    import graft.operators.Multimodal
+    // caption DROP LIST covers every media even when the match report is
+    // empty (all-null corpus): the left join fills — all drop, all dropped
+    val nullDocs = docs.withColumn("text", lit(null.asInstanceOf[String]))
+    val dl = Multimodal.captionDropList(nullDocs, threshold = 0.9)
+      .select("media_id", "action", "dropped")
+      .as[(Long, String, Boolean)].collect()
+    assert(dl.length == 4 && dl.forall(r => r._2 == "drop" && r._3))
+
+    // savings over the all-null corpus: null text tokenizes to null →
+    // the one shared savings aggregation still emits per-kind rows with
+    // zero token mass, never a throw or a divide-by-zero poison
+    val sv = Multimodal.captionSavings(nullDocs, threshold = 0.9).collect()
+    assert(sv.nonEmpty)
+
+    // cross-modal retrieval on a corpus with no valid vectors: empty,
+    // not a throw (no caption vector survives the zero-norm filter)
+    assert(Multimodal.crossModalTopk(nullDocs, k = 3).isEmpty)
+
+    // split quarantine: null/empty docs carry no shingles → never leak,
+    // never move; the audit still covers all 4 docs
+    val q = CorpusOps.splitQuarantine(docs).collect()
+    assert(q.map(_.getLong(2)).sum == 4L &&
+      q.forall(_.getLong(4) >= 0L))
+  }
 }
