@@ -566,4 +566,90 @@ class PropertySpec extends AnyFunSuite {
         assert(rows(u) == model(u), s"trial $trial user $u")
     }
   }
+
+  test("split quarantine equals the move-rule model on random leaky corpora") {
+    // random corpora with planted shared passages (so leaks actually
+    // occur); the model recomputes the audit from the operator's own
+    // leak report (leak detection carries its own fixture + oracle) +
+    // an independent md5 split + the argmax move rule
+    def splitOf(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex, 16) % 100
+      if (u < 80) "train" else if (u < 90) "valid" else "test"
+    }
+    val rnd = new scala.util.Random(77)
+    var sawLeak = false
+    for (trial <- 1 to 4) {
+      val n = 20 + rnd.nextInt(25)
+      val nShared = 2 + rnd.nextInt(3) // distinct shared passages
+      val sharedTexts = (0 until nShared).map(k =>
+        (0 to 11).map(j => s"shared${k}tok$j").mkString(" "))
+      val docs = (1L to n.toLong).map { i =>
+        val t =
+          if (rnd.nextInt(3) == 0) sharedTexts(rnd.nextInt(nShared))
+          else (0 to 9).map(j => s"u${i}w$j").mkString(" ")
+        (i, "en", if (i % 2 == 0) "sA" else "sB", t.length.toLong, t)
+      }
+      val df = docs.toDF("doc_id", "lang", "source", "n_chars", "text")
+      val leaks = CorpusOps.splitLeakage(df)
+        .select("train_doc", "heldout_split", "n_shared")
+        .as[(Long, String, Long)].collect()
+      // argmax rule: max n_shared, ties the lexicographically larger split
+      val moves = leaks.groupBy(_._1).map { case (d, rs) =>
+        d -> rs.maxBy(r => (r._3, r._2))._2
+      }
+      val model = docs.groupBy { case (i, _, src, _, _) =>
+        (src, moves.getOrElse(i, splitOf(i)))
+      }.map { case ((src, split), rows) =>
+        (src, split) -> ((rows.length.toLong,
+          rows.map(_._5.split("\\s+").count(_.nonEmpty).toLong).sum,
+          rows.count(r => moves.contains(r._1)).toLong))
+      }
+      val got = CorpusOps.splitQuarantine(df)
+        .select("source", "split", "n_docs", "n_tokens", "n_quarantined_in")
+        .as[(String, String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      assert(got == model, s"trial $trial: $got vs $model")
+      sawLeak ||= leaks.nonEmpty
+    }
+    assert(sawLeak,
+      "fixture degeneracy guard: no trial planted a cross-split leak")
+  }
+
+  test("caption savings equals the report recomputed from the drop list " +
+       "on random media corpora") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(91)
+    for (trial <- 1 to 3) {
+      val n = 6 + rnd.nextInt(8)
+      val docs = (1L to n.toLong).map { i =>
+        val t = rnd.nextInt(3) match {
+          case 0 => "abcdefgh" * (32 + rnd.nextInt(32)) // periodic: matches
+          case 1 => (0 to 30).map(j => s"d${i}t$j").mkString(" ")
+          case _ => "aaaaaaaa" * 16 // zero-norm caption: absent → drop
+        }
+        (i, "en", "s", t.length.toLong, t)
+      }
+      val df = docs.toDF("doc_id", "lang", "source", "n_chars", "text")
+      val verdict = Multimodal.captionDropList(df, threshold = 0.9)
+        .select("media_id", "kind", "dropped")
+        .as[(Long, String, Boolean)].collect()
+      val toks = docs.map(d => d._1 ->
+        d._5.split("\\s+").count(_.nonEmpty).toLong).toMap
+      val model = verdict.groupBy(_._2).map { case (kind, rows) =>
+        val tTot = rows.map(r => toks(r._1)).sum
+        val tDrop = rows.filter(_._3).map(r => toks(r._1)).sum
+        kind -> ((rows.length.toLong, rows.count(_._3).toLong, tTot, tDrop,
+          tDrop * 1000000L / tTot))
+      }
+      val got = Multimodal.captionSavings(df, threshold = 0.9)
+        .select("kind", "n_docs", "n_dropped", "tokens_total",
+                "tokens_dropped", "savings_ppm")
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      assert(got == model, s"trial $trial: $got vs $model")
+    }
+  }
 }
