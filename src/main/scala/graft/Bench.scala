@@ -104,10 +104,16 @@ object Bench {
     // off). Warmed ADAPTIVELY first — fixed two-shot warmup left the
     // first measured reading 2.2× the floor on a quiet machine (C2 JIT
     // of scheduler paths keeps improving for many iterations, not
-    // contention), which would false-flag the first window. Spin until
-    // a reading stops improving on the running minimum (cap 12), so the
-    // measured series starts near steady state; residual first-window
-    // drift stays under the 2.5× flag threshold.
+    // contention), which would false-flag the first window. The first
+    // stop rule ("within 1.3× of the running min once") parked on C2's
+    // intermediate PLATEAUS: r17's restricted quiet re-times read
+    // floors of 0.09–0.2 where the same session's full runs reached
+    // 0.035–0.05 deep in their series, biasing the anchored
+    // RUN-CONTENDED check pessimistic on exactly the short runs that
+    // exist to adjudicate. Now the spin stops only when three
+    // CONSECUTIVE readings fail to improve the running minimum by >10%
+    // (a plateau the length of the flag horizon, not one lucky shot),
+    // cap 24 — worst case ~6 s of warmup against a multi-minute run.
     val sentinelEvery =
       sys.env.getOrElse("SPARK_GRAFT_SENTINEL_EVERY", "5").toInt
     val sentinelAt = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -115,10 +121,11 @@ object Bench {
     if (sentinelEvery > 0) {
       var runMin = sentinelOnce(spark)
       var w = 1
-      var stable = false
-      while (w < 12 && !stable) {
+      var flat = 0
+      while (w < 24 && flat < 3) {
         val cur = sentinelOnce(spark)
-        stable = cur <= runMin * 1.3 && w >= 3
+        if (cur < runMin * 0.9) { runMin = cur; flat = 0 }
+        else flat += 1
         runMin = math.min(runMin, cur)
         w += 1
       }
