@@ -2577,7 +2577,7 @@ object OracleExt {
       FROM cemb ce JOIN femb fe ON fe.vec_id // $shift = ce.media_id
       GROUP BY ce.media_id),
     fhits AS (
-      SELECT media_id, sim FROM (
+      SELECT media_id, vec_id, sim FROM (
         SELECT c.media_id, c.vec_id,
                round(list_dot_product(ce.v, fe.v)
                  / (sqrt(list_dot_product(ce.v, ce.v))
@@ -2681,6 +2681,34 @@ object OracleExt {
                 // sum(t.n_toks) AS BIGINT) AS savings_ppm
     FROM verdictm v JOIN toks t ON t.doc_id = v.media_id
     GROUP BY v.kind ORDER BY v.kind"""
+
+  /** Mirrors Multimodal.captionReviewQueue: the drop list's `review` set
+    * joined to the strongest banded foreign hit (max sim, ties lowest
+    * composite frame id — the Spark side's max-struct rule restated as a
+    * window), frame id decomposed.
+    */
+  def multimodalCaptionReviewQueue(frameBytes: Int, stride: Int,
+                                   threshold: Double, dim: Int,
+                                   bands: Int, rowsPerBand: Int,
+                                   maxBucket: Int): String = {
+    val shift = graft.operators.Multimodal.FrameIdShift
+    s"""
+    WITH ${captionVerdictCtes(frameBytes, stride, threshold, dim,
+                              bands, rowsPerBand, maxBucket)},
+    best AS (
+      SELECT media_id, vec_id, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id
+          ORDER BY sim DESC, vec_id) AS r
+        FROM fhits)
+      WHERE r = 1)
+    SELECT v.media_id, v.kind,
+           b.vec_id // $shift AS foreign_media,
+           b.vec_id % $shift AS foreign_frame,
+           b.sim AS best_sim
+    FROM verdictm v JOIN best b USING (media_id)
+    WHERE v.action = 'review'
+    ORDER BY v.media_id"""
+  }
 
   /** Mirrors Multimodal.crossModalTopk: the shared caption/frame feature
     * CTEs feeding the IVF restatement of [[similarityTopkIvf]] — centroids

@@ -641,6 +641,14 @@ object SparkEntry {
       Multimodal.captionSavings(T.documents(s, d), threshold = 0.9)
         .orderBy("kind")),
 
+    "multimodal_caption_review_queue" -> ((s, d) =>
+      // the review queue's PAYLOAD: per review-flagged media (foreign
+      // hit, no own agreement — the drop list's set verbatim), the
+      // strongest foreign frame decomposed so a reviewer lands on the
+      // exact frame that beat the caption's own media
+      Multimodal.captionReviewQueue(T.documents(s, d), threshold = 0.9)
+        .orderBy("media_id")),
+
     "similarity_topk_crossmodal" -> ((s, d) =>
       // cross-modal RETRIEVAL (r16 verdict item 4): top-k frames per
       // caption — the ANN ladder's IVF rung pointed across the modality
@@ -2448,6 +2456,10 @@ object SparkEntry {
     "multimodal_caption_savings" -> OracleExt.multimodalCaptionSavings(
       frameBytes = 64, stride = 2, threshold = 0.9, dim = 8,
       bands = 4, rowsPerBand = 16, maxBucket = 1024),
+    "multimodal_caption_review_queue" ->
+      OracleExt.multimodalCaptionReviewQueue(
+        frameBytes = 64, stride = 2, threshold = 0.9, dim = 8,
+        bands = 4, rowsPerBand = 16, maxBucket = 1024),
     "similarity_topk_crossmodal" -> OracleExt.similarityTopkCrossmodal(
       k = 5, nProbe = 4, centroidEvery = 50, maxQueries = 100,
       maxLists = 128, frameBytes = 64, stride = 2, dim = 8),

@@ -369,6 +369,46 @@ object Multimodal {
         .select(col("media_id").as("doc_id"), col("dropped")),
       groupCol = "kind")
 
+  /** The review queue's PAYLOAD — what a reviewer actually opens: for
+    * each media [[captionDropList]] flags `review` (foreign hit, no own
+    * agreement — the mislabeled-pair candidates), the single strongest
+    * foreign frame (max sim; ties lowest composite frame id), decomposed
+    * to (foreign_media, foreign_frame) so the reviewer lands on the
+    * exact frame that beat the caption's own media. Membership is the
+    * drop list's `review` set VERBATIM (one shared verdict), and
+    * `best_sim` is by construction the match report's
+    * `best_foreign_sim` (same banded hit rows, same rounding).
+    *
+    * Scale shape: the drop-list verdict + one max-struct partial agg
+    * over the banded hit rows + a keyed join of the (small) review set —
+    * a pipeline materializing the caption gate would share the one
+    * screen pass across verdict and queue; declared standalone for the
+    * oracle.
+    */
+  def captionReviewQueue(docs: DataFrame, threshold: Double,
+                         frameBytes: Int = 64, stride: Int = 2,
+                         dim: Int = 8, bands: Int = 4,
+                         rowsPerBand: Int = 16,
+                         maxBucket: Int = 1024): DataFrame = {
+    val review = captionDropList(docs, threshold, frameBytes, stride, dim,
+        bands, rowsPerBand, maxBucket)
+      .filter(col("action") === "review")
+      .select("media_id", "kind")
+    val best = captionFrameHits(docs, threshold, frameBytes, stride, dim,
+        bands, rowsPerBand, maxBucket)
+      .filter(!col("own"))
+      .groupBy("media_id")
+      .agg(max(struct(col("sim"), (-col("vec_id")).as("nv"),
+        col("vec_id"))).as("m"))
+      .select(col("media_id"), col("m.sim").as("best_sim"),
+              col("m.vec_id").as("v"))
+    review.join(best, Seq("media_id"))
+      .select(col("media_id"), col("kind"),
+              expr(s"v div ${FrameIdShift}L").as("foreign_media"),
+              pmod(col("v"), lit(FrameIdShift)).as("foreign_frame"),
+              col("best_sim"))
+  }
+
   /** Cross-modal RETRIEVAL — the other half of the CLIP-score shape:
     * [[captionFrameMatch]] answers "does this (caption, media) pair
     * agree"; this answers "which frames, anywhere in the corpus, best

@@ -233,6 +233,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.keySet == verdict.map(_._2).toSet)
   }
 
+  test("caption review queue: membership is the drop list's review set " +
+       "verbatim, best_sim is the match report's best_foreign_sim, and " +
+       "the foreign frame is never the media's own") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = Multimodal.captionReviewQueue(docs, threshold = 0.9)
+      .select("media_id", "foreign_media", "best_sim")
+      .as[(Long, Long, Double)].collect()
+    val review = Multimodal.captionDropList(docs, threshold = 0.9)
+      .filter($"action" === "review").select("media_id")
+      .as[Long].collect().toSet
+    assert(q.map(_._1).toSet == review && q.nonEmpty,
+      s"queue membership drift: ${q.length} vs ${review.size}")
+    assert(q.forall(r => r._2 != r._1), "own frame leaked into the queue")
+    val rep = Multimodal.captionFrameMatch(docs, threshold = 0.9)
+      .select("media_id", "best_foreign_sim")
+      .as[(Long, Option[Double])].collect().toMap
+    q.foreach { case (m, _, s) =>
+      assert(rep(m).contains(s), s"best_sim drift for media $m")
+    }
+  }
+
   test("cross-modal top-k: exhaustive-probe IVF equals the brute-force " +
        "cross scan; default params keep ranks dense and sims ordered") {
     import org.apache.spark.sql.expressions.Window
