@@ -96,6 +96,40 @@ object OracleExt {
       FROM docs_tok ORDER BY doc_id""")
   }
 
+  /** Mirrors TextOps.qualityClassifier: hashed-bigram buckets via the
+    * first-6-hex-of-md5 idiom (the DSIR gramBuckets restatement),
+    * md5-derived integer bucket weights in [-1000, 1000], integer-milli
+    * mean score (`//` and Spark's `div` both truncate toward zero), and
+    * the per-language threshold CASE generated from the SAME Scala
+    * constant table the Spark side folds into its map literal.
+    */
+  def qualityClassifier(buckets: Int): String = {
+    val thrCase = "CASE " + TextOps.QualityClassifierThresholds.map {
+      case (l, t) => s"WHEN lang = '$l' THEN $t"
+    }.mkString(" ") + s" ELSE ${TextOps.QualityClassifierDefaultThreshold} END"
+    docQ(s"""
+    , qc_g AS (
+      SELECT doc_id, lang,
+             unnest([toks[i] || ' ' || toks[i+1]
+                     for i in range(1, len(toks))]) AS g2
+      FROM docs_tok),
+    qc_w AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('qw:' ||
+                (('0x' || substr(md5(g2), 1, 6))::BIGINT % $buckets)),
+                1, 6))::BIGINT % 2001 - 1000 AS w
+      FROM qc_g),
+    qc_s AS (
+      SELECT doc_id, lang,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(w) AS BIGINT) AS w_sum
+      FROM qc_w GROUP BY doc_id, lang)
+    SELECT doc_id, lang, n_grams, w_sum,
+           CAST(w_sum * 1000 // n_grams AS BIGINT) AS score_milli,
+           (w_sum * 1000 // n_grams) >= ($thrCase) AS keep
+    FROM qc_s ORDER BY doc_id""")
+  }
+
   /** Mirrors TextOps.qualityPercentileGate: per-language exact
     * integer-rank threshold over the fixed-point quality-score histogram,
     * all ties at the threshold kept.
@@ -1263,6 +1297,104 @@ object OracleExt {
            CAST(sum(len(toks)) AS BIGINT) AS kept_tokens
     FROM final2 GROUP BY source ORDER BY source"""
 
+  /** Mirrors CorpusPipeline.prepareRelease — the release capstone as one
+    * SQL restatement, every stage the SAME shared CTE builder its
+    * standalone oracle uses so the capstone cannot drift from the audits:
+    * [[pipelineCtes]] (gate + exact + MinHash) over the % 11 corpus side,
+    * [[winnowedVerdictCtes]] (prefixed `w_`) over the survivors,
+    * [[cosineWalkBody]] SemDeDup over THEIR embeddings, the
+    * decontaminateExact 13-token window screen against the % 11 benchmark
+    * side, [[splitLeakCtes]] + the quarantine move rule, and the
+    * shard-hash manifest.
+    */
+  def pipelinePrepareRelease(minQuality: Double, semThreshold: Double,
+                             dim: Int, bands: Int, rowsPerBand: Int,
+                             winW: Int, winMinShared: Int, winMaxDf: Int,
+                             leakMinShared: Int, leakMaxDf: Int,
+                             nShards: Int): String = {
+    val corpusPrelude = DocCtes.replace(
+      "FROM documents", "FROM documents WHERE doc_id % 11 <> 0")
+    val benchTok = """regexp_extract_all(lower(text), '\S+')"""
+    // Every plain CTE is marked MATERIALIZED post-hoc: DuckDB inlines
+    // CTEs by default, and with two recursive walks over a five-stage
+    // chain the inlined tree re-opens the parquet sources thousands of
+    // times ("Too many open files" at the default fd limit) and
+    // re-computes the cleaning stages per walk iteration. Recursive CTEs
+    // (`walk(node, lab) AS`) don't match the pattern and stay untouched.
+    raw"""(\b[A-Za-z_][A-Za-z0-9_]*) AS \(""".r
+      .replaceAllIn(s"""
+    WITH RECURSIVE $corpusPrelude,
+      ${pipelineCtes(minQuality)},
+      fsh AS (SELECT s.doc_id, s.sh
+              FROM docs_sh s JOIN final f USING (doc_id)),
+      ${winnowedVerdictCtes(winW, winMinShared, winMaxDf,
+        shRel = "fsh", docsRel = "final", p = "w_")},
+      final2 AS (
+        SELECT f.* FROM final f JOIN w_verdict v USING (doc_id)
+        WHERE NOT v.dropped),
+      kemb AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM embeddings e JOIN final2 f ON f.doc_id = e.vec_id),
+      ${cosineWalkBody(semThreshold, dim, bands, rowsPerBand, "kemb")},
+      sem_assign AS (
+        SELECT node AS doc_id, min(lab) AS cluster_id
+        FROM walk GROUP BY node),
+      sem_sized AS (
+        SELECT a.doc_id, a.cluster_id, f.n_chars
+        FROM sem_assign a JOIN final2 f USING (doc_id)),
+      sem_keep AS (
+        SELECT cluster_id, doc_id AS keeper_id FROM (
+          SELECT cluster_id, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
+          FROM sem_sized) WHERE rk = 1),
+      sem_dropped AS (
+        SELECT s.doc_id FROM sem_sized s JOIN sem_keep k USING (cluster_id)
+        WHERE s.doc_id <> k.keeper_id),
+      final3 AS (
+        SELECT f.* FROM final2 f
+        WHERE NOT EXISTS (SELECT 1 FROM sem_dropped x
+                          WHERE x.doc_id = f.doc_id)),
+      wins AS (
+        SELECT DISTINCT doc_id, md5(w) AS wh
+        FROM (SELECT doc_id,
+                     unnest([array_to_string(toks[i:(i+12)], ' ')
+                             for i in range(1, len(toks) - 11)]) AS w
+              FROM final3)),
+      bwins AS (
+        SELECT DISTINCT md5(w) AS wh
+        FROM (SELECT unnest([array_to_string(btoks[i:(i+12)], ' ')
+                             for i in range(1, len(btoks) - 11)]) AS w
+              FROM (SELECT $benchTok AS btoks
+                    FROM documents WHERE doc_id % 11 = 0))),
+      dirty AS (SELECT DISTINCT doc_id FROM wins JOIN bwins USING (wh)),
+      final4 AS (
+        SELECT f.* FROM final3 f
+        WHERE NOT EXISTS (SELECT 1 FROM dirty x WHERE x.doc_id = f.doc_id)),
+      ${splitLeakCtes(leakMinShared, leakMaxDf, docsRel = "final4")},
+      moves AS (
+        SELECT train_doc AS doc_id, heldout_split AS new_split FROM (
+          SELECT train_doc, heldout_split,
+                 ROW_NUMBER() OVER (PARTITION BY train_doc
+                   ORDER BY n_shared DESC, heldout_split DESC) AS r
+          FROM leaks)
+        WHERE r = 1),
+      sharded AS (
+        SELECT f.doc_id, coalesce(m.new_split, s.split) AS split,
+               ${hexParse8("substr(md5('shard:' || f.doc_id), 1, 8)")}
+                 % $nShards AS shard,
+               CAST(len(f.toks) AS BIGINT) AS n_toks
+        FROM final4 f JOIN spl s USING (doc_id)
+        LEFT JOIN moves m USING (doc_id)),
+      rep AS (
+        SELECT split, shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        FROM sharded GROUP BY split, shard)
+    SELECT split, shard, n_docs, n_tokens,
+           CAST(n_tokens * 1000000 // (SELECT sum(n_tokens) FROM rep)
+             AS BIGINT) AS share_ppm
+    FROM rep ORDER BY split, shard""", m => s"${m.group(1)} AS MATERIALIZED (")
+  }
+
   /** 16-bit simhash clusters; bit/vote arithmetic mirrors TextOps.withSimhash. */
   val dedupSimhash: String = {
     val terms = (0 until 16).map { b =>
@@ -1375,25 +1507,66 @@ object OracleExt {
     * `wpairs(doc_a, doc_b, n_shared_fp)` — one selection definition for
     * the pair query and the drop-list verdict so the two cannot drift.
     */
-  private def winnowedPairCtes(w: Int, minShared: Int, maxDf: Int): String =
-    s"""p0 AS (SELECT doc_id, unnest(range(1, len(sh)+1)) AS i, sh
-             FROM docs_sh),
-    p AS (SELECT doc_id, i AS pos, md5(sh[i]) AS h, len(sh) AS n FROM p0),
-    fps AS (
+  /** The winnowing SELECTION alone — md5 k-gram hashes, lexicographic min
+    * over each full window of `w` positions, distinct per doc — ending in
+    * `${p}fps(doc_id, fp)`. One definition shared by the dedup pair
+    * chain, the winnowed decontamination screen, and (prefixed) the
+    * release-pipeline oracle, so the window-min rule is stated once.
+    * `shRel` is the shingle relation (doc_id, sh) to select over; `p`
+    * prefixes every CTE name for embedding into multi-family queries.
+    */
+  private def winnowedFpsCtes(w: Int, shRel: String = "docs_sh",
+                              p: String = ""): String =
+    s"""${p}p0 AS (SELECT doc_id, unnest(range(1, len(sh)+1)) AS i, sh
+             FROM $shRel),
+    ${p}p AS (SELECT doc_id, i AS pos, md5(sh[i]) AS h, len(sh) AS n
+              FROM ${p}p0),
+    ${p}fps AS (
       SELECT DISTINCT doc_id, fp FROM (
         SELECT doc_id, pos, n,
                min(h) OVER (PARTITION BY doc_id ORDER BY pos
                             ROWS BETWEEN CURRENT ROW
                             AND ${w - 1} FOLLOWING) AS fp
-        FROM p)
-      WHERE pos <= n - $w + 1),
-    rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $maxDf),
-    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
-    wpairs AS (
+        FROM ${p}p)
+      WHERE pos <= n - $w + 1)"""
+
+  private def winnowedPairCtes(w: Int, minShared: Int, maxDf: Int,
+                               shRel: String = "docs_sh",
+                               p: String = ""): String =
+    s"""${winnowedFpsCtes(w, shRel, p)},
+    ${p}rare AS (SELECT fp FROM ${p}fps GROUP BY fp
+                 HAVING count(*) <= $maxDf),
+    ${p}kept AS (SELECT f.doc_id, f.fp FROM ${p}fps f
+                 JOIN ${p}rare USING (fp)),
+    ${p}wpairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(count(*) AS BIGINT) AS n_shared_fp
-      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      FROM ${p}kept a JOIN ${p}kept b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(*) >= $minShared)"""
+
+  /** Mirrors TextOps.contaminationWinnowed: the winnowed fingerprint
+    * selection ([[winnowedFpsCtes]] — the same window-min restatement the
+    * dedup oracle pins) split corpus/benchmark on the % 11 rule (the
+    * decontaminateExact split — wide enough that winnowed collisions
+    * exist at every SF, unlike the sparser % 97 shingle split), df-cap
+    * counted over the CORPUS side only, shared-fingerprint counts
+    * thresholded. The fps CTE runs over all docs and splits after — a
+    * per-doc selection is unchanged by who else is in the frame.
+    */
+  def decontaminateWinnowed(w: Int, minShared: Int, maxDf: Int): String =
+    docQ(s"""
+    , ${winnowedFpsCtes(w)},
+    dw_corp AS (SELECT doc_id, fp FROM fps WHERE doc_id % 11 <> 0),
+    dw_bench AS (SELECT doc_id AS bench_doc_id, fp FROM fps
+                 WHERE doc_id % 11 = 0),
+    dw_rare AS (SELECT fp FROM dw_corp GROUP BY fp
+                HAVING count(*) <= $maxDf)
+    SELECT c.doc_id, b.bench_doc_id,
+           CAST(count(*) AS BIGINT) AS n_shared_fp
+    FROM dw_corp c JOIN dw_rare USING (fp) JOIN dw_bench b USING (fp)
+    GROUP BY 1, 2 HAVING count(*) >= $minShared
+    ORDER BY doc_id, bench_doc_id""")
 
   /** Mirrors CorpusOps.winnowedDropList: recursive-closure clusters over
     * the winnowed pairs + keeper = (max n_chars, min doc_id) per cluster
@@ -1413,31 +1586,35 @@ object OracleExt {
     * savings oracles so the keeper rule is stated once.
     */
   private def winnowedVerdictCtes(w: Int, minShared: Int,
-                                  maxDf: Int): String = s"""
-      ${winnowedPairCtes(w, minShared, maxDf)},
-      edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM wpairs
+                                  maxDf: Int,
+                                  shRel: String = "docs_sh",
+                                  docsRel: String = "documents",
+                                  p: String = ""): String = s"""
+      ${winnowedPairCtes(w, minShared, maxDf, shRel, p)},
+      ${p}edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ${p}wpairs
         UNION ALL
-        SELECT doc_b AS src, doc_a AS dst FROM wpairs),
-      walk(doc, lab) AS (
-        SELECT doc_id, doc_id FROM documents
+        SELECT doc_b AS src, doc_a AS dst FROM ${p}wpairs),
+      ${p}walk(doc, lab) AS (
+        SELECT doc_id, doc_id FROM $docsRel
         UNION
-        SELECT e.src, wk.lab FROM edges e JOIN walk wk ON wk.doc = e.dst),
-      comp AS (SELECT doc AS doc_id, min(lab) AS cluster_id
-               FROM walk GROUP BY doc),
-      sized AS (
+        SELECT e.src, wk.lab FROM ${p}edges e
+        JOIN ${p}walk wk ON wk.doc = e.dst),
+      ${p}comp AS (SELECT doc AS doc_id, min(lab) AS cluster_id
+               FROM ${p}walk GROUP BY doc),
+      ${p}sized AS (
         SELECT c.doc_id, c.cluster_id, d.n_chars
-        FROM comp c JOIN documents d USING (doc_id)),
-      k AS (
+        FROM ${p}comp c JOIN $docsRel d USING (doc_id)),
+      ${p}k AS (
         SELECT cluster_id, doc_id AS keeper_id FROM (
           SELECT cluster_id, doc_id,
                  ROW_NUMBER() OVER (PARTITION BY cluster_id
                    ORDER BY n_chars DESC, doc_id) AS r
-          FROM sized)
+          FROM ${p}sized)
         WHERE r = 1),
-      verdict AS (
+      ${p}verdict AS (
         SELECT s.doc_id, s.doc_id <> k.keeper_id AS dropped
-        FROM sized s JOIN k USING (cluster_id))"""
+        FROM ${p}sized s JOIN ${p}k k USING (cluster_id))"""
 
   /** Mirrors CorpusOps.winnowedSavings: the shared savings aggregation
     * over the winnowed drop list's verdicts.
@@ -1465,7 +1642,9 @@ object OracleExt {
     * quarantine apply so the two cannot disagree (mirrors the Spark
     * side's one shared withSplit/splitLeakage).
     */
-  private def splitLeakCtes(minShared: Int, maxDf: Int): String = s"""
+  private def splitLeakCtes(minShared: Int, maxDf: Int,
+                            docsRel: String = "docs_tok",
+                            shRel: String = "docs_sh"): String = s"""
     spl AS (
       SELECT doc_id,
              CASE WHEN u < 80 THEN 'train'
@@ -1473,10 +1652,10 @@ object OracleExt {
       FROM (SELECT doc_id,
                    ${hexParse8("substr(md5('split:' || doc_id), 1, 8)")}
                      % 100 AS u
-            FROM docs_tok)),
+            FROM $docsRel)),
     shd AS (
       SELECT DISTINCT x.doc_id, s.split, x.s2
-      FROM (SELECT doc_id, unnest(sh) AS s2 FROM docs_sh) x
+      FROM (SELECT doc_id, unnest(sh) AS s2 FROM $shRel) x
       JOIN spl s USING (doc_id)),
     rare AS (SELECT s2 FROM shd GROUP BY s2 HAVING count(*) <= $maxDf),
     kept AS (SELECT doc_id, split, s2 FROM shd JOIN rare USING (s2)),
@@ -2226,9 +2405,35 @@ object OracleExt {
     */
   def similarityTopkIvfPq(dim: Int, k: Int, m: Int, centroidEvery: Int,
                           queryMax: Int, refine: Int, nProbe: Int,
-                          maxCodes: Int = 256, maxLists: Int = 128): String = {
+                          maxCodes: Int = 256, maxLists: Int = 128): String =
+    ivfPqSql(dim, k, m, centroidEvery, queryMax, refine,
+      npCte = "", nProbeSql = nProbe.toString, maxCodes, maxLists)
+
+  /** The auto-probe IVF-PQ oracle (mirrors VectorOps.topkCosineIvfPqAuto):
+    * identical to [[similarityTopkIvfPq]] except nProbe is not a literal —
+    * it is max(1, ceil(probeFraction · #cent)) restated as a scalar
+    * subquery over the same capped centroid set the probe restriction
+    * uses, tracking the Spark side's driver count at any scale factor
+    * (the [[similarityTopkIvfAuto]] discipline over the compressed read
+    * path).
+    */
+  def similarityTopkIvfPqAuto(dim: Int, k: Int, m: Int, centroidEvery: Int,
+                              queryMax: Int, refine: Int,
+                              probeFraction: Double,
+                              maxCodes: Int = 256,
+                              maxLists: Int = 128): String =
+    ivfPqSql(dim, k, m, centroidEvery, queryMax, refine,
+      npCte = s""",
+    np AS (SELECT greatest(1, CAST(ceil($probeFraction * count(*)) AS INT))
+             AS nprobe FROM cent)""",
+      nProbeSql = "(SELECT nprobe FROM np)", maxCodes, maxLists)
+
+  private def ivfPqSql(dim: Int, k: Int, m: Int, centroidEvery: Int,
+                       queryMax: Int, refine: Int,
+                       npCte: String, nProbeSql: String,
+                       maxCodes: Int, maxLists: Int): String = {
     val sub = dim / m
-    def assign(alias: String, idAs: String, keep: Int) = s"""
+    def assign(alias: String, idAs: String, keep: String) = s"""
       $alias AS (
         SELECT $idAs, centroid_id FROM (
           SELECT e.vec_id AS $idAs, c.centroid_id,
@@ -2245,9 +2450,9 @@ object OracleExt {
              CAST(ceil(CAST(count(*) AS DOUBLE) / $maxLists) AS BIGINT))
              AS stride FROM emb),
     cent AS (SELECT vec_id AS centroid_id, v AS centv FROM emb
-             WHERE vec_id % (SELECT stride FROM ee) = 0),
-    ${assign("ca", "neighbor_id", 1)},
-    ${assign("qa", "query_id", nProbe)},
+             WHERE vec_id % (SELECT stride FROM ee) = 0)$npCte,
+    ${assign("ca", "neighbor_id", "1")},
+    ${assign("qa", "query_id", nProbeSql)},
     cand AS (
       SELECT q.query_id, n.neighbor_id
       FROM qa q JOIN ca n ON q.centroid_id = n.centroid_id),

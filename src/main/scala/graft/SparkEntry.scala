@@ -457,6 +457,14 @@ object SparkEntry {
       graft.streaming.StreamingOps.importanceStream(s, d)
         .orderBy("doc_id")),
 
+    "docs_stream_quality_classifier" -> ((s, d) =>
+      // ingest-time absolute quality gate: the batch qualityClassifier
+      // applied to the stream VERBATIM (it is a stateless projection —
+      // Append mode, zero state rows, nothing to watermark); shares the
+      // batch oracle — one function, two run modes
+      graft.streaming.StreamingOps.qualityClassifierStream(s, d)
+        .orderBy("doc_id")),
+
     "docs_stream_winnowed" -> ((s, d) =>
       // live MOSS winnowing (r15 verdict item 5): fingerprint selection
       // is a stateless native per-row projection as docs land; pair
@@ -785,6 +793,16 @@ object SparkEntry {
     "text_quality" -> ((s, d) =>
       TextOps.qualityScore(T.documents(s, d)).orderBy("doc_id")),
 
+    "quality_classifier" -> ((s, d) =>
+      // fastText-shaped hashed-bigram linear gate (Joulin et al. 2016;
+      // the CCNet absolute-quality policy complementing DSIR's relative
+      // importance): bucket weights are a fixed broadcast-literal table
+      // (md5-derived placeholder — a deployment drops trained values in),
+      // scoring is a stateless integer-exact projection over the native
+      // bigram array — zero UDFs, whole-stage codegen, and the stream
+      // twin is the SAME function (zero state)
+      TextOps.qualityClassifier(T.documents(s, d)).orderBy("doc_id")),
+
     "lang_id_confusion" -> ((s, d) =>
       // classifier-evaluation shape: labeled vs predicted language counts
       // in one partial-aggregated groupBy over the lang_id projection
@@ -1095,6 +1113,22 @@ object SparkEntry {
           docs.filter(col("doc_id") % 97 =!= 0),
           docs.filter(col("doc_id") % 97 === 0),
           minShared = 3)
+        .orderBy("doc_id", "bench_doc_id")
+    }),
+
+    "decontaminate_winnowed" -> ((s, d) => {
+      // the winnowing rung of the decontamination ladder: MOSS
+      // fingerprints' DETERMINISTIC local-overlap guarantee (any shared
+      // run >= w+k-1 tokens certainly shares a fingerprint) pointed at
+      // eval leakage — a leaked passage diluted inside a long doc cannot
+      // dodge this screen the way it can a shingle-count threshold; index
+      // ~2/(w+1) the density of the shingle screen, benchmark broadcast.
+      // Benchmark = every 11th doc (the decontaminate_exact split — wide
+      // enough that winnowed collisions exist at every SF)
+      val docs = T.documents(s, d)
+      TextOps.contaminationWinnowed(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          docs.filter(col("doc_id") % 11 === 0))
         .orderBy("doc_id", "bench_doc_id")
     }),
 
@@ -1674,6 +1708,24 @@ object SparkEntry {
         .cleanCorpusSemanticStats(T.documents(s, d), T.embeddings(s, d), 0.3)
         .orderBy("source")),
 
+    "pipeline_prepare_release" -> ((s, d) => {
+      // the release CAPSTONE — the full pipeline the [EXT] surface exists
+      // for, as ONE composed lazy plan: gate → exact/MinHash/winnowed/
+      // semantic drop lists → exact 13-token decontamination (benchmark =
+      // every 11th doc, the decontaminate_exact convention) → split +
+      // leakage quarantine → shard assignment → the per-(split, shard)
+      // release manifest. Every stage IS the verified standalone
+      // operator; text stages run cheapest-first and the embedding pass
+      // touches only their survivors (EXPLAINS.md shows the plan)
+      val docs = T.documents(s, d)
+      graft.operators.CorpusPipeline.prepareRelease(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          T.embeddings(s, d),
+          docs.filter(col("doc_id") % 11 === 0),
+          minQuality = 0.3)
+        .orderBy("split", "shard")
+    }),
+
     "similarity_topk_ivf" -> ((s, d) =>
       // IVF fixed-probe variant — approximate vs brute force (recall in
       // VectorOpsSpec), but deterministic: hash-checked against a DuckDB
@@ -1710,6 +1762,15 @@ object SparkEntry {
       // in-list codes, exact re-rank only the shortlist — the
       // billion-vector deployment architecture end to end
       VectorOps.topkCosineIvfPq(T.embeddings(s, d), k = 5)
+        .orderBy("query_id", "rank")),
+
+    "similarity_topk_ivfpq_auto" -> ((s, d) =>
+      // the ladder's last rung: IVF-PQ's compressed read path under the
+      // auto-probe policy — nProbe = a fixed fraction of the capped
+      // centroid lists (one ids-only driver count, restated by the
+      // oracle as a scalar subquery), so shortlist recall holds as n
+      // grows while scoring still reads codes, not floats
+      VectorOps.topkCosineIvfPqAuto(T.embeddings(s, d), k = 5)
         .orderBy("query_id", "rank")),
 
     "similarity_topk_int8" -> ((s, d) =>
@@ -2295,6 +2356,10 @@ object SparkEntry {
     "text_stats" -> OracleExt.textStats,
     "lang_id" -> OracleExt.langId,
     "text_quality" -> OracleExt.textQuality,
+    "quality_classifier" -> OracleExt.qualityClassifier(
+      graft.operators.TextOps.QualityClassifierBuckets),
+    "docs_stream_quality_classifier" -> OracleExt.qualityClassifier(
+      graft.operators.TextOps.QualityClassifierBuckets),
     "lang_id_confusion" -> OracleExt.langIdConfusion,
     "token_count_bpe" -> OracleExt.tokenCountBpe,
     "doc_fingerprint" -> OracleExt.fingerprint,
@@ -2339,6 +2404,8 @@ object SparkEntry {
     "corpus_split_quarantine" -> OracleExt.corpusSplitQuarantine(
       minShared = 3, maxDf = 128),
     "decontaminate" -> OracleExt.decontaminate,
+    "decontaminate_winnowed" -> OracleExt.decontaminateWinnowed(
+      w = 4, minShared = 2, maxDf = 128),
     "decontaminate_exact" -> OracleExt.decontaminateExact,
     "decontaminate_bloom" -> OracleExt.decontaminateExact,
     "docs_stream_decontaminate_exact" -> OracleExt.decontaminateExact,
@@ -2416,6 +2483,9 @@ object SparkEntry {
     "similarity_topk_ivfpq" -> OracleExt.similarityTopkIvfPq(
       dim = 64, k = 5, m = 8, centroidEvery = 50, queryMax = 5, refine = 4,
       nProbe = 4),
+    "similarity_topk_ivfpq_auto" -> OracleExt.similarityTopkIvfPqAuto(
+      dim = 64, k = 5, m = 8, centroidEvery = 50, queryMax = 5, refine = 4,
+      probeFraction = 0.4),
     "similarity_topk_agg" -> OracleExt.similarityTopk,
     "similarity_topk_lsh" -> OracleExt.similarityTopkLsh(
       dim = 64, k = 5, nPlanes = 8),
@@ -2501,6 +2571,10 @@ object SparkEntry {
          ORDER BY l_returnflag, l_linestatus""",
 
     "pipeline_clean_corpus" -> OracleExt.pipelineCleanCorpus(0.3),
+    "pipeline_prepare_release" -> OracleExt.pipelinePrepareRelease(
+      minQuality = 0.3, semThreshold = 0.4, dim = 64, bands = 4,
+      rowsPerBand = 4, winW = 4, winMinShared = 2, winMaxDf = 128,
+      leakMinShared = 3, leakMaxDf = 128, nShards = 8),
 
     "events_stream_window" -> OracleExt.eventsWindowAgg,
     "events_stream_sessionize" -> OracleExt.eventsSessionize,

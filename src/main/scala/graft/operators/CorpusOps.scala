@@ -219,7 +219,7 @@ object CorpusOps {
                                             verdict: DataFrame,
                                             groupCol: String = "source"): DataFrame =
     docs
-      .withColumn("n_toks", size(TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("n_toks", TextOps.tokenCount(col("text")))
       .select("doc_id", groupCol, "n_toks")
       .join(verdict.select("doc_id", "dropped"), Seq("doc_id"))
       .groupBy(groupCol)
@@ -228,8 +228,12 @@ object CorpusOps {
            sum(col("n_toks")).as("tokens_total"),
            sum(when(col("dropped"), col("n_toks")).otherwise(0L))
              .as("tokens_dropped"))
+      // zero token mass (possible only when every doc's text is null or
+      // empty — tokenCount clamps those to 0) saves nothing: 0 ppm, not a
+      // divide-by-zero (ANSI mode makes that an error, not a null)
       .withColumn("savings_ppm",
-        expr("tokens_dropped * 1000000 div tokens_total"))
+        expr("case when tokens_total = 0 then cast(0 as bigint) " +
+             "else tokens_dropped * 1000000 div tokens_total end"))
 
   // ---- deterministic sampling / sharding ------------------------------
 
@@ -272,7 +276,7 @@ object CorpusOps {
     */
   def mixReport(docs: DataFrame): DataFrame = {
     val per = docs
-      .withColumn("n_toks", size(TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("n_toks", TextOps.tokenCount(col("text")))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
     val tot = per.agg(sum(col("n_docs")).as("t_docs"),
@@ -343,7 +347,7 @@ object CorpusOps {
     val w = Window.partitionBy("source")
       .orderBy(hashUniform("budget", col("doc_id")), col("doc_id"))
     docs
-      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
       .withColumn("cum_tokens",
         sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .filter(col("cum_tokens") <= budgetTokens)
@@ -485,7 +489,7 @@ object CorpusOps {
     val scored = Barriers.materialize(
       dsirWeights(raw, target, buckets).select("doc_id", "weight_fp")
         .join(raw.select(col("doc_id"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+          TextOps.tokenCount(col("text")).as("n_tokens")),
           Seq("doc_id"))
         .withColumn("cell", expr(s"weight_fp div ${cellWidth}L")))
     // |cells| is bounded by weight range / 2^20 (hundreds at the declared
@@ -525,7 +529,7 @@ object CorpusOps {
     val w = Window.partitionBy("shard").orderBy("doc_id")
     docs
       .withColumn("n_tokens",
-        size(TextOps.tokens(col("text"))).cast("long"))
+        TextOps.tokenCount(col("text")))
       .withColumn("shard", hashUniform("shard", col("doc_id")) % nShards)
       .withColumn("start_offset",
         coalesce(sum(col("n_tokens")).over(
@@ -589,7 +593,7 @@ object CorpusOps {
     */
   def corpusSplit(docs: DataFrame): DataFrame =
     withSplit(docs)
-      .withColumn("n_toks", size(TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("n_toks", TextOps.tokenCount(col("text")))
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
 
@@ -663,7 +667,25 @@ object CorpusOps {
     * the partial-agg'd groupBy — no window, no new unkeyed stage.
     */
   def splitQuarantine(docs: DataFrame, minShared: Int = 3,
-                      maxDf: Int = 128): DataFrame = {
+                      maxDf: Int = 128): DataFrame =
+    quarantinedSplit(docs, minShared, maxDf)
+      .withColumn("n_toks", TextOps.tokenCount(col("text")))
+      .groupBy(col("source"), col("final_split").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_toks")).as("n_tokens"),
+           sum(when(col("moved"), 1L).otherwise(0L)).as("n_quarantined_in"))
+
+  /** The doc-level quarantine assignment behind [[splitQuarantine]] —
+    * every input row plus `split` (the raw hash assignment), `new_split`
+    * (the quarantine destination, null when not moved), `moved`, and
+    * `final_split`. Split out so the release capstone
+    * ([[CorpusPipeline.prepareRelease]]) can shard the post-quarantine
+    * corpus doc-by-doc while the audit keeps its aggregated shape — one
+    * assignment definition, two consumers.
+    */
+  private[operators] def quarantinedSplit(docs: DataFrame,
+                                          minShared: Int = 3,
+                                          maxDf: Int = 128): DataFrame = {
     val moves = splitLeakage(docs, minShared, maxDf)
       .groupBy(col("train_doc").as("doc_id"))
       .agg(max(struct(col("n_shared"), col("heldout_split"))).as("m"))
@@ -672,11 +694,6 @@ object CorpusOps {
       .join(moves, Seq("doc_id"), "left")
       .withColumn("moved", col("new_split").isNotNull)
       .withColumn("final_split", coalesce(col("new_split"), col("split")))
-      .withColumn("n_toks", size(TextOps.tokens(col("text"))).cast("long"))
-      .groupBy(col("source"), col("final_split").as("split"))
-      .agg(count(lit(1)).as("n_docs"),
-           sum(col("n_toks")).as("n_tokens"),
-           sum(when(col("moved"), 1L).otherwise(0L)).as("n_quarantined_in"))
   }
 
   // ---- domain blocklist ------------------------------------------------

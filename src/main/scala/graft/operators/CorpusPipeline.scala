@@ -62,6 +62,18 @@ object CorpusPipeline {
     // keeper sizes, final anti-join) — barrier it so the lang/quality/
     // dedup stages run once, not three times
     val kept = Barriers.materialize(cleanCorpus(docs, minQuality))
+    kept.join(semanticDropIds(kept, embeddings, threshold),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** The SemDeDup verdict's dropped ids over an already-cleaned survivor
+    * set — banded-cosine clusters restricted to `kept`, keeper = longest
+    * doc (ties lowest id). One definition shared by
+    * [[cleanCorpusSemantic]] and [[prepareRelease]] so the semantic stage
+    * cannot drift between the two pipelines.
+    */
+  private def semanticDropIds(kept: DataFrame, embeddings: DataFrame,
+                              threshold: Double): DataFrame = {
     val keptEmb = embeddings
       .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"))
     val pairs = VectorOps
@@ -69,9 +81,8 @@ object CorpusPipeline {
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val assign = CorpusOps.connectedComponents(
       keptEmb.select(col("vec_id").as("doc_id")), pairs)
-    val droppedIds = CorpusOps.keepBestPerCluster(assign, kept)
+    CorpusOps.keepBestPerCluster(assign, kept)
       .filter(col("dropped")).select("doc_id")
-    kept.join(droppedIds, Seq("doc_id"), "left_anti")
   }
 
   /** Per-source report of the semantic-stage pipeline. */
@@ -81,9 +92,65 @@ object CorpusPipeline {
     perSourceStats(cleanCorpusSemantic(docs, embeddings, minQuality,
       threshold))
 
+  /** The release capstone — the full training-data release pipeline as
+    * ONE lazy composed plan, the artifact the whole [EXT] surface exists
+    * for: language/quality gate → exact dedup → MinHash drop list →
+    * winnowed (MOSS) drop list → SemDeDup semantic drop list →
+    * exact 13-token benchmark decontamination → train/valid/test split +
+    * leakage quarantine → deterministic shard assignment → the release
+    * MANIFEST (per (split, shard): docs, tokens, corpus share in exact
+    * integer ppm) — what a data lead signs off before tarballs ship.
+    *
+    * Every stage IS the already-verified standalone operator (cleanCorpus,
+    * [[CorpusOps.winnowedDropList]], [[semanticDropIds]],
+    * [[graft.operators.TextOps.exactSubstringContamination]],
+    * [[CorpusOps.quarantinedSplit]], the shardAssign hash) — the pipeline
+    * declares their composition and shares their code, so it cannot
+    * disagree with the audits a pipeline runs alongside it.
+    *
+    * Stage ordering is the 100 TB cost argument: text-only stages run
+    * cheapest-first, and the EMBEDDING pass (the expensive stage) touches
+    * only what survived every text filter — visible in the physical plan
+    * as the embeddings scan joining the filtered survivor set
+    * (EXPLAINS.md). Survivor sets are barriered between stages because
+    * each feeds 2+ consumers (the verdict join and the next stage's
+    * anti-join); everything else is one lazy plan. The final manifest is
+    * |splits|×|shards| rows — the share window runs over ~24 rows, never
+    * the corpus.
+    */
+  def prepareRelease(docs: DataFrame, embeddings: DataFrame,
+                     benchmark: DataFrame, minQuality: Double,
+                     semThreshold: Double = 0.4,
+                     nShards: Int = 8): DataFrame = {
+    // text stages, cheap → expensive: gate + exact + MinHash (cleanCorpus),
+    // then the MOSS verdict over those survivors only
+    val kept1 = Barriers.materialize(cleanCorpus(docs, minQuality))
+    val wdrop = CorpusOps.winnowedDropList(kept1)
+      .filter(col("dropped")).select("doc_id")
+    val kept2 = Barriers.materialize(kept1.join(wdrop, Seq("doc_id"), "left_anti"))
+    // the embedding pass — only over docs that survived every text stage
+    val kept3 = Barriers.materialize(
+      kept2.join(semanticDropIds(kept2, embeddings, semThreshold),
+        Seq("doc_id"), "left_anti"))
+    // verbatim 13-token benchmark screen: any match disqualifies the doc
+    val dirty = TextOps
+      .exactSubstringContamination(kept3, benchmark).select("doc_id")
+    val kept4 = Barriers.materialize(kept3.join(dirty, Seq("doc_id"), "left_anti"))
+    // split + quarantine (doc-level), shard, manifest
+    CorpusOps.quarantinedSplit(kept4)
+      .withColumn("shard",
+        CorpusOps.hashUniform("shard", col("doc_id")) % nShards)
+      .withColumn("n_toks", TextOps.tokenCount(col("text")))
+      .groupBy(col("final_split").as("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("share_ppm",
+        expr("case when sum(n_tokens) over () = 0 then cast(0 as bigint) " +
+             "else n_tokens * 1000000 div sum(n_tokens) over () end"))
+  }
+
   private def perSourceStats(kept: DataFrame): DataFrame =
     kept
-      .withColumn("token_cnt", size(TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("token_cnt", TextOps.tokenCount(col("text")))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_kept"),

@@ -24,6 +24,15 @@ object TextOps {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("\\S+"), lit(0))
 
+  /** Null-safe whitespace token count as a long. `size` on a null array
+    * returns -1 under Spark's default `spark.sql.legacy.sizeOfNull=true`,
+    * while the DuckDB oracles' `sum(len(toks))` skips NULLs — so a null
+    * `text` would drift every token sum by -1 per null doc. Clamping at 0
+    * makes null/empty text contribute 0 tokens on both engines.
+    */
+  def tokenCount(text: Column): Column =
+    greatest(size(tokens(text)), lit(0)).cast("long")
+
   /** Word n-gram shingles (empty array when too short). Native expression —
     * the composable transform/sequence/element_at form costs ~27 µs per
     * shingle interpreted (see graft.functions.WordShingles).
@@ -239,7 +248,7 @@ object TextOps {
   /** Corpus stats per language (token counts via exact integer sums). */
   def textStats(docs: DataFrame): DataFrame =
     docs
-      .withColumn("token_cnt", size(tokens(col("text"))))
+      .withColumn("token_cnt", greatest(size(tokens(col("text"))), lit(0)))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -259,7 +268,7 @@ object TextOps {
     * |langs| rows out.
     */
   def tokenFertility(docs: DataFrame): DataFrame = {
-    val ws = size(tokens(col("text"))).cast("long")
+    val ws = tokenCount(col("text"))
     docs
       .withColumn("n_bpe", bpeTokenCount(col("text")).cast("long"))
       .withColumn("n_words", ws)
@@ -298,6 +307,75 @@ object TextOps {
       .withColumn("dup_ppm",
         expr("(n_2grams - n_distinct_2grams) * 1000000 div n_2grams"))
       .withColumn("keep", col("dup_ppm") < dupPpmThreshold)
+
+  // ---- hashed-n-gram linear quality classifier --------------------------
+
+  /** Hashed-bigram feature-space size of [[qualityClassifier]] — fastText's
+    * hashing-trick bucket table, sized small here so the weight table is
+    * auditable; production swaps 2M buckets without a shape change.
+    */
+  val QualityClassifierBuckets: Int = 64
+
+  /** Per-language keep thresholds (milli-units of mean bigram weight).
+    * fastText-style deployments calibrate one operating point per
+    * language (CCNet trains one model per language for exactly this
+    * reason); absent languages fall back to the default. Deployment swaps
+    * calibrated values in — a literal-map edit, not a shape change.
+    */
+  val QualityClassifierThresholds: Seq[(String, Long)] =
+    Seq("en" -> 0L, "und" -> -50L)
+  val QualityClassifierDefaultThreshold: Long = -25L
+
+  /** fastText-shaped linear quality classifier (Joulin et al. 2016; the
+    * CCNet/GPT-3-style absolute quality gate): every bigram hashes into a
+    * fixed bucket table, each bucket carries a fixed integer weight, and a
+    * document's score is the mean bucket weight of its bigram MULTISET —
+    * a linear model over hashed n-gram features. Complements DSIR
+    * ([[graft.operators.CorpusOps.dsirWeights]]): DSIR scores RELATIVE
+    * closeness to a target slice refit per release; this is the ABSOLUTE
+    * learned gate whose weights ship with the pipeline. The weight table
+    * here is a deterministic md5-derived placeholder spanning [-1000,
+    * 1000] (the container has no trained model — same documented contract
+    * as the multimodal codec stub); a real deployment overwrites the
+    * bucket→weight literal, nothing else.
+    *
+    * Everything is exact integer fixed-point so both engines agree
+    * bit-for-bit: bucket = first-6-hex-of-md5(bigram) mod `buckets` (the
+    * DSIR idiom), weight(b) = (first-6-hex-of-md5("qw:"||b) mod 2001) −
+    * 1000, score_milli = 1000·Σweights div n_bigrams (Spark `div` and
+    * DuckDB `//` both truncate toward zero), keep = score_milli ≥ the
+    * per-language threshold. Documents with no bigram carry nothing to
+    * judge and drop out (the [[repetitionSignals]] rule).
+    *
+    * State honesty / scale shape: scoring is a STATELESS per-row
+    * projection — `transform`/`aggregate` higher-order functions over the
+    * native bigram array, whole-stage codegen, no explode, no groupBy, no
+    * join. That is why the streaming twin
+    * ([[graft.streaming.StreamingOps]] `qualityClassifierStream`) is free:
+    * Append mode, zero state, shares this oracle. At 100 TB the gate
+    * costs one linear pass over text already being read.
+    */
+  def qualityClassifier(docs: DataFrame,
+                        buckets: Int = QualityClassifierBuckets): DataFrame = {
+    val thr = map(QualityClassifierThresholds
+      .flatMap { case (l, t) => Seq(lit(l), lit(t)) }: _*)
+    docs
+      .withColumn("g2s", shingles(tokens(col("text")), 2))
+      .filter(size(col("g2s")) > 0)
+      .withColumn("w_sum", aggregate(
+        transform(col("g2s"), g =>
+          conv(substring(md5(concat(lit("qw:"),
+              (conv(substring(md5(g), 1, 6), 16, 10).cast("long")
+                % buckets).cast("string"))), 1, 6), 16, 10).cast("long")
+            % 2001 - 1000),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("n_grams", size(col("g2s")).cast("long"))
+      .withColumn("score_milli", expr("w_sum * 1000 div n_grams"))
+      .withColumn("keep", col("score_milli") >=
+        coalesce(element_at(thr, col("lang")),
+                 lit(QualityClassifierDefaultThreshold)))
+      .select("doc_id", "lang", "n_grams", "w_sum", "score_milli", "keep")
+  }
 
   /** Content fingerprint: md5 of the full normalized text plus the minimum
     * shingle hash (a 1-sample winnowing sketch — stable under small edits).
@@ -825,6 +903,46 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Winnowed decontamination — [[contamination]] with the MOSS
+    * fingerprint index swapped in for raw 3-gram shingles, completing the
+    * decontamination ladder's symmetry with the dedup families: corpus
+    * documents sharing at least `minShared` winnowed fingerprints with any
+    * benchmark document. What the winnowing selection buys over shingle
+    * counting is its DETERMINISTIC local-overlap guarantee (Schleimer et
+    * al. 2003): any run of ≥ w+k−1 tokens shared verbatim with an eval
+    * document certainly shares a fingerprint — a leaked benchmark passage
+    * cannot dodge the screen by being diluted inside a long training doc,
+    * the failure mode a global shared-shingle-count threshold has. And the
+    * index is ~2/(w+1) the density of the full shingle index, so the
+    * screen is CHEAPER than [[contamination]] per corpus token.
+    *
+    * Scale shape, identical to [[contamination]]: fingerprint selection is
+    * the one stateless native pass per row
+    * ([[graft.functions.WinnowedFingerprints]] — shared verbatim with the
+    * dedup/stream twins so selections cannot drift); the benchmark side is
+    * small by definition and broadcasts; the corpus pays one shuffle of
+    * its fingerprint index (df-cap grouping), then a broadcast-hash probe
+    * — never a self-join. Fingerprints in more than `maxDf` corpus docs
+    * are boilerplate (license headers, navigation chrome), carry no
+    * leakage signal, and would fan the probe out by corpus-df — the cap
+    * bounds per-key cardinality exactly as in the dedup families.
+    */
+  def contaminationWinnowed(corpus: DataFrame, benchmark: DataFrame,
+                            minShared: Int = 2, k: Int = 3, w: Int = 4,
+                            maxDf: Int = 128): DataFrame = {
+    def fpSet(d: DataFrame, idAs: String) = d
+      .select(col("doc_id").as(idAs),
+              explode(winnowedFingerprintSet(col("text"), k, w)).as("fp"))
+    val corpusFp = Barriers.materialize(fpSet(corpus, "doc_id"))
+    val rare = corpusFp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    corpusFp.join(rare, Seq("fp"))
+      .join(broadcast(fpSet(benchmark, "bench_doc_id")), Seq("fp"))
+      .groupBy("doc_id", "bench_doc_id")
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+  }
+
   /** Inter-document duplicated-span fraction: for each document, the share
     * (integer ppm) of its distinct 3-gram shingles that also occur in at
     * least one OTHER document — the per-doc signal behind exact-substring
@@ -903,7 +1021,7 @@ object TextOps {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
       .withColumn("k", expr(s"n * $pct div 100"))
     docs
-      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_tokens", tokenCount(col("text")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .join(broadcast(counts), Seq("source"))
       .groupBy("source")
@@ -1185,7 +1303,7 @@ object TextOps {
     val w = Window.partitionBy("source")
       .orderBy(col("n_tokens"), col("doc_id"))
     val ranked = docs
-      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_tokens", tokenCount(col("text")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .join(broadcast(counts), Seq("source"))
     pcts.map { p =>
@@ -1284,7 +1402,7 @@ object TextOps {
     val chunks = chunkParagraphs(docs).select(
       col("doc_id"),
       md5(col("para_text")).as("chunk_hash"),
-      size(tokens(col("para_text"))).cast("long").as("chunk_tokens"))
+      tokenCount(col("para_text")).as("chunk_tokens"))
     val boiler = chunkFrequencies(docs)
       .filter(col("n_docs") >= minDocs)
       .select(col("chunk_hash"), lit(1L).as("is_boiler"))

@@ -1070,6 +1070,42 @@ object VectorOps {
     pqSearch(corpus, k, m, centroidEvery, queryMax, refine, maxCodes,
       nProbe = Some(nProbe))
 
+  /** The ANN ladder's last rung: [[topkCosineIvfPq]]'s compressed read
+    * path under [[topkCosineIvfAuto]]'s recall-stable probe policy —
+    * nProbe is a fixed FRACTION of the (capped) centroid lists, not a
+    * fixed count, so the searched corpus share (and so the ADC shortlist's
+    * recall) holds as n grows while every scored byte is still a PQ code.
+    * This is the configuration a billion-vector deployment actually runs:
+    * fixed-size codebooks (both the IVF list set and the PQ codewords are
+    * capped — assignment and encode stay Θ(n)), probe work Θ(probeFraction
+    * ·nlist) per query, floats touched only for the refine·k re-rank.
+    *
+    * One extra ids-only driver count sizes nProbe (the [[topkCosineIvfAuto]]
+    * discipline — the same `ivfListStride`/[[cappedSeedStride]] the PQ
+    * search's IVF half probes, so the count and the probed lists cannot
+    * drift); the oracle derives the same stride and nProbe with scalar
+    * subqueries.
+    */
+  def topkCosineIvfPqAuto(corpus: DataFrame, k: Int, m: Int = 8,
+                          centroidEvery: Int = 50, queryMax: Int = 5,
+                          refine: Int = 4, maxCodes: Int = 256,
+                          probeFraction: Double = 0.4): DataFrame = {
+    require(probeFraction > 0 && probeFraction <= 1,
+      s"probeFraction must be in (0,1], got $probeFraction")
+    val stride = cappedSeedStride(corpus, centroidEvery, IvfPqMaxLists)
+    val nCent = ivfCentroids(corpus, stride).count()
+    val nProbe = math.max(1, math.ceil(probeFraction * nCent).toInt)
+    pqSearch(corpus, k, m, centroidEvery, queryMax, refine, maxCodes,
+      nProbe = Some(nProbe))
+  }
+
+  /** IVF list cap of the PQ read path — ONE constant shared by
+    * [[pqSearch]]'s probe restriction and [[topkCosineIvfPqAuto]]'s list
+    * count so the probed lists and the count that sizes nProbe cannot
+    * drift (the [[ivfCentroids]] discipline).
+    */
+  private[graft] val IvfPqMaxLists: Int = 128
+
   private def pqSearch(corpus: DataFrame, k: Int, m: Int,
                        centroidEvery: Int, queryMax: Int,
                        refine: Int, maxCodes: Int,
@@ -1136,7 +1172,8 @@ object VectorOps {
         // IVF half's centroid count must not grow with the corpus or its
         // corpus-assignment pass is the quadratic the PQ half's capped
         // codebook already avoids
-        val listStride = cappedSeedStride(corpus, centroidEvery, 128)
+        val listStride = cappedSeedStride(corpus, centroidEvery,
+          IvfPqMaxLists)
         val cent = corpus.filter(col("vec_id") % listStride === 0)
           .select(col("vec_id").as("centroid_id"),
                   col("embedding").as("centv"))

@@ -228,6 +228,23 @@ object StreamingOps {
   private def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
     stagedStream(spark, dir, "embeddings")
 
+  /** Streaming hashed-n-gram quality gate — the ingest-time twin of
+    * [[graft.operators.TextOps.qualityClassifier]], applied to the stream
+    * VERBATIM: the classifier is a stateless per-row projection
+    * (`transform`/`aggregate` over the native bigram array — no explode,
+    * no groupBy, no join), so the batch operator itself runs under
+    * Append mode with ZERO state — nothing to watermark, nothing to
+    * drain, the strongest possible cannot-drift guarantee (one function,
+    * two run modes). This is the deployment shape: every arriving
+    * document gets its absolute quality verdict as it lands, the
+    * docs_stream_importance discipline with the learned-gate policy.
+    * Shares the batch oracle.
+    */
+  def qualityClassifierStream(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark,
+      graft.operators.TextOps.qualityClassifier(docsStream(spark, dir)),
+      OutputMode.Append())
+
   /** Streaming semantic decontamination: the ingest-time twin of
     * `VectorOps.decontaminateSemantic` — each arriving training vector is
     * screened against the STATIC benchmark embedding set (broadcast on a
@@ -876,8 +893,11 @@ object StreamingOps {
       .filter(expr(s"vec_id div ${Multimodal.FrameIdShift}L")
         =!= col("media_id"))
       .withColumn("src", lit("band"))
-    val drained = runToTable(spark, ownRows.union(forRows),
-      OutputMode.Append())
+    // deployment sink (r17 verdict item 3): per-pair sim rows spill to
+    // files as batches commit instead of accumulating in the driver's
+    // memory sink — the one reason the ×10 stub-saturation rehearsal
+    // needed 48 g of driver heap; the plan itself is stateless
+    val drained = runAppendToFiles(spark, ownRows.union(forRows))
     // post-drain: only the batch operator's per-media aggregation shapes
     val own = drained.filter(col("src") === "own")
       .groupBy("media_id")
@@ -986,8 +1006,7 @@ object StreamingOps {
     * its Update-mode twin.
     */
   private def lengthHistAgg(src: DataFrame): DataFrame = {
-    import graft.operators.TextOps.tokens
-    src.withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+    src.withColumn("n_tokens", graft.operators.TextOps.tokenCount(col("text")))
       .groupBy("source", "n_tokens")
       .agg(count(lit(1)).as("cnt"))
   }
@@ -1027,8 +1046,7 @@ object StreamingOps {
     * twin.
     */
   private def mixReportAgg(src: DataFrame): DataFrame = {
-    import graft.operators.TextOps.tokens
-    src.withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+    src.withColumn("n_toks", graft.operators.TextOps.tokenCount(col("text")))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
   }
@@ -1156,6 +1174,59 @@ object StreamingOps {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
     f.delete(): Unit
+  }
+
+  /** Append-mode drain through Spark's NATIVE parquet file sink instead
+    * of the harness memory sink — the deployment form (r17 verdict item
+    * 3): candidate rows spill to executor-written files as micro-batches
+    * commit, the driver holds nothing, and the post-drain aggregation
+    * reads the spilled files. The memory sink collects every appended row
+    * into driver memory — fine for |keys|-sized monitor tables, wrong for
+    * per-PAIR row volumes (the stream caption gate's ×10 stub-saturation
+    * rehearsal needed 48 g of driver heap for 11.8 M drained hit rows;
+    * through this sink the same rehearsal runs in the default fork heap).
+    * Exactly-once comes from the sink's _spark_metadata commit log — this
+    * IS what a production job writes, not a harness stand-in.
+    *
+    * An empty source fires no trigger and writes no files — a legitimate
+    * empty result (the declared schema), not a read error. Scratch dirs
+    * are pinned to block storage then removed, the
+    * [[runUpdatesToDeltaLog]] hygiene.
+    */
+  private[graft] def runAppendToFiles(spark: SparkSession,
+                                      df: DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(
+      s"graft_append_${counter.incrementAndGet()}_")
+    val dataDir = base.resolve("data").toString
+    val ckptDir = base.resolve("ckpt").toString
+    val overrides =
+      Map("spark.sql.shuffle.partitions" -> streamShufflePartitions(spark))
+    val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    val q =
+      try df.writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", dataDir)
+        .option("checkpointLocation", ckptDir)
+        .start()
+      catch { case t: Throwable => restore(); throw t }
+    try q.processAllAvailable()
+    finally { try q.stop() finally restore() }
+    val hasData = {
+      val d = new java.io.File(dataDir)
+      d.exists && Option(d.listFiles()).exists(
+        _.exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    }
+    val out =
+      if (hasData) spark.read.parquet(dataDir).localCheckpoint(eager = true)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    deleteRecursively(base.toFile)
+    out
   }
 
   /** Latest-wins reduction of an Update-mode delta log: the newest

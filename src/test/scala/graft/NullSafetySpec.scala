@@ -168,4 +168,16 @@ class NullSafetySpec extends AnyFunSuite {
     assert(q.map(_.getLong(2)).sum == 4L &&
       q.forall(_.getLong(4) >= 0L))
   }
+
+  test("r18: null text contributes 0 tokens to every token sum") {
+    // size(null) is -1 under Spark's legacy sizeOfNull default while the
+    // DuckDB oracles' sum(len(toks)) skips NULLs — tokenCount clamps at 0
+    // so null/empty text contributes 0 on both engines (r17 ADVICE).
+    val tc = docs.select(TextOps.tokenCount(col("text"))).as[Long]
+      .collect().sorted.toSeq
+    assert(tc == Seq(0L, 0L, 8L, 8L))
+    // the quarantine audit's token mass: two real 8-token docs, nulls 0
+    val q = CorpusOps.splitQuarantine(docs).collect()
+    assert(q.map(_.getLong(3)).sum == 16L)
+  }
 }

@@ -660,4 +660,55 @@ class TextOpsSpec extends AnyFunSuite {
       assert(fps.distinct == fps, s"doc $i emitted duplicate fingerprints")
     }
   }
+
+  test("winnowed decontamination certainly flags a leaked >= w+k-1 run " +
+       "and never flags disjoint text") {
+    // the guarantee the shingle-count screens lack: a verbatim >= 6-token
+    // (w+k-1) eval passage INSIDE a longer training doc must share a
+    // fingerprint with the benchmark doc, however diluted
+    val run = "alpha bravo charlie delta echo foxtrot"
+    val corpus = Seq(
+      (1L, s"training doc padding starts here $run and keeps going on"),
+      (2L, "totally unrelated content nine ten eleven twelve thirteen"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"$run is the whole eval prompt"))
+      .toDF("doc_id", "text")
+    val hits = TextOps.contaminationWinnowed(corpus, bench, minShared = 1)
+      .select("doc_id", "bench_doc_id").as[(Long, Long)].collect().toSet
+    assert(hits.contains((1L, 100L)), "SIGMOD'03 guarantee violated")
+    assert(!hits.exists(_._1 == 2L), s"false positive: $hits")
+  }
+
+  test("quality classifier equals the in-memory hashed-bigram model") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def hex6(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 6), 16)
+    val b = TextOps.QualityClassifierBuckets
+    val thr = TextOps.QualityClassifierThresholds.toMap
+      .withDefaultValue(TextOps.QualityClassifierDefaultThreshold)
+    def model(text: String, lang: String): Option[(Long, Long, Long, Boolean)] = {
+      val t = "\\S+".r.findAllIn(text.toLowerCase).toSeq
+      val g2 = t.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      if (g2.isEmpty) None else {
+        val wSum = g2.map(g => hex6("qw:" + (hex6(g) % b)) % 2001 - 1000).sum
+        val milli = wSum * 1000 / g2.size // both engines truncate to zero
+        Some((g2.size.toLong, wSum, milli, milli >= thr(lang)))
+      }
+    }
+    val got = TextOps.qualityClassifier(docs)
+      .select("doc_id", "n_grams", "w_sum", "score_milli", "keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val rows = docs.select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect()
+    rows.foreach { case (id, text, lang) =>
+      assert(got.get(id) == model(text, lang), s"doc $id classifier drift")
+    }
+    // a short doc (no bigram) carries nothing to judge and drops out
+    val one = Seq((9L, "single", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextOps.qualityClassifier(one).isEmpty)
+  }
 }

@@ -545,4 +545,50 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got.forall { case (c, _, s) =>
       keptMin.get(c).forall(s <= _) })
   }
+
+  test("IVF-PQ auto-probe equals the fixed variant at the derived nProbe " +
+       "and improves ADC recall over the default fixed probe") {
+    // the auto rule restated in-memory: stride = max(50, ceil(n/128)),
+    // centroids = every stride-th id, nProbe = max(1, ceil(0.4 * nCent))
+    val n = emb.count()
+    val stride = math.max(50L, math.ceil(n.toDouble / 128).toLong)
+    val nCent = emb.filter($"vec_id" % stride === 0).count()
+    val nProbe = math.max(1, math.ceil(0.4 * nCent).toInt)
+    val auto = VectorOps.topkCosineIvfPqAuto(emb, k = 5).collect()
+    val fixed = VectorOps.topkCosineIvfPq(emb, k = 5, nProbe = nProbe)
+      .collect()
+    assert(auto.map(_.toSeq).toSet == fixed.map(_.toSeq).toSet
+      && auto.nonEmpty, s"auto(nProbe=$nProbe) drifted from fixed")
+    // probing 40% of the lists must find at least what 4 lists found
+    val exact = VectorOps.topkCosine(emb, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+      .toDouble / rows.length
+    assert(recall(auto) >= recall(
+      VectorOps.topkCosineIvfPq(emb, k = 5).collect()) - 1e-9)
+  }
+
+  test("prepare-release manifest conserves the survivor corpus exactly") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 11 =!= 0)
+    val bench = docs.filter($"doc_id" % 11 === 0)
+    val manifest = graft.operators.CorpusPipeline
+      .prepareRelease(corpus, emb, bench, minQuality = 0.3).collect()
+    val byCol = manifest.map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every (split, shard) cell unique, splits from the fixed vocabulary
+    assert(byCol.map(t => (t._1, t._2)).distinct.length == byCol.length)
+    assert(byCol.map(_._1).toSet.subsetOf(Set("train", "valid", "test")))
+    // doc conservation: the manifest's doc total == the survivor count of
+    // the composed stages (never more than the gated corpus)
+    val nDocs = byCol.map(_._3).sum
+    assert(nDocs > 0 && nDocs <= graft.operators.CorpusPipeline
+      .cleanCorpus(corpus, 0.3).count())
+    // shares are exact integer ppm of the token total and sum to <= 1e6
+    val tokTotal = byCol.map(_._4).sum
+    byCol.foreach { t =>
+      assert(t._5 == t._4 * 1000000L / tokTotal, s"share drift in $t") }
+    assert(byCol.map(_._5).sum <= 1000000L)
+  }
 }
