@@ -46,4 +46,39 @@ class BenchSentinelSpec extends AnyFunSuite {
     val r2 = Bench.noiseRatios(1, Seq(0, 1), Seq(0.123456, 0.1))
     assert(r2 == Seq(1.23))
   }
+
+  test("windowMaxes returns raw bracket seconds, 0.0 when unbracketed") {
+    // the healing pass decides re-queues from these raw windows against
+    // the ABSOLUTE anchor, so they must be seconds, not ratios
+    val w = Bench.windowMaxes(4, Seq(2, 4), Seq(0.5, 0.1))
+    assert(w == Seq(0.5, 0.5, 0.5, 0.5)) // 0-1: right bracket only; 2-3: both
+    // a one-sided bracket still reads: query 1 carries its left reading
+    val w2 = Bench.windowMaxes(2, Seq(0), Seq(0.2))
+    assert(w2 == Seq(0.2, 0.2))
+    // truly unbracketed (no readings at all) degrades to 0.0
+    assert(Bench.windowMaxes(2, Seq.empty, Seq.empty) == Seq(0.0, 0.0))
+  }
+
+  test("standing rows parse per query, last occurrence wins") {
+    val md = """
+      || q1_agg | 1.00 | sec | 0.1 |
+      || dedup_exact | 0.50 | sec | 0.1 |
+      || q1_agg | 0.80 | sec | 0.1 |
+      || not_sf01 | 3.00 | sec | 0.01 |
+      |""".stripMargin
+    val rows = Bench.parseStanding(md)
+    assert(rows == Map("q1_agg" -> 0.80, "dedup_exact" -> 0.50))
+  }
+
+  test("anchor parses the LAST sentinel_floor row in a baseline table") {
+    val md = """
+      |# BASELINE
+      || q1 | 1.00 | sec | 0.1 |
+      || sentinel_floor | 0.046 | sec | 0.1 |
+      |some text
+      || sentinel_floor | 0.052 | sec | 0.1 |
+      |""".stripMargin
+    assert(Bench.parseAnchor(md).contains(0.052)) // later re-base wins
+    assert(Bench.parseAnchor("# no table here").isEmpty)
+  }
 }

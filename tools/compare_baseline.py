@@ -60,10 +60,20 @@ def main(bench_path=None, baseline_path="BASELINE.md"):
     if standing_floor and floors:
         import statistics
         scale = statistics.median(floors) / standing_floor
+    # self-healing provenance (graft.Bench r18+): rows whose main-pass
+    # window exceeded 2x the anchored floor were re-queued; "heal" records
+    # attempts / per-attempt anchored windows / which attempt was kept.
+    heal = artifact.get("heal", {})
 
     def tag(q):
         r = noise.get(q, 0) * scale
-        return f"  [NOISY window {r:.2f}x quiet floor]" if r >= NOISY else ""
+        t = f"  [NOISY window {r:.2f}x quiet floor]" if r >= NOISY else ""
+        if q in heal:
+            h = heal[q]
+            trig = f" ({h['trigger']})" if "trigger" in h else ""
+            t += (f"  [healed{trig}: kept attempt {h['kept']}/"
+                  f"{h['attempts']}, windows {h['windows']}x anchor]")
+        return t
 
     # a standing value of 0 would divide-by-zero below AND means the
     # baseline row is nonsense (no query runs in 0.00s at sf0.1)
@@ -91,6 +101,10 @@ def main(bench_path=None, baseline_path="BASELINE.md"):
     n_noisy = sum(1 for q in both if noise.get(q, 0) * scale >= NOISY)
     noisy_note = (f"; {n_noisy} rows in noisy windows"
                   if noise else "; no sentinel data in artifact")
+    if heal:
+        n_kept = sum(1 for h in heal.values() if h.get("kept", 1) > 1)
+        noisy_note += (f"; {len(heal)} rows re-queued by the healing pass "
+                       f"({n_kept} re-timed in a quieter window)")
     if standing_floor and floors and scale >= 2.0:
         print(f"RUN CONTENDED: sentinel floor(s) "
               f"{[round(f, 3) for f in floors]} vs standing quiet floor "
