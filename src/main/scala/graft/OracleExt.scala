@@ -103,16 +103,22 @@ object OracleExt {
     * the per-language threshold CASE generated from the SAME Scala
     * constant table the Spark side folds into its map literal.
     */
-  def qualityClassifier(buckets: Int): String = {
-    val thrCase = "CASE " + TextOps.QualityClassifierThresholds.map {
+  private val qcThresholdCase: String =
+    "CASE " + TextOps.QualityClassifierThresholds.map {
       case (l, t) => s"WHEN lang = '$l' THEN $t"
     }.mkString(" ") + s" ELSE ${TextOps.QualityClassifierDefaultThreshold} END"
-    docQ(s"""
-    , qc_g AS (
+
+  /** The hashed-bigram classifier CTE chain over relation `rel` — shared
+    * by the standalone/streaming classifier oracle and the streaming
+    * release-gate oracle ([[prepareGateStream]]) so the scoring
+    * arithmetic lives in exactly one restatement.
+    */
+  private def qcCtes(buckets: Int, rel: String): String = s"""
+    qc_g AS (
       SELECT doc_id, lang,
              unnest([toks[i] || ' ' || toks[i+1]
                      for i in range(1, len(toks))]) AS g2
-      FROM docs_tok),
+      FROM $rel),
     qc_w AS (
       SELECT doc_id, lang,
              ('0x' || substr(md5('qw:' ||
@@ -123,11 +129,65 @@ object OracleExt {
       SELECT doc_id, lang,
              CAST(count(*) AS BIGINT) AS n_grams,
              CAST(sum(w) AS BIGINT) AS w_sum
-      FROM qc_w GROUP BY doc_id, lang)
+      FROM qc_w GROUP BY doc_id, lang)"""
+
+  def qualityClassifier(buckets: Int): String =
+    docQ(s"""
+    , ${qcCtes(buckets, "docs_tok")}
     SELECT doc_id, lang, n_grams, w_sum,
            CAST(w_sum * 1000 // n_grams AS BIGINT) AS score_milli,
-           (w_sum * 1000 // n_grams) >= ($thrCase) AS keep
+           (w_sum * 1000 // n_grams) >= ($qcThresholdCase) AS keep
     FROM qc_s ORDER BY doc_id""")
+
+  /** Mirrors StreamingOps.prepareGateStream — the capstone's stateless
+    * ingest prefix: the %11 corpus side gated (same lang/quality CTEs as
+    * the pipeline oracle), the classifier chain ([[qcCtes]]) over the
+    * gated docs, and the 13-token-window bloom screen restated as
+    * position-set membership (a bit p is set in the Spark literal bitset
+    * iff p is one of the benchmark's md5-derived positions — identical by
+    * construction, so EXISTS-in-`bpos` IS the bit test).
+    */
+  def prepareGateStream(minQuality: Double, buckets: Int, n: Int,
+                        mBits: Int): String = {
+    def pos(seed: Int, wh: String) =
+      s"(('0x' || substr(md5('b$seed:' || $wh), 1, 8))::BIGINT % $mBits)"
+    val win = s"[array_to_string(toks[i:(i+${n - 1})], ' ') " +
+      s"for i in range(1, len(toks) - ${n - 2})]"
+    val bwin = s"[array_to_string(btoks[i:(i+${n - 1})], ' ') " +
+      s"for i in range(1, len(btoks) - ${n - 2})]"
+    s"""
+    WITH ${DocsTokCte.replace("FROM documents",
+        "FROM documents WHERE doc_id % 11 <> 0")},
+    ${gateCtes(minQuality)},
+    ${qcCtes(buckets, "cand")},
+    bwh AS (
+      SELECT DISTINCT md5(w) AS wh
+      FROM (SELECT unnest($bwin) AS w
+            FROM (SELECT regexp_extract_all(lower(text), '\\S+') AS btoks
+                  FROM documents WHERE doc_id % 11 = 0))),
+    bpos AS (
+      SELECT DISTINCT p
+      FROM (SELECT unnest([${pos(1, "wh")}, ${pos(2, "wh")}]) AS p
+            FROM bwh)),
+    cwins AS (
+      SELECT DISTINCT doc_id, md5(w) AS wh
+      FROM (SELECT doc_id, unnest($win) AS w FROM cand)),
+    hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+      FROM cwins w
+      WHERE ${pos(1, "w.wh")} IN (SELECT p FROM bpos)
+        AND ${pos(2, "w.wh")} IN (SELECT p FROM bpos)
+      GROUP BY doc_id),
+    qc_f AS (
+      SELECT *, CAST(w_sum * 1000 // n_grams AS BIGINT) AS score_milli
+      FROM qc_s)
+    SELECT s.doc_id, s.lang, s.n_grams, s.w_sum, s.score_milli,
+           s.score_milli >= ($qcThresholdCase) AS keep,
+           CAST(coalesce(h.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+           (s.score_milli >= ($qcThresholdCase)
+             AND coalesce(h.n_bloom_hits, 0) = 0) AS admit
+    FROM qc_f s LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id"""
   }
 
   /** Mirrors TextOps.qualityPercentileGate: per-language exact
@@ -779,7 +839,10 @@ object OracleExt {
         SELECT s.doc_id, s.doc_id <> k.keeper_id AS dropped
         FROM sized s JOIN k USING (cluster_id)),
       toks AS (
-        SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks
+        -- coalesce mirrors TextOps.tokenCount's null clamp: a null text
+        -- row tokenizes to NULL here and would turn the group sum NULL
+        SELECT doc_id, source,
+               CAST(coalesce(len(toks), 0) AS BIGINT) AS n_toks
         FROM docs_tok)
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -788,8 +851,12 @@ object OracleExt {
            CAST(sum(n_toks) AS BIGINT) AS tokens_total,
            CAST(sum(CASE WHEN dropped THEN n_toks ELSE 0 END) AS BIGINT)
              AS tokens_dropped,
-           CAST(sum(CASE WHEN dropped THEN n_toks ELSE 0 END) * 1000000
-                // sum(n_toks) AS BIGINT) AS savings_ppm
+           -- zero-token-mass guard mirrors CorpusOps.savingsFromVerdict:
+           -- a source whose docs are all null/empty text saves 0 ppm on
+           -- both engines (unguarded, DuckDB's // would yield NULL here)
+           CAST(CASE WHEN sum(n_toks) = 0 THEN 0
+                ELSE sum(CASE WHEN dropped THEN n_toks ELSE 0 END) * 1000000
+                     // sum(n_toks) END AS BIGINT) AS savings_ppm
     FROM toks JOIN verdict USING (doc_id)
     GROUP BY source ORDER BY source"""
 
@@ -1221,7 +1288,11 @@ object OracleExt {
   /** The cleaning-pipeline CTE chain up to `final` (the surviving docs) —
     * shared by the per-source stats oracle and the semantic-stage oracle.
     */
-  private def pipelineCtes(minQuality: Double): String = s"""
+  /** The language+quality gate CTEs over docs_tok, ending in `cand` —
+    * shared by the pipeline chain and the streaming release-gate oracle
+    * ([[prepareGateStream]]) so the gate predicate has one restatement.
+    */
+  private def gateCtes(minQuality: Double): String = s"""
       scored AS (
         SELECT doc_id, $langScores FROM docs_tok),
       lang_en AS (
@@ -1231,7 +1302,10 @@ object OracleExt {
         SELECT doc_id FROM docs_tok WHERE $qualityExpr >= $minQuality),
       cand AS (
         SELECT d.* FROM docs_tok d
-        JOIN lang_en USING (doc_id) JOIN qual USING (doc_id)),
+        JOIN lang_en USING (doc_id) JOIN qual USING (doc_id))"""
+
+  private def pipelineCtes(minQuality: Double): String = s"""
+      ${gateCtes(minQuality)},
       keepers AS (
         SELECT doc_id, lang, source, n_chars, text, toks FROM (
           SELECT c.*, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
@@ -1307,23 +1381,20 @@ object OracleExt {
     * side, [[splitLeakCtes]] + the quarantine move rule, and the
     * shard-hash manifest.
     */
-  def pipelinePrepareRelease(minQuality: Double, semThreshold: Double,
-                             dim: Int, bands: Int, rowsPerBand: Int,
-                             winW: Int, winMinShared: Int, winMaxDf: Int,
-                             leakMinShared: Int, leakMaxDf: Int,
-                             nShards: Int): String = {
+  /** The capstone's stage-CTE chain through `final4` / `spl` / `moves` —
+    * ONE builder shared by the manifest oracle ([[pipelinePrepareRelease]])
+    * and the per-stage attrition oracle ([[pipelineReleaseReport]]), so
+    * the two restatements cannot drift from each other any more than the
+    * Spark sides can (both consume CorpusPipeline's stage functions).
+    */
+  private def releaseChainCtes(minQuality: Double, semThreshold: Double,
+                               dim: Int, bands: Int, rowsPerBand: Int,
+                               winW: Int, winMinShared: Int, winMaxDf: Int,
+                               leakMinShared: Int, leakMaxDf: Int): String = {
     val corpusPrelude = DocCtes.replace(
       "FROM documents", "FROM documents WHERE doc_id % 11 <> 0")
     val benchTok = """regexp_extract_all(lower(text), '\S+')"""
-    // Every plain CTE is marked MATERIALIZED post-hoc: DuckDB inlines
-    // CTEs by default, and with two recursive walks over a five-stage
-    // chain the inlined tree re-opens the parquet sources thousands of
-    // times ("Too many open files" at the default fd limit) and
-    // re-computes the cleaning stages per walk iteration. Recursive CTEs
-    // (`walk(node, lab) AS`) don't match the pattern and stay untouched.
-    raw"""(\b[A-Za-z_][A-Za-z0-9_]*) AS \(""".r
-      .replaceAllIn(s"""
-    WITH RECURSIVE $corpusPrelude,
+    s"""$corpusPrelude,
       ${pipelineCtes(minQuality)},
       fsh AS (SELECT s.doc_id, s.sh
               FROM docs_sh s JOIN final f USING (doc_id)),
@@ -1377,7 +1448,29 @@ object OracleExt {
                  ROW_NUMBER() OVER (PARTITION BY train_doc
                    ORDER BY n_shared DESC, heldout_split DESC) AS r
           FROM leaks)
-        WHERE r = 1),
+        WHERE r = 1)"""
+  }
+
+  /** Every plain CTE is marked MATERIALIZED post-hoc: DuckDB inlines
+    * CTEs by default, and with two recursive walks over a five-stage
+    * chain the inlined tree re-opens the parquet sources thousands of
+    * times ("Too many open files" at the default fd limit) and
+    * re-computes the cleaning stages per walk iteration. Recursive CTEs
+    * (`walk(node, lab) AS`) don't match the pattern and stay untouched.
+    */
+  private def materializeCtes(sql: String): String =
+    raw"""(\b[A-Za-z_][A-Za-z0-9_]*) AS \(""".r
+      .replaceAllIn(sql, m => s"${m.group(1)} AS MATERIALIZED (")
+
+  def pipelinePrepareRelease(minQuality: Double, semThreshold: Double,
+                             dim: Int, bands: Int, rowsPerBand: Int,
+                             winW: Int, winMinShared: Int, winMaxDf: Int,
+                             leakMinShared: Int, leakMaxDf: Int,
+                             nShards: Int): String =
+    materializeCtes(s"""
+    WITH RECURSIVE ${releaseChainCtes(minQuality, semThreshold, dim, bands,
+        rowsPerBand, winW, winMinShared, winMaxDf, leakMinShared,
+        leakMaxDf)},
       sharded AS (
         SELECT f.doc_id, coalesce(m.new_split, s.split) AS split,
                ${hexParse8("substr(md5('shard:' || f.doc_id), 1, 8)")}
@@ -1392,7 +1485,55 @@ object OracleExt {
     SELECT split, shard, n_docs, n_tokens,
            CAST(n_tokens * 1000000 // (SELECT sum(n_tokens) FROM rep)
              AS BIGINT) AS share_ppm
-    FROM rep ORDER BY split, shard""", m => s"${m.group(1)} AS MATERIALIZED (")
+    FROM rep ORDER BY split, shard""")
+
+  /** Mirrors CorpusPipeline.releaseReport: one count/token-sum row per
+    * capstone stage over the SAME chain CTEs the manifest oracle uses
+    * (`docs_tok` input → `cand` gate → `keepers` exact → `final` minhash
+    * → `final2` winnowed → `final3` SemDeDup → `final4` decontaminated →
+    * final4 minus `moves` post-quarantine), ppm of the input row via a
+    * window over the 8 stage rows. Token sums clamp null tokenizations
+    * to 0, mirroring TextOps.tokenCount.
+    */
+  def pipelineReleaseReport(minQuality: Double, semThreshold: Double,
+                            dim: Int, bands: Int, rowsPerBand: Int,
+                            winW: Int, winMinShared: Int, winMaxDf: Int,
+                            leakMinShared: Int, leakMaxDf: Int): String = {
+    def row(idx: Int, name: String, body: String) =
+      s"""SELECT $idx AS stage_idx, '$name' AS stage,
+             count(*) AS n_docs,
+             coalesce(sum(coalesce(len(toks), 0)), 0) AS n_tokens
+          FROM $body"""
+    materializeCtes(s"""
+    WITH RECURSIVE ${releaseChainCtes(minQuality, semThreshold, dim, bands,
+        rowsPerBand, winW, winMinShared, winMaxDf, leakMinShared,
+        leakMaxDf)},
+      stages AS (
+        ${row(0, "input", "docs_tok")}
+        UNION ALL ${row(1, "gate", "cand")}
+        UNION ALL ${row(2, "exact", "keepers")}
+        UNION ALL ${row(3, "minhash", "final")}
+        UNION ALL ${row(4, "winnowed", "final2")}
+        UNION ALL ${row(5, "semdedup", "final3")}
+        UNION ALL ${row(6, "decontaminate", "final4")}
+        UNION ALL ${row(7, "quarantine",
+          """final4 f WHERE NOT EXISTS
+               (SELECT 1 FROM moves m WHERE m.doc_id = f.doc_id)""")}),
+      withinput AS (
+        SELECT *,
+               max(CASE WHEN stage_idx = 0 THEN n_docs END) OVER () AS in_docs,
+               max(CASE WHEN stage_idx = 0 THEN n_tokens END) OVER ()
+                 AS in_tokens
+        FROM stages)
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN in_docs = 0 THEN 0
+                ELSE n_docs * 1000000 // in_docs END AS BIGINT) AS docs_ppm,
+           CAST(CASE WHEN in_tokens = 0 THEN 0
+                ELSE n_tokens * 1000000 // in_tokens END AS BIGINT)
+             AS tokens_ppm
+    FROM withinput ORDER BY stage_idx""")
   }
 
   /** 16-bit simhash clusters; bit/vote arithmetic mirrors TextOps.withSimhash. */
@@ -1623,7 +1764,10 @@ object OracleExt {
     WITH RECURSIVE $DocCtes,
       ${winnowedVerdictCtes(w, minShared, maxDf)},
       toks AS (
-        SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks
+        -- coalesce mirrors TextOps.tokenCount's null clamp: a null text
+        -- row tokenizes to NULL here and would turn the group sum NULL
+        SELECT doc_id, source,
+               CAST(coalesce(len(toks), 0) AS BIGINT) AS n_toks
         FROM docs_tok)
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -1632,8 +1776,10 @@ object OracleExt {
            CAST(sum(n_toks) AS BIGINT) AS tokens_total,
            CAST(sum(CASE WHEN dropped THEN n_toks ELSE 0 END) AS BIGINT)
              AS tokens_dropped,
-           CAST(sum(CASE WHEN dropped THEN n_toks ELSE 0 END) * 1000000
-                // sum(n_toks) AS BIGINT) AS savings_ppm
+           -- zero-token-mass guard, as in dedupSavings
+           CAST(CASE WHEN sum(n_toks) = 0 THEN 0
+                ELSE sum(CASE WHEN dropped THEN n_toks ELSE 0 END) * 1000000
+                     // sum(n_toks) END AS BIGINT) AS savings_ppm
     FROM toks JOIN verdict USING (doc_id)
     GROUP BY source ORDER BY source"""
 
@@ -2871,9 +3017,10 @@ object OracleExt {
     WITH ${captionVerdictCtes(frameBytes, stride, threshold, dim,
                               bands, rowsPerBand, maxBucket)},
     toks AS (
+      -- coalesce mirrors TextOps.tokenCount's null clamp (see dedupSavings)
       SELECT doc_id,
-             CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT)
-               AS n_toks
+             CAST(coalesce(len(regexp_extract_all(lower(text), '\\S+')), 0)
+               AS BIGINT) AS n_toks
       FROM documents)
     SELECT v.kind,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -2882,8 +3029,10 @@ object OracleExt {
            CAST(sum(t.n_toks) AS BIGINT) AS tokens_total,
            CAST(sum(CASE WHEN v.dropped THEN t.n_toks ELSE 0 END) AS BIGINT)
              AS tokens_dropped,
-           CAST(sum(CASE WHEN v.dropped THEN t.n_toks ELSE 0 END) * 1000000
-                // sum(t.n_toks) AS BIGINT) AS savings_ppm
+           -- zero-token-mass guard, as in dedupSavings
+           CAST(CASE WHEN sum(t.n_toks) = 0 THEN 0
+                ELSE sum(CASE WHEN v.dropped THEN t.n_toks ELSE 0 END)
+                     * 1000000 // sum(t.n_toks) END AS BIGINT) AS savings_ppm
     FROM verdictm v JOIN toks t ON t.doc_id = v.media_id
     GROUP BY v.kind ORDER BY v.kind"""
 

@@ -465,6 +465,17 @@ object SparkEntry {
       graft.streaming.StreamingOps.qualityClassifierStream(s, d)
         .orderBy("doc_id")),
 
+    "docs_stream_prepare_gate" -> ((s, d) =>
+      // the release capstone's STATELESS prefix as one Append-mode ingest
+      // plan (r18 verdict item 5): lang/quality gate + learned quality
+      // classifier + bloom-bitset exact-window decontamination screen —
+      // every piece a per-row projection (the benchmark bitset is a
+      // 128 KB literal built offline), so the landing-zone filter runs
+      // with ZERO state stores; admit=false routes a doc to the stateful
+      // exact screen instead of training
+      graft.streaming.StreamingOps.prepareGateStream(s, d)
+        .orderBy("doc_id")),
+
     "docs_stream_winnowed" -> ((s, d) =>
       // live MOSS winnowing (r15 verdict item 5): fingerprint selection
       // is a stateless native per-row projection as docs land; pair
@@ -1726,6 +1737,20 @@ object SparkEntry {
         .orderBy("split", "shard")
     }),
 
+    "pipeline_release_report" -> ((s, d) => {
+      // the capstone's per-stage attrition manifest (r18 verdict item 4):
+      // docs/tokens surviving after EACH release stage in integer ppm of
+      // the input — every stage frame IS prepareRelease's own stage
+      // function, so the sign-off report cannot disagree with the release
+      val docs = T.documents(s, d)
+      graft.operators.CorpusPipeline.releaseReport(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          T.embeddings(s, d),
+          docs.filter(col("doc_id") % 11 === 0),
+          minQuality = 0.3)
+        .orderBy("stage_idx")
+    }),
+
     "similarity_topk_ivf" -> ((s, d) =>
       // IVF fixed-probe variant — approximate vs brute force (recall in
       // VectorOpsSpec), but deterministic: hash-checked against a DuckDB
@@ -2575,6 +2600,13 @@ object SparkEntry {
       minQuality = 0.3, semThreshold = 0.4, dim = 64, bands = 4,
       rowsPerBand = 4, winW = 4, winMinShared = 2, winMaxDf = 128,
       leakMinShared = 3, leakMaxDf = 128, nShards = 8),
+    "docs_stream_prepare_gate" -> OracleExt.prepareGateStream(
+      minQuality = 0.3, buckets = TextOps.QualityClassifierBuckets,
+      n = 13, mBits = 1 << 20),
+    "pipeline_release_report" -> OracleExt.pipelineReleaseReport(
+      minQuality = 0.3, semThreshold = 0.4, dim = 64, bands = 4,
+      rowsPerBand = 4, winW = 4, winMinShared = 2, winMaxDf = 128,
+      leakMinShared = 3, leakMaxDf = 128),
 
     "events_stream_window" -> OracleExt.eventsWindowAgg,
     "events_stream_sessionize" -> OracleExt.eventsSessionize,

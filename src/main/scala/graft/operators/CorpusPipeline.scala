@@ -13,33 +13,46 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  /** Documents that survive cleaning: predicted-English, quality above
-    * threshold, exact-duplicate collapsed (min doc_id wins), near-dup
-    * candidate pairs resolved by dropping the larger doc_id.
+  /** Stage 1 — language + quality gate. A pure per-row predicate: filter
+    * INLINE rather than joining langId / qualityScore projections back on
+    * doc_id (each such join is a full corpus self-shuffle at 100×; r12
+    * verdict item 3). One scan of `docs` feeds the dedup window directly,
+    * and the predicate is the native single-pass CleanGate (one
+    * tokenization per row; the equivalent declarative chain re-tokenizes
+    * per marker set — see CleanGate's scaladoc; TextOpsSpec pins gate ≡
+    * declarative).
     */
-  def cleanCorpus(docs: DataFrame, minQuality: Double): DataFrame = {
-    // Language and quality are pure per-row predicates — filter INLINE
-    // rather than joining langId / qualityScore projections back on doc_id
-    // (each such join is a full corpus self-shuffle at 100×; r12 verdict
-    // item 3). One scan of `docs` feeds the dedup window directly, and the
-    // predicate is the native single-pass CleanGate (one tokenization per
-    // row; the equivalent declarative chain re-tokenizes per marker set —
-    // see CleanGate's scaladoc; TextOpsSpec pins gate ≡ declarative).
-    val candidates = docs.filter(TextOps.cleanGate(minQuality))
+  private[operators] def gateStage(docs: DataFrame,
+                                   minQuality: Double): DataFrame =
+    docs.filter(TextOps.cleanGate(minQuality))
 
-    // exact dedup: keep the lowest doc_id per content hash
-    val keepers = candidates
+  /** Stage 2 — exact dedup: keep the lowest doc_id per content hash. */
+  private[operators] def exactStage(candidates: DataFrame): DataFrame =
+    candidates
       .withColumn("content_hash", md5(col("text")))
       .withColumn("keeper", min(col("doc_id"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
       .filter(col("doc_id") === col("keeper"))
       .drop("content_hash", "keeper")
 
-    // near-dup removal among survivors: drop doc_b of every candidate pair
+  /** Stage 3 — near-dup removal among survivors: drop doc_b of every
+    * banded-minhash candidate pair.
+    */
+  private[operators] def minhashStage(keepers: DataFrame): DataFrame = {
     val nearDups = TextOps.minhashCandidates(keepers)
       .select(col("doc_b").as("doc_id")).distinct()
     keepers.join(nearDups, Seq("doc_id"), "left_anti")
   }
+
+  /** Documents that survive cleaning: predicted-English, quality above
+    * threshold, exact-duplicate collapsed (min doc_id wins), near-dup
+    * candidate pairs resolved by dropping the larger doc_id. Composed
+    * from the named stage functions so the per-stage attrition report
+    * ([[releaseReport]]) counts EXACTLY the frames this pipeline runs —
+    * one definition per stage, two consumers.
+    */
+  def cleanCorpus(docs: DataFrame, minQuality: Double): DataFrame =
+    minhashStage(exactStage(gateStage(docs, minQuality)))
 
   /** Per-source outcome of the cleaning run — the report a pipeline job
     * emits (kept counts, kept volume, token totals).
@@ -146,6 +159,78 @@ object CorpusPipeline {
       .withColumn("share_ppm",
         expr("case when sum(n_tokens) over () = 0 then cast(0 as bigint) " +
              "else n_tokens * 1000000 div sum(n_tokens) over () end"))
+  }
+
+  /** Per-stage attrition manifest for the release capstone — the sign-off
+    * a data lead actually reads (r18 verdict item 4): documents and
+    * tokens SURVIVING after each stage of [[prepareRelease]]'s chain
+    * (gate → exact → MinHash → winnowed → SemDeDup → decontaminate →
+    * quarantine), as integer ppm of the INPUT corpus. Every stage frame
+    * is the capstone's own stage function (gateStage / exactStage /
+    * minhashStage / winnowedDropList / semanticDropIds /
+    * exactSubstringContamination / quarantinedSplit), so the report and
+    * the shipped release cannot disagree on what any stage kept.
+    *
+    * The `quarantine` row counts docs whose hash split assignment
+    * SURVIVED the leakage audit unmoved — its delta against the
+    * `decontaminate` row is exactly the quarantined (split-reassigned)
+    * docs. Nothing is deleted at that stage; the moved docs ship in
+    * their heldout split, and the per-(split, shard) manifest is
+    * [[prepareRelease]]'s own output.
+    *
+    * Scale shape: each stage is barriered because it feeds two consumers
+    * (its count row and the next stage) — without the barriers the gate
+    * regexps would re-run once per downstream stage. Each count row is
+    * one partial-agg'd single-row aggregate over a materialized frame;
+    * the ppm window runs over 8 rows.
+    */
+  def releaseReport(docs: DataFrame, embeddings: DataFrame,
+                    benchmark: DataFrame, minQuality: Double,
+                    semThreshold: Double = 0.4): DataFrame = {
+    val gate = Barriers.materialize(gateStage(docs, minQuality))
+    val exact = Barriers.materialize(exactStage(gate))
+    val kept1 = Barriers.materialize(minhashStage(exact))
+    val wdrop = CorpusOps.winnowedDropList(kept1)
+      .filter(col("dropped")).select("doc_id")
+    val kept2 = Barriers.materialize(
+      kept1.join(wdrop, Seq("doc_id"), "left_anti"))
+    val kept3 = Barriers.materialize(
+      kept2.join(semanticDropIds(kept2, embeddings, semThreshold),
+        Seq("doc_id"), "left_anti"))
+    val dirty = TextOps
+      .exactSubstringContamination(kept3, benchmark).select("doc_id")
+    val kept4 = Barriers.materialize(
+      kept3.join(dirty, Seq("doc_id"), "left_anti"))
+    val unmoved = CorpusOps.quarantinedSplit(kept4).filter(!col("moved"))
+    val stages: Seq[(Int, String, DataFrame)] = Seq(
+      (0, "input", docs), (1, "gate", gate), (2, "exact", exact),
+      (3, "minhash", kept1), (4, "winnowed", kept2), (5, "semdedup", kept3),
+      (6, "decontaminate", kept4), (7, "quarantine", unmoved))
+    stages.map { case (i, nm, df) =>
+      df.agg(count(lit(1)).as("n_docs"),
+             // null-sum (empty stage) clamps to 0 — same rule as tokenCount
+             coalesce(sum(TextOps.tokenCount(col("text"))), lit(0L))
+               .as("n_tokens"))
+        .select(lit(i.toLong).as("stage_idx"), lit(nm).as("stage"),
+                col("n_docs"), col("n_tokens"))
+    }.reduce(_.union(_))
+      // partition by pmod(stage_idx, 1) = one constant key (the
+      // zipfFitFromVocab idiom): the frame is 8 rows, the non-foldable
+      // constant only silences WindowExec's no-partition WARN, which
+      // would otherwise read as a false scale signal in every bench log
+      .withColumn("in_docs",
+        expr("max(case when stage_idx = 0 then n_docs end) " +
+             "over (partition by pmod(stage_idx, 1))"))
+      .withColumn("in_tokens",
+        expr("max(case when stage_idx = 0 then n_tokens end) " +
+             "over (partition by pmod(stage_idx, 1))"))
+      .withColumn("docs_ppm",
+        expr("case when in_docs = 0 then cast(0 as bigint) " +
+             "else n_docs * 1000000 div in_docs end"))
+      .withColumn("tokens_ppm",
+        expr("case when in_tokens = 0 then cast(0 as bigint) " +
+             "else n_tokens * 1000000 div in_tokens end"))
+      .drop("in_docs", "in_tokens")
   }
 
   private def perSourceStats(kept: DataFrame): DataFrame =

@@ -25,10 +25,12 @@ object TextOps {
     regexp_extract_all(lower(text), lit("\\S+"), lit(0))
 
   /** Null-safe whitespace token count as a long. `size` on a null array
-    * returns -1 under Spark's default `spark.sql.legacy.sizeOfNull=true`,
-    * while the DuckDB oracles' `sum(len(toks))` skips NULLs — so a null
-    * `text` would drift every token sum by -1 per null doc. Clamping at 0
-    * makes null/empty text contribute 0 tokens on both engines.
+    * returns -1 under `spark.sql.legacy.sizeOfNull=true` and NULL under
+    * the ANSI default this build ships with (Spark 4.x) — while the
+    * DuckDB oracles' `sum(len(toks))` skips NULLs, so a null `text`
+    * would drift token sums either way. `greatest(·, 0)` normalizes BOTH
+    * shapes (greatest ignores the NULL, clamps the -1), making null/empty
+    * text contribute 0 tokens on both engines under either config.
     */
   def tokenCount(text: Column): Column =
     greatest(size(tokens(text)), lit(0)).cast("long")
@@ -356,7 +358,20 @@ object TextOps {
     * costs one linear pass over text already being read.
     */
   def qualityClassifier(docs: DataFrame,
-                        buckets: Int = QualityClassifierBuckets): DataFrame = {
+                        buckets: Int = QualityClassifierBuckets): DataFrame =
+    withQualityClassifier(docs, buckets)
+      .select("doc_id", "lang", "n_grams", "w_sum", "score_milli", "keep")
+
+  /** [[qualityClassifier]]'s scoring columns APPENDED to the input frame
+    * (text and the rest kept) — the composition form
+    * ([[graft.streaming.StreamingOps]] `prepareGateStream` needs the text
+    * column alive for the decontamination screen downstream of the
+    * verdict). The declared operator is exactly this plus the projection,
+    * so the two cannot drift.
+    */
+  private[graft] def withQualityClassifier(
+      docs: DataFrame,
+      buckets: Int = QualityClassifierBuckets): DataFrame = {
     val thr = map(QualityClassifierThresholds
       .flatMap { case (l, t) => Seq(lit(l), lit(t)) }: _*)
     docs
@@ -374,7 +389,7 @@ object TextOps {
       .withColumn("keep", col("score_milli") >=
         coalesce(element_at(thr, col("lang")),
                  lit(QualityClassifierDefaultThreshold)))
-      .select("doc_id", "lang", "n_grams", "w_sum", "score_milli", "keep")
+      .drop("g2s")
   }
 
   /** Content fingerprint: md5 of the full normalized text plus the minimum
@@ -912,7 +927,18 @@ object TextOps {
     * al. 2003): any run of ≥ w+k−1 tokens shared verbatim with an eval
     * document certainly shares a fingerprint — a leaked benchmark passage
     * cannot dodge the screen by being diluted inside a long training doc,
-    * the failure mode a global shared-shingle-count threshold has. And the
+    * the failure mode a global shared-shingle-count threshold has. The
+    * guarantee is per-fingerprint: a MINIMAL leaked run (exactly w+k−1
+    * tokens) is certain to share only ONE fingerprint, so the
+    * cannot-dodge property holds as stated only at `minShared = 1`
+    * (TextOpsSpec pins it there); the default `minShared = 2` is the
+    * operating point that trades that worst-case off against
+    * single-fingerprint coincidence noise — longer leaked runs select
+    * more fingerprint windows and pass the bar in practice, but only
+    * minShared = 1 is a certainty (distinct windows may select the same
+    * fingerprint VALUE, so no run length converts ≥2 windows into ≥2 set
+    * entries deterministically). Screens wanting the strict
+    * minimal-passage guarantee pass minShared = 1. And the
     * index is ~2/(w+1) the density of the full shingle index, so the
     * screen is CHEAPER than [[contamination]] per corpus token.
     *
@@ -1495,6 +1521,84 @@ object TextOps {
     cand.join(broadcast(benchSet), Seq("wh"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_matched_windows"))
+  }
+
+  // ---- md5-portable bloom gate (the stream ingest form) -----------------
+
+  /** Bloom bit position of a window hash — md5-derived (first 8 hex of
+    * md5("b&lt;seed&gt;:" || wh) mod mBits), NOT xxhash64 like
+    * [[exactContaminationBloom]]'s: the ingest GATE emits bloom verdicts
+    * directly with no exact confirmation join to absorb hash differences,
+    * so the DuckDB oracle must restate the bitset bit-for-bit, and md5 is
+    * the one hash both engines share.
+    */
+  private[graft] def bloomPos(wh: Column, seed: Int, mBits: Int): Column =
+    conv(substring(md5(concat(lit(s"b$seed:"), wh)), 1, 8), 16, 10)
+      .cast("long") % mBits
+
+  /** The benchmark's n-token-window Bloom bitset as a dense word array
+    * (mBits/64 longs, k = 2 md5-seeded bits per window) — built offline
+    * from the static benchmark and folded into a LITERAL, the DSIR
+    * delta-map discipline: the collect is bounded by the CONSTANT
+    * mBits/64 (16 K longs / 128 KB at the default 2²⁰ bits), never by
+    * data volume, and the probing side becomes a stateless per-row
+    * projection. At a 10⁸-window benchmark the same false-positive rate
+    * needs ~10 bits/element (mBits ≈ 2³⁰, a 128 MB table) — at that
+    * point the deployment swaps the literal for
+    * [[exactContaminationBloom]]'s broadcast word-frame form; the gate's
+    * arithmetic is unchanged.
+    */
+  private[graft] def bloomWordFrame(benchmark: DataFrame, n: Int,
+                                    mBits: Int): DataFrame = {
+    require((mBits & (mBits - 1)) == 0, s"mBits must be a power of two: $mBits")
+    benchmark
+      .select(explode(array_distinct(shingles(tokens(col("text")), n)))
+        .as("w"))
+      .select(md5(col("w")).as("wh")).distinct()
+      .select(explode(array(bloomPos(col("wh"), 1, mBits),
+                            bloomPos(col("wh"), 2, mBits))).as("p"))
+      .select(expr("p div 64").as("widx"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").as("bit"))
+      .groupBy("widx").agg(expr("bit_or(bit)").as("word"))
+  }
+
+  /** The occupied-word rows of [[bloomWordFrame]] densified into the full
+    * literal table (absent words are 0).
+    */
+  private[graft] def bloomWordsDense(occupied: Array[org.apache.spark.sql.Row],
+                                     mBits: Int): Array[Long] = {
+    val words = new Array[Long](mBits / 64)
+    occupied.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  private[graft] def bloomWindowWords(benchmark: DataFrame, n: Int,
+                                      mBits: Int): Array[Long] =
+    bloomWordsDense(bloomWordFrame(benchmark, n, mBits).collect(), mBits)
+
+  /** Per-row count of distinct n-token windows whose BOTH bloom bits are
+    * set in `words` — a pure codegen projection (array HOFs + two
+    * element_at probes per window against the literal word table), zero
+    * joins, zero state: the form an Append-mode ingest gate wants. A
+    * nonzero count means "possibly leaked, quarantine for the exact
+    * screen" (false-positive rate is the bloom load², ~0.1% at the
+    * declared sizing); zero is certain-clean (blooms have no false
+    * negatives).
+    */
+  private[graft] def bloomWindowHits(text: Column, words: Array[Long],
+                                     n: Int, mBits: Int): Column = {
+    val wordsLit = typedlit(words)
+    def bitSet(wh: Column, seed: Int): Column = {
+      val p = bloomPos(wh, seed, mBits)
+      // call_function: the Scala shiftleft() helper takes a literal Int
+      // bit count, but the bit index here is a (lambda-bound) column
+      (element_at(wordsLit, (p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(p, lit(64L)).cast("int")))) =!= 0L
+    }
+    size(filter(
+      array_distinct(transform(shingles(tokens(text), n), w => md5(w))),
+      wh => bitSet(wh, 1) && bitSet(wh, 2))).cast("long")
   }
 
   // ---- Gopher document-quality rules ----------------------------------

@@ -571,6 +571,59 @@ object StreamingOps {
     runToTable(spark, agg, OutputMode.Complete())
   }
 
+  /** The release capstone's STATELESS prefix as one Append-mode ingest
+    * plan (r18 verdict item 5) — the filter a 100 TB landing zone runs
+    * before anything stateful touches a document: the language/quality
+    * gate (`TextOps.cleanGate`, the capstone's stage 1), the learned
+    * absolute quality verdict (`TextOps.withQualityClassifier` — the
+    * batch operator's own scoring columns), and the exact-13-token-window
+    * decontamination SCREEN as a bloom-bitset probe
+    * ([[graft.operators.TextOps.bloomWindowHits]]). Every piece is a
+    * per-row projection or filter, so the whole plan runs under Append
+    * mode with ZERO state stores — nothing to watermark, nothing to
+    * drain; per-doc verdicts emit the trigger their document lands in.
+    *
+    * The bloom screen is the one deliberate difference from the batch
+    * decontaminate_exact: the exact form needs a join + per-doc groupBy
+    * (state), while the bitset folds the static benchmark into a 128 KB
+    * LITERAL (built offline, the DSIR fitted-model discipline — the
+    * collect is bounded by the constant mBits/64, never by data). Bloom
+    * positions are md5-derived so the DuckDB oracle restates the bitset
+    * bit-for-bit (no exact confirmation join exists here to absorb hash
+    * differences). `admit` semantics are conservative the safe way
+    * round: `n_bloom_hits = 0` is CERTAIN-clean (no false negatives), a
+    * nonzero count sends the doc to the stateful exact screen downstream
+    * (false-positive rate = bloom load² ≈ 0.1% at the declared sizing).
+    *
+    * Corpus/benchmark split is the capstone's own (% 11), thresholds the
+    * capstone's 0.3 — the oracle composes the SAME gate/classifier SQL
+    * fragments the batch stages verify against.
+    */
+  def prepareGateStream(spark: SparkSession, dir: String,
+                        minQuality: Double = 0.3, n: Int = 13,
+                        mBits: Int = 1 << 20): DataFrame = {
+    import graft.operators.TextOps
+    // the bitset's word frame is staged once per source state (the
+    // stream-static staging discipline), so bench reps re-collect 16 K
+    // pre-aggregated rows instead of re-shingling the benchmark
+    val words = TextOps.bloomWordsDense(
+      stagedDerived(spark, dir, "documents", s"bench-bloom$n-m$mBits") {
+        TextOps.bloomWordFrame(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .filter(col("doc_id") % 11 === 0), n, mBits)
+      }.collect(), mBits)
+    val scored = TextOps.withQualityClassifier(
+        docsStream(spark, dir)
+          .filter(col("doc_id") % 11 =!= 0)
+          .filter(TextOps.cleanGate(minQuality)))
+      .withColumn("n_bloom_hits",
+        TextOps.bloomWindowHits(col("text"), words, n, mBits))
+      .withColumn("admit", col("keep") && col("n_bloom_hits") === 0L)
+      .select("doc_id", "lang", "n_grams", "w_sum", "score_milli", "keep",
+              "n_bloom_hits", "admit")
+    runToTable(spark, scored, OutputMode.Append())
+  }
+
   case class BandRow(doc_id: Long, band: String)
   case class CandPair(doc_a: Long, doc_b: Long)
 

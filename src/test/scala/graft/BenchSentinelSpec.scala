@@ -59,6 +59,18 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(Bench.windowMaxes(2, Seq.empty, Seq.empty) == Seq(0.0, 0.0))
   }
 
+  test("windowMins needs BOTH brackets hot before a window reads hot") {
+    // r19 calibration: the window re-queue trigger reads the BEST of the
+    // two bracketing readings, so one GC-spiked sentinel (0.5) cannot
+    // flag the ten queries in its two adjacent windows — only a burst
+    // inflating both brackets does
+    val m = Bench.windowMins(4, Seq(2, 4), Seq(0.5, 0.1))
+    assert(m == Seq(0.5, 0.5, 0.1, 0.1)) // 0-1 one-sided; 2-3 min(0.5,0.1)
+    val hot = Bench.windowMins(2, Seq(0, 2), Seq(0.4, 0.5))
+    assert(hot == Seq(0.4, 0.4)) // sustained: both brackets hot → reads hot
+    assert(Bench.windowMins(2, Seq.empty, Seq.empty) == Seq(0.0, 0.0))
+  }
+
   test("standing rows parse per query, last occurrence wins") {
     val md = """
       || q1_agg | 1.00 | sec | 0.1 |

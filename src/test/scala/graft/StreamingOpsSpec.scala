@@ -126,6 +126,39 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming release gate: batch-equal verdicts, bloom never misses " +
+       "a doc the exact screen flags") {
+    import org.apache.spark.sql.functions.col
+    val streamed = StreamingOps.prepareGateStream(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 0)
+    // classifier columns equal the BATCH operator over the gated corpus
+    // (the stream applies withQualityClassifier verbatim)
+    val batchCls = graft.operators.TextOps.qualityClassifier(
+        corpus.filter(graft.operators.TextOps.cleanGate(0.3)))
+      .collect().map(_.toSeq).toSet
+    val streamCls = streamed.map(r =>
+      Seq(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    assert(streamCls == batchCls && streamCls.nonEmpty)
+    // bloom soundness (no false negatives): every gated doc the EXACT
+    // 13-token screen flags against the benchmark must read bloom hits
+    // >= its matched-window count; admit composes keep && bloom-clean
+    val exact = graft.operators.TextOps.exactSubstringContamination(
+        corpus, docs.filter(col("doc_id") % 11 === 0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byId = streamed.map(r => r.getLong(0) ->
+      (r.getLong(6), r.getBoolean(5), r.getBoolean(7))).toMap
+    byId.foreach { case (id, (hits, keep, admit)) =>
+      assert(hits >= exact.getOrElse(id, 0L),
+        s"bloom missed windows for doc $id")
+      assert(admit == (keep && hits == 0L), s"admit rule drift for doc $id")
+    }
+    // the screen fires on this corpus (some doc is bloom-flagged), so the
+    // soundness assertion above is not vacuous
+    assert(byId.values.exists(_._1 > 0L))
+  }
+
   test("streaming exact-substring decontamination equals the batch gate") {
     val streamed = StreamingOps.exactContaminationStream(spark, dir)
       .collect().map(_.toSeq).toSet

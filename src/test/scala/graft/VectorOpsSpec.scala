@@ -591,4 +591,35 @@ class VectorOpsSpec extends AnyFunSuite {
       assert(t._5 == t._4 * 1000000L / tokTotal, s"share drift in $t") }
     assert(byCol.map(_._5).sum <= 1000000L)
   }
+
+  test("release report: monotone attrition, ppm of input, manifest-consistent") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 11 =!= 0)
+    val bench = docs.filter($"doc_id" % 11 === 0)
+    val rep = graft.operators.CorpusPipeline
+      .releaseReport(corpus, emb, bench, minQuality = 0.3)
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rep.map(_._2).toSeq == Seq("input", "gate", "exact", "minhash",
+      "winnowed", "semdedup", "decontaminate", "quarantine"))
+    // each stage only ever removes docs/tokens (quarantine row = the
+    // decontaminated set minus split-reassigned docs)
+    rep.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"stage grew: $a -> $b") }
+    // ppm columns are exact integer ppm of the INPUT row
+    val (inDocs, inToks) = (rep.head._3, rep.head._4)
+    rep.foreach { r =>
+      assert(r._5 == r._3 * 1000000L / inDocs, s"docs_ppm drift in $r")
+      assert(r._6 == r._4 * 1000000L / inToks, s"tokens_ppm drift in $r")
+    }
+    // the report cannot disagree with the shipped release: the manifest's
+    // doc/token totals are exactly the decontaminate stage's (quarantine
+    // MOVES docs between splits, drops none)
+    val manifest = graft.operators.CorpusPipeline
+      .prepareRelease(corpus, emb, bench, minQuality = 0.3).collect()
+    val decon = rep(6)
+    assert(manifest.map(_.getLong(2)).sum == decon._3)
+    assert(manifest.map(_.getLong(3)).sum == decon._4)
+  }
 }
