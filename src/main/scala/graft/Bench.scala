@@ -299,10 +299,23 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_HEAL_ROUNDS", "2").toInt
     // wall-clock budget for the heal pass (r18 verdict item 1: an
     // unbudgeted heal pass cost the driver its whole artifact at rc=124).
-    // Default 300 s: main pass ~18 min + 5 min healing fits the driver's
-    // ~25 min cap with slack; loaded-machine validation runs raise it.
-    val healBudgetSecs =
-      sys.env.getOrElse("SPARK_GRAFT_HEAL_BUDGET_SECS", "300").toDouble
+    // Default 300 s, AND never more than what is left of the run's total
+    // wall budget (SPARK_GRAFT_TIME_BUDGET_SECS, default 1440 — an
+    // in-JVM ceiling that leaves a driver-style `timeout 1500` ~45 s for
+    // the sbt launcher plus a teardown margin; r19 run 2 showed 1380 was
+    // over-tight: a contended 22-min main pass left the 23 re-queued
+    // rows ZERO retry time, exactly when healing mattered): on a day the
+    // main pass runs long, the heal pass shrinks to fit instead of
+    // pushing the invocation past the cap. Loaded-machine validation
+    // runs raise both.
+    val totalBudgetSecs =
+      sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_SECS", "1440").toDouble
+    def jvmElapsedSecs: Double =
+      (System.currentTimeMillis - java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getStartTime) / 1000.0
+    def healBudgetSecs: Double = math.min(
+      sys.env.getOrElse("SPARK_GRAFT_HEAL_BUDGET_SECS", "300").toDouble,
+      totalBudgetSecs - jvmElapsedSecs - 45.0)
     val windowTriggerX =
       sys.env.getOrElse("SPARK_GRAFT_HEAL_THRESHOLD", "6.0").toDouble
     val quietBarX =
@@ -513,6 +526,10 @@ object Bench {
       healLog ++= triggered.sortBy { case (_, st) => -st.severity }
       val healStart = System.nanoTime()
       def healElapsed = (System.nanoTime() - healStart) / 1e9
+      // snapshot the budget at heal start (healBudgetSecs reads the live
+      // JVM clock — re-evaluating it per retry would double-count the
+      // heal pass's own elapsed time against itself)
+      val healBudget = healBudgetSecs
       // GLOBAL SWEEPS, not per-query consecutive retries: back-to-back
       // retries of one query land in the SAME contention burst (observed:
       // 5 of 6 residual over-budget rows had every retry window >= 1.5x
@@ -526,7 +543,7 @@ object Bench {
              healLog.exists(!_._2.settled)) {
         healLog.foreach { case (name, st) =>
           if (!st.settled && !budgetSpent) {
-            if (healElapsed >= healBudgetSecs) budgetSpent = true
+            if (healElapsed >= healBudget) budgetSpent = true
             else {
               val before = sentinelReading(spark)
               val res = runQuery(st.fn)
@@ -549,7 +566,7 @@ object Bench {
         sweep += 1
       }
       if (budgetSpent)
-        System.err.println(s"[bench] heal budget ($healBudgetSecs s) spent " +
+        System.err.println(s"[bench] heal budget ($healBudget s) spent " +
           s"after ${healLog.count(_._2.attempts.length > 1)} of " +
           s"${healLog.size} re-queued rows were retried")
     }
