@@ -448,6 +448,38 @@ object OracleExt {
     JOIN bench USING (wh)
     GROUP BY c.doc_id ORDER BY doc_id""")
 
+  /** Mirrors TextOps.exactContaminationReport over the same % 11 split,
+    * suites carved as (doc_id div 11) % 3: the per-(suite × source)
+    * attribution of the exact 13-token screen, flagged fraction in ppm.
+    */
+  val decontaminateReport: String = docQ("""
+    , wins AS (
+      SELECT DISTINCT doc_id, source, md5(w) AS wh
+      FROM (SELECT doc_id, source,
+                   unnest([array_to_string(toks[i:(i+12)], ' ')
+                           for i in range(1, len(toks) - 11)]) AS w
+            FROM docs_tok)),
+    bench AS (
+      SELECT DISTINCT 'suite_' || CAST((doc_id // 11) % 3 AS VARCHAR)
+               AS suite, wh
+      FROM wins WHERE doc_id % 11 = 0),
+    hits AS (
+      SELECT b.suite, c.source, c.doc_id
+      FROM (SELECT * FROM wins WHERE doc_id % 11 <> 0) c
+      JOIN bench b USING (wh)),
+    rep AS (
+      SELECT suite, source,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_flagged,
+             CAST(count(*) AS BIGINT) AS n_window_hits
+      FROM hits GROUP BY suite, source),
+    stot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS src_docs
+      FROM documents WHERE doc_id % 11 <> 0 GROUP BY source)
+    SELECT suite, source, n_docs_flagged, n_window_hits, src_docs,
+           n_docs_flagged * 1000000 // src_docs AS flagged_ppm
+    FROM rep JOIN stot USING (source)
+    ORDER BY suite, source""")
+
   /** Shared chunk-hash CTE chain for the boilerplate queries: mirrors
     * TextOps.chunkParagraphs' fixed-token windows + md5, with the chunk's
     * own token count carried for the scrub's kept-token sum. Constants
@@ -3393,6 +3425,58 @@ object OracleExt {
            CAST(n_docs * 1000000 // t_docs AS BIGINT) AS doc_share_ppm,
            CAST(n_tokens * 1000000 // t_tokens AS BIGINT) AS token_share_ppm
     FROM per, tot ORDER BY lang, source""")
+
+  /** Mirrors CorpusOps.mixSolve — epoch-capped sqrt-temperature
+    * waterfilling. Same fixed-point recipe (w = floor(sqrt(n)·10⁶ + 0.5)),
+    * same integer-div sort key, same capped-prefix test with 128-bit cross
+    * products (HUGEINT ↔ the Spark side's DECIMAL(38,0)), same floor-div
+    * residual split — the plan is bit-identical by construction.
+    */
+  def corpusMixSolve(budgetPct: Long, maxEpochsPct: Long): String = docQ(s"""
+    , per AS (
+      SELECT source, CAST(sum(coalesce(len(toks), 0)) AS BIGINT) AS n_tokens
+      FROM docs_tok GROUP BY source
+      HAVING sum(coalesce(len(toks), 0)) > 0),
+    wtab AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5)
+                  AS BIGINT) AS w_fp,
+             CAST(n_tokens * $maxEpochsPct // 100 AS BIGINT) AS cap_tokens
+      FROM per),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens,
+                   CAST(sum(w_fp) AS BIGINT) AS t_w FROM wtab),
+    ranked AS (
+      SELECT wtab.*, CAST(t_tokens * $budgetPct // 100 AS BIGINT) AS budget,
+             CAST(coalesce(sum(cap_tokens) OVER win, 0) AS BIGINT)
+               AS cap_before,
+             CAST(t_w - coalesce(sum(w_fp) OVER win, 0) AS BIGINT) AS w_from
+      FROM wtab, tot
+      WINDOW win AS (
+        ORDER BY CAST(cap_tokens AS HUGEINT) * 1000000 // w_fp, source
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    flagged AS (
+      SELECT *, CAST(budget - cap_before AS HUGEINT) * w_fp
+                >= CAST(cap_tokens AS HUGEINT) * w_from AS capped
+      FROM ranked),
+    resid AS (
+      SELECT CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0)
+                  AS BIGINT) AS cap_spent,
+             CAST(coalesce(sum(CASE WHEN NOT capped THEN w_fp END), 0)
+                  AS BIGINT) AS w_open
+      FROM flagged),
+    planned AS (
+      SELECT source, n_tokens, w_fp, cap_tokens, capped, budget,
+             CASE WHEN capped THEN cap_tokens
+                  ELSE CAST(CAST(budget - cap_spent AS HUGEINT) * w_fp
+                            // greatest(w_open, 1) AS BIGINT)
+             END AS plan_tokens
+      FROM flagged, resid)
+    SELECT source, n_tokens, w_fp, cap_tokens, capped, plan_tokens,
+           CAST(CAST(plan_tokens AS HUGEINT) * 1000000 // n_tokens
+                AS BIGINT) AS epochs_ppm,
+           CAST(CAST(plan_tokens AS HUGEINT) * 1000000 // budget
+                AS BIGINT) AS budget_share_ppm
+    FROM planned ORDER BY source""")
 
   val eventsFunnel: String = s"""
     WITH $EvCte,

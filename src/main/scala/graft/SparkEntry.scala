@@ -1589,6 +1589,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "decontaminate_report" -> ((s, d) => {
+      // per-(suite × source) leakage ATTRIBUTION over the % 11 benchmark
+      // split, suites carved as (doc_id div 11) % 3 — which eval suite
+      // leaked into which ingest source, and each source's flagged ppm
+      val docs = T.documents(s, d)
+      TextOps.exactContaminationReport(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          docs.filter(col("doc_id") % 11 === 0)
+            .withColumn("suite",
+              expr("concat('suite_', CAST((doc_id div 11) % 3 AS STRING))")))
+        .orderBy("suite", "source")
+    }),
+
     "decontaminate_bloom" -> ((s, d) => {
       // same leakage check, 100 TB plan: the benchmark's window hashes
       // compress to a 16 KB Bloom bitset probed before the exact join —
@@ -1955,6 +1968,16 @@ object SparkEntry {
       // integer-ppm corpus shares
       graft.operators.CorpusOps.mixReport(T.documents(s, d))
         .orderBy("lang", "source")),
+
+    "corpus_mix_solve" -> ((s, d) =>
+      // the mix PLAN the report feeds: epoch-capped sqrt-temperature
+      // waterfilling of a 120%-of-corpus token budget under a 1.22-epoch
+      // cap — cap chosen inside the sources' epoch spread (1.10–1.31
+      // across SFs) so capped AND uncapped branches are both exercised;
+      // Σcap > budget guarantees an uncapped source exists
+      graft.operators.CorpusOps.mixSolve(T.documents(s, d),
+          budgetPct = 120, maxEpochsPct = 122)
+        .orderBy("source")),
 
     "q3_topk" -> ((s, d) => {
       val c = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
@@ -2432,6 +2455,7 @@ object SparkEntry {
     "decontaminate_winnowed" -> OracleExt.decontaminateWinnowed(
       w = 4, minShared = 2, maxDf = 128),
     "decontaminate_exact" -> OracleExt.decontaminateExact,
+    "decontaminate_report" -> OracleExt.decontaminateReport,
     "decontaminate_bloom" -> OracleExt.decontaminateExact,
     "docs_stream_decontaminate_exact" -> OracleExt.decontaminateExact,
     "boilerplate_chunks" -> OracleExt.boilerplateChunks,
@@ -2578,6 +2602,8 @@ object SparkEntry {
     "events_top_percent_hist" -> OracleExt.eventsTopPercentHist(1),
     "events_stream_top_percent_hist" -> OracleExt.eventsTopPercentHist(1),
     "corpus_mix_report" -> OracleExt.corpusMixReport,
+    "corpus_mix_solve" ->
+      OracleExt.corpusMixSolve(budgetPct = 120, maxEpochsPct = 122),
     "events_asof_join" -> OracleExt.eventsAsofJoin,
     "events_asof_join_native" -> OracleExt.eventsAsofJoin,
     "events_stream_asof_join" -> OracleExt.eventsAsofJoin,

@@ -288,6 +288,84 @@ object CorpusOps {
               "doc_share_ppm", "token_share_ppm")
   }
 
+  /** Epoch-capped temperature mix SOLVER — the planning step between the
+    * composition report ([[mixReport]]) and the samplers: given a training
+    * token budget (an integer percent of the corpus, so the query is
+    * scale-free) and a max-epochs cap, allocate the budget across sources
+    * by temperature weight w_s = floor(sqrt(n_s)·10⁶ + 0.5) (α = 1/2, the
+    * same IEEE-754-portable choice as [[sampleTemperature]]) subject to
+    * plan_s ≤ cap_s = n_s·maxEpochsPct/100 — the waterfilling every
+    * published mix table ("epochs per dataset", GPT-3 Table 2.2 shape)
+    * solves: small sources are up-weighted but must not repeat past the
+    * cap, and their forfeited mass flows to the uncapped sources.
+    *
+    * Waterfilling, deterministically and in integers: sources sorted by
+    * r_s = cap_s·10⁶ div w_s ascending (the budget scale at which each
+    * source hits its cap) cap out in prefix order; a source is capped iff
+    * the budget left after fully capping every earlier source, spread over
+    * the remaining weight, still overflows its own cap —
+    * (B − Σ_{r<s} cap)·w_s ≥ cap_s·Σ_{r≥s} w, evaluated in DECIMAL(38,0)
+    * cross products (oracle side HUGEINT — the embedding_gram overflow
+    * discipline: tokens ~10¹⁴ × weight_fp ~10¹³ needs 128-bit). Uncapped
+    * sources then split the residual budget by weight with floor division
+    * (Σ plan ≤ B; dust < |sources| tokens). Integer-div ties in r_s can
+    * locally deviate from exact-ratio order — both engines sort and test
+    * IDENTICALLY, so the plan stays well-defined and bit-equal; each
+    * capped row's test still bounds cap_spent ≤ B, so the residual split
+    * never goes negative.
+    *
+    * Scale shape: ONE partial-agg'd groupBy over the corpus produces the
+    * per-source frame (|sources| rows — single digits); everything after
+    * (the sort window, the capped-prefix test, the residual scalars) runs
+    * on that tiny frame — the manifest-window pattern (CorpusPipeline).
+    * No corpus-wide window, no second corpus pass.
+    */
+  def mixSolve(docs: DataFrame, budgetPct: Long = 120,
+               maxEpochsPct: Long = 150): DataFrame = {
+    val per = docs
+      .withColumn("n_toks", TextOps.tokenCount(col("text")))
+      .groupBy("source").agg(sum(col("n_toks")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("w_fp",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6 + 0.5).cast("long"))
+      .withColumn("cap_tokens", expr(s"n_tokens * $maxEpochsPct div 100"))
+    val tot = per.agg(sum(col("n_tokens")).as("t_tokens"),
+                      sum(col("w_fp")).as("t_w"))
+    val byR = Window.orderBy(col("r_fp"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = per.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"t_tokens * $budgetPct div 100"))
+      .withColumn("r_fp", expr(
+        // ×10⁶ pushes cap·10⁶ past BIGINT at ~10¹³ tokens — 128-bit like
+        // the capped test (BIGINT again after the div: r ≤ cap·10⁶/1)
+        "CAST(CAST(cap_tokens AS DECIMAL(38,0)) * 1000000 div w_fp AS DECIMAL(38,0))"))
+      .withColumn("cap_before",
+        coalesce(sum(col("cap_tokens")).over(byR), lit(0L)))
+      .withColumn("w_from",
+        col("t_w") - coalesce(sum(col("w_fp")).over(byR), lit(0L)))
+      .withColumn("capped", expr(
+        """CAST(budget - cap_before AS DECIMAL(38,0)) * w_fp
+           >= CAST(cap_tokens AS DECIMAL(38,0)) * w_from"""))
+    val resid = ranked.agg(
+      sum(when(col("capped"), col("cap_tokens")).otherwise(0L))
+        .as("cap_spent"),
+      sum(when(!col("capped"), col("w_fp")).otherwise(0L)).as("w_open"))
+    ranked.crossJoin(broadcast(resid))
+      .withColumn("plan_tokens", expr(
+        // greatest(w_open, 1): unused when every source capped (the only
+        // w_open = 0 case) — the branch never evaluates, the guard only
+        // keeps ANSI division happy on both engines
+        """CASE WHEN capped THEN cap_tokens
+           ELSE CAST(CAST(budget - cap_spent AS DECIMAL(38,0)) * w_fp
+                     div greatest(w_open, 1L) AS BIGINT) END"""))
+      .withColumn("epochs_ppm", expr(
+        "CAST(CAST(plan_tokens AS DECIMAL(38,0)) * 1000000 div n_tokens AS BIGINT)"))
+      .withColumn("budget_share_ppm", expr(
+        "CAST(CAST(plan_tokens AS DECIMAL(38,0)) * 1000000 div budget AS BIGINT)"))
+      .select("source", "n_tokens", "w_fp", "cap_tokens", "capped",
+              "plan_tokens", "epochs_ppm", "budget_share_ppm")
+  }
+
   /** Temperature-weighted source sampling — the training-mix step that
     * up-weights small sources and down-weights dominant ones: source i
     * gets sampling mass ∝ n_i^α with α = 1/2 (the "temperature"; α = 1 is

@@ -1158,6 +1158,46 @@ object TextOps {
       .agg(count(lit(1)).as("n_matched_windows"))
   }
 
+  /** Per-(benchmark-suite × corpus-source) exact-leakage ATTRIBUTION — the
+    * breakdown a data lead reads after [[exactSubstringContamination]]
+    * says "something leaked": WHICH eval suite leaked into WHICH ingest
+    * source, how many docs and distinct matched n-token windows, and each
+    * source's flagged fraction in integer ppm (the number that decides
+    * whether a source is quarantined wholesale or spot-trimmed).
+    * `benchmark` carries a `suite` column; a window shared by two suites
+    * attributes to both (fan-out ≤ |suites|, and only on HIT rows).
+    *
+    * Scale shape: identical to the exact screen — the benchmark's distinct
+    * (suite, window-hash) set broadcasts (benchmark-sized, driver-tiny
+    * next to the corpus); the corpus pays ONE distinct-windows pass, the
+    * broadcast join, and a partial-agg'd groupBy on (suite, source); the
+    * per-source totals ride a second corpus aggregate whose result
+    * (|sources| rows) broadcasts back onto the report.
+    */
+  def exactContaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                               n: Int = 13): DataFrame = {
+    val corpusWins = corpus
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shingles(tokens(col("text")), n))).as("w"))
+      .select(col("doc_id"), col("source"), md5(col("w")).as("wh"))
+    val benchWins = benchmark
+      .select(col("suite"),
+        explode(array_distinct(shingles(tokens(col("text")), n))).as("w"))
+      .select(col("suite"), md5(col("w")).as("wh"))
+      .distinct()
+    val srcTot = corpus.groupBy("source").agg(count(lit(1)).as("src_docs"))
+    corpusWins
+      .join(broadcast(benchWins), Seq("wh"))
+      .groupBy("suite", "source")
+      .agg(countDistinct(col("doc_id")).as("n_docs_flagged"),
+           count(lit(1)).as("n_window_hits"))
+      .join(broadcast(srcTot), Seq("source"))
+      .withColumn("flagged_ppm",
+        expr("n_docs_flagged * 1000000 div src_docs"))
+      .select("suite", "source", "n_docs_flagged", "n_window_hits",
+              "src_docs", "flagged_ppm")
+  }
+
   /** Maximal duplicated token spans — the exact-substring dedup unit of
     * work (Lee et al. 2021, "Deduplicating Training Data Makes Language
     * Models Better": trim duplicated substrings, don't drop whole docs).

@@ -329,6 +329,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again == out.map { case (k, v) => k -> v._5 })
   }
 
+  test("mix solve waterfills: small source caps, its mass flows on") {
+    // token masses 400/100/4 → exact α=1/2 weights 20e6/10e6/2e6 (no
+    // rounding: the square roots are integers). Budget 100% = 504 tokens,
+    // cap 200%. Uncapped epochs would be 0.79/1.575/7.875 → tiny caps at
+    // 8 tokens (2 epochs); the residual 496 splits 10:20 over mid/big by
+    // floor division → 165/330, one token of dust.
+    def doc(id: Long, src: String, n: Int) =
+      (id, Seq.fill(n)("w").mkString(" "), "en", src, n.toLong)
+    val docs = Seq(doc(1, "big", 400), doc(2, "mid", 100), doc(3, "tiny", 4))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.mixSolve(docs, budgetPct = 100, maxEpochsPct = 200)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+         r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out("tiny") == ((4L, 2000000L, 8L, true, 8L, 2000000L, 15873L)))
+    assert(out("mid") ==
+      ((100L, 10000000L, 200L, false, 165L, 1650000L, 327380L)))
+    assert(out("big") ==
+      ((400L, 20000000L, 800L, false, 330L, 825000L, 654761L)))
+    val planSum = out.values.map(_._5).sum
+    assert(planSum <= 504L && planSum > 504L - out.size)
+    assert(out.values.forall { case (_, _, cap, _, plan, _, _) =>
+      plan <= cap })
+  }
+
+  test("mix solve drops token-less sources and survives all-capped") {
+    val docs = Seq(
+      (1L, "a b c d", "en", "real", 7L),
+      (2L, null.asInstanceOf[String], "en", "ghost", 0L),
+      (3L, "", "en", "ghost", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // budget 300% of corpus, cap 150% → capacity < budget: every source
+    // caps, the residual branch (and its w_open=0 divisor guard) is
+    // never taken, and the fill stops at capacity
+    val rows = CorpusOps.mixSolve(docs, budgetPct = 300, maxEpochsPct = 150)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("real"))
+    val r = rows.head
+    assert(r.getBoolean(4) && r.getLong(5) == 6L) // plan = cap = 4*150/100
+  }
+
   test("shard assignment is total and deterministic") {
     val docs = (1L to 100L).map(i => (i, "en", "s", 7L, s"t$i"))
       .toDF("doc_id", "lang", "source", "n_chars", "text")

@@ -450,6 +450,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L)) // doc 2's longest shared run is 12 tokens
   }
 
+  test("contamination report attributes leaks per suite and source") {
+    val runA = (1 to 13).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 13).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "s1", s"u1 u2 $runA u3"),          // leaks suite A only
+      (2L, "s1", s"$runA v1 $runB v2"),       // leaks BOTH suites
+      (3L, "s2", "clean words nothing shared with any benchmark at all ok"),
+      (4L, "s2", s"w1 $runB w2"))             // leaks suite B only
+      .toDF("doc_id", "source", "text")
+    val bench = Seq(
+      (100L, "suite_A", s"lead $runA tail"),
+      (101L, "suite_B", s"lead $runB tail"))
+      .toDF("doc_id", "suite", "text")
+    val got = TextOps.exactContaminationReport(corpus, bench).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // unique surrounding tokens → exactly the embedded window matches, so
+    // window hits count docs; src totals include the clean doc 3
+    assert(got == Map(
+      ("suite_A", "s1") -> ((2L, 2L, 2L, 1000000L)),
+      ("suite_B", "s1") -> ((1L, 1L, 2L, 500000L)),
+      ("suite_B", "s2") -> ((1L, 1L, 2L, 500000L))))
+  }
+
   test("duplicated spans fuse overlapping windows into maximal runs") {
     val run = (1 to 15).map(i => s"r$i").mkString(" ") // 15-token shared run
     val docs = Seq(
