@@ -422,6 +422,14 @@ object SparkEntry {
       graft.streaming.StreamingOps.exactContaminationStream(s, d)
         .orderBy("doc_id")),
 
+    "docs_stream_decontaminate_report" -> ((s, d) =>
+      // the (suite × source) attribution maintained as docs land: zero
+      // stream state (explode + stream-static broadcast join, Append
+      // through the native file sink), the batch report's own aggregation
+      // post-drain — shares the batch decontaminate_report oracle
+      graft.streaming.StreamingOps.exactContaminationReportStream(s, d)
+        .orderBy("suite", "source")),
+
     "embeddings_stream_decontaminate_semantic" -> ((s, d) =>
       // ingest-time semantic leakage screen: arriving training vectors
       // cosine-checked against the broadcast benchmark set; state = one
@@ -507,6 +515,15 @@ object SparkEntry {
     "docs_stream_mix_report_update" -> ((s, d) =>
       graft.streaming.StreamingOps.mixReportStreamUpdate(s, d)
         .orderBy("lang", "source")),
+
+    "docs_stream_mix_solve_update" -> ((s, d) =>
+      // the mix PLAN maintained live: per-source token totals through the
+      // delta sink, the batch solver's own waterfilling post-drain over
+      // the |sources|-row frame — same params, same oracle as the batch
+      // corpus_mix_solve
+      graft.streaming.StreamingOps.mixSolveStreamUpdate(s, d,
+          budgetPct = 120, maxEpochsPct = 122)
+        .orderBy("source")),
 
     "events_stream_key_skew_update" -> ((s, d) =>
       graft.streaming.StreamingOps
@@ -2456,6 +2473,7 @@ object SparkEntry {
       w = 4, minShared = 2, maxDf = 128),
     "decontaminate_exact" -> OracleExt.decontaminateExact,
     "decontaminate_report" -> OracleExt.decontaminateReport,
+    "docs_stream_decontaminate_report" -> OracleExt.decontaminateReport,
     "decontaminate_bloom" -> OracleExt.decontaminateExact,
     "docs_stream_decontaminate_exact" -> OracleExt.decontaminateExact,
     "boilerplate_chunks" -> OracleExt.boilerplateChunks,
@@ -2603,6 +2621,8 @@ object SparkEntry {
     "events_stream_top_percent_hist" -> OracleExt.eventsTopPercentHist(1),
     "corpus_mix_report" -> OracleExt.corpusMixReport,
     "corpus_mix_solve" ->
+      OracleExt.corpusMixSolve(budgetPct = 120, maxEpochsPct = 122),
+    "docs_stream_mix_solve_update" ->
       OracleExt.corpusMixSolve(budgetPct = 120, maxEpochsPct = 122),
     "events_asof_join" -> OracleExt.eventsAsofJoin,
     "events_asof_join_native" -> OracleExt.eventsAsofJoin,

@@ -321,10 +321,23 @@ object CorpusOps {
     * No corpus-wide window, no second corpus pass.
     */
   def mixSolve(docs: DataFrame, budgetPct: Long = 120,
-               maxEpochsPct: Long = 150): DataFrame = {
-    val per = docs
-      .withColumn("n_toks", TextOps.tokenCount(col("text")))
-      .groupBy("source").agg(sum(col("n_toks")).as("n_tokens"))
+               maxEpochsPct: Long = 150): DataFrame =
+    mixSolveFromTotals(
+      docs.withColumn("n_toks", TextOps.tokenCount(col("text")))
+        .groupBy("source").agg(sum(col("n_toks")).as("n_tokens")),
+      budgetPct, maxEpochsPct)
+
+  /** The solve itself, over an already-aggregated (source, n_tokens)
+    * frame — split out so the Update-mode stream twin can maintain the
+    * per-source totals live (the delta-sink pattern) and run the SAME
+    * waterfilling post-drain: shared code, so the live plan and the batch
+    * plan cannot disagree. Everything here runs on the |sources|-row
+    * frame.
+    */
+  private[graft] def mixSolveFromTotals(perSource: DataFrame,
+                                        budgetPct: Long,
+                                        maxEpochsPct: Long): DataFrame = {
+    val per = perSource
       .filter(col("n_tokens") > 0)
       .withColumn("w_fp",
         floor(sqrt(col("n_tokens").cast("double")) * 1e6 + 0.5).cast("long"))

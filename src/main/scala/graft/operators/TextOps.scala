@@ -1186,8 +1186,21 @@ object TextOps {
       .select(col("suite"), md5(col("w")).as("wh"))
       .distinct()
     val srcTot = corpus.groupBy("source").agg(count(lit(1)).as("src_docs"))
-    corpusWins
-      .join(broadcast(benchWins), Seq("wh"))
+    attributeContamination(
+      corpusWins.join(broadcast(benchWins), Seq("wh"))
+        .select("suite", "source", "doc_id"),
+      srcTot)
+  }
+
+  /** The (suite × source) attribution aggregate over raw hit rows
+    * (suite, source, doc_id — one per matched window) — split out so the
+    * streaming twin can drain its stateless hit stream through the file
+    * sink and run the SAME aggregation post-drain: shared code, so the
+    * live report and the batch report cannot disagree.
+    */
+  private[graft] def attributeContamination(hits: DataFrame,
+                                            srcTot: DataFrame): DataFrame =
+    hits
       .groupBy("suite", "source")
       .agg(countDistinct(col("doc_id")).as("n_docs_flagged"),
            count(lit(1)).as("n_window_hits"))
@@ -1196,7 +1209,6 @@ object TextOps {
         expr("n_docs_flagged * 1000000 div src_docs"))
       .select("suite", "source", "n_docs_flagged", "n_window_hits",
               "src_docs", "flagged_ppm")
-  }
 
   /** Maximal duplicated token spans — the exact-substring dedup unit of
     * work (Lee et al. 2021, "Deduplicating Training Data Makes Language

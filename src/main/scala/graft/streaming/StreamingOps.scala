@@ -571,6 +571,49 @@ object StreamingOps {
     runToTable(spark, agg, OutputMode.Complete())
   }
 
+  /** Streaming twin of the exact-leakage ATTRIBUTION report
+    * ([[graft.operators.TextOps.exactContaminationReport]]), with ZERO
+    * stream state: the plan inside the stream is a per-row explode +
+    * stream-static broadcast join, so every (suite, source, doc_id) hit
+    * row emits under Append the trigger its document lands in and drains
+    * through the NATIVE parquet file sink ([[runAppendToFiles]] — the
+    * driver holds nothing). The (suite × source) attribution, doc
+    * distinct-count and ppm run POST-DRAIN via the batch operator's own
+    * [[graft.operators.TextOps.attributeContamination]] — shared code,
+    * same DuckDB oracle. Exactness needs no cross-trigger state because a
+    * document's windows live wholly inside its trigger and a document
+    * lands exactly once; per-source doc totals are the registrar's batch
+    * aggregate over the same static table the benchmark side rides
+    * (maintaining them live is [[mixReportStreamUpdate]]'s job — one
+    * state row per source, deliberately not duplicated here).
+    */
+  def exactContaminationReportStream(spark: SparkSession, dir: String,
+                                     n: Int = 13): DataFrame = {
+    import graft.operators.TextOps.{shingles, tokens}
+    val suiteExpr = "concat('suite_', CAST((doc_id div 11) % 3 AS STRING))"
+    val benchWh = stagedDerived(spark, dir, "documents",
+        s"bench-suite-wh$n") {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 11 === 0)
+        .withColumn("suite", expr(suiteExpr))
+        .select(col("suite"),
+          explode(array_distinct(shingles(tokens(col("text")), n))).as("w"))
+        .select(col("suite"), md5(col("w")).as("wh")).distinct()
+    }
+    val hits = docsStream(spark, dir)
+      .filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shingles(tokens(col("text")), n))).as("w"))
+      .select(col("doc_id"), col("source"), md5(col("w")).as("wh"))
+      .join(broadcast(benchWh), Seq("wh"))
+      .select("suite", "source", "doc_id")
+    val srcTot = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 11 =!= 0)
+      .groupBy("source").agg(count(lit(1)).as("src_docs"))
+    graft.operators.TextOps.attributeContamination(
+      runAppendToFiles(spark, hits), srcTot)
+  }
+
   /** The release capstone's STATELESS prefix as one Append-mode ingest
     * plan (r18 verdict item 5) — the filter a 100 TB landing zone runs
     * before anything stateful touches a document: the language/quality
@@ -1307,6 +1350,30 @@ object StreamingOps {
       runUpdatesToDeltaLog(spark,
         mixReportAgg(docsStreamSplit(spark, dir, nFiles))),
       Seq("lang", "source")))
+
+  /** Update-mode twin of the mix SOLVER ([[graft.operators.CorpusOps
+    * .mixSolve]]): per-source token totals are the live aggregate (one
+    * state row per source, delta sink — a trigger emits only the sources
+    * its documents touched), and the epoch-capped waterfilling runs
+    * POST-DRAIN over the |sources|-row latest-wins frame via the batch
+    * operator's own [[graft.operators.CorpusOps.mixSolveFromTotals]] —
+    * shared code, so the live mix plan equals the batch plan by
+    * construction (same DuckDB oracle). This is the deployment form of
+    * mix planning: the registrar keeps source totals current as the
+    * corpus lands, and the plan re-derives from the tiny frame on demand
+    * instead of re-scanning the corpus.
+    */
+  def mixSolveStreamUpdate(spark: SparkSession, dir: String,
+                           budgetPct: Long, maxEpochsPct: Long,
+                           nFiles: Int = 4): DataFrame = {
+    val agg = docsStreamSplit(spark, dir, nFiles)
+      .withColumn("n_toks",
+        graft.operators.TextOps.tokenCount(col("text")))
+      .groupBy("source").agg(sum(col("n_toks")).as("n_tokens"))
+    graft.operators.CorpusOps.mixSolveFromTotals(
+      latestPerKey(runUpdatesToDeltaLog(spark, agg), Seq("source")),
+      budgetPct, maxEpochsPct)
+  }
 
   /** Update-mode twin of [[keySkewStream]]: per-key counts, delta sink —
     * only keys that received events in a trigger reach the sink. Same

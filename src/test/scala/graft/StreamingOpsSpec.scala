@@ -859,6 +859,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("live mix solve equals the batch waterfilling plan") {
+    // no complete-mode twin to compare against — the gate is the batch
+    // solver itself (shared post-drain code, shared DuckDB oracle)
+    val live = StreamingOps.mixSolveStreamUpdate(spark, dir,
+        budgetPct = 120, maxEpochsPct = 122)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.CorpusOps.mixSolve(
+        Tables.documents(spark, dir), budgetPct = 120, maxEpochsPct = 122)
+      .collect().map(_.toSeq).toSet
+    assert(live == batch && live.nonEmpty)
+  }
+
+  test("streaming contamination report equals the batch attribution " +
+       "(stateless hit stream, shared post-drain aggregation)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val live = StreamingOps.exactContaminationReportStream(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val docs = Tables.documents(spark, dir)
+    val batch = graft.operators.TextOps.exactContaminationReport(
+        docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("suite",
+            expr("concat('suite_', CAST((doc_id div 11) % 3 AS STRING))")))
+      .collect().map(_.toSeq).toSet
+    assert(live == batch && live.nonEmpty)
+  }
+
   test("update-mode delta log emits O(changed keys), not O(all keys)") {
     // the sf0.001 corpus's 31-token vocabulary appears in EVERY trigger
     // (every key changes every trigger — delta == complete there), so the
