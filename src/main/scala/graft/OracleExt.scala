@@ -3433,6 +3433,19 @@ object OracleExt {
     * residual split — the plan is bit-identical by construction.
     */
   def corpusMixSolve(budgetPct: Long, maxEpochsPct: Long): String = docQ(s"""
+    ${mixSolveCtes(budgetPct, maxEpochsPct)}
+    SELECT source, n_tokens, w_fp, cap_tokens, capped, plan_tokens,
+           CAST(CAST(plan_tokens AS HUGEINT) * 1000000 // n_tokens
+                AS BIGINT) AS epochs_ppm,
+           CAST(CAST(plan_tokens AS HUGEINT) * 1000000 // budget
+                AS BIGINT) AS budget_share_ppm
+    FROM planned ORDER BY source""")
+
+  /** The solver's CTE chain alone (per → wtab → tot → ranked → flagged →
+    * resid → planned), shared by the plan query and the apply query so
+    * the two oracles cannot drift.
+    */
+  private def mixSolveCtes(budgetPct: Long, maxEpochsPct: Long): String = s"""
     , per AS (
       SELECT source, CAST(sum(coalesce(len(toks), 0)) AS BIGINT) AS n_tokens
       FROM docs_tok GROUP BY source
@@ -3470,13 +3483,45 @@ object OracleExt {
                   ELSE CAST(CAST(budget - cap_spent AS HUGEINT) * w_fp
                             // greatest(w_open, 1) AS BIGINT)
              END AS plan_tokens
-      FROM flagged, resid)
-    SELECT source, n_tokens, w_fp, cap_tokens, capped, plan_tokens,
-           CAST(CAST(plan_tokens AS HUGEINT) * 1000000 // n_tokens
-                AS BIGINT) AS epochs_ppm,
-           CAST(CAST(plan_tokens AS HUGEINT) * 1000000 // budget
-                AS BIGINT) AS budget_share_ppm
-    FROM planned ORDER BY source""")
+      FROM flagged, resid)"""
+
+  /** Mirrors CorpusOps.sampleMixApply: the solver's CTE chain verbatim,
+    * then the per-source epoch decomposition — full epochs by integer
+    * division, the partial epoch as a salted-md5-ordered prefix fill
+    * under plan mod n (the sampleTokenBudget fill with salt 'mix'), fill
+    * ratio in ppm via HUGEINT (sampled ~10¹⁴ × 10⁶ needs 128-bit).
+    */
+  def sampleMixApply(budgetPct: Long, maxEpochsPct: Long): String = docQ(s"""
+    ${mixSolveCtes(budgetPct, maxEpochsPct)},
+    rankedfill AS (
+      SELECT source, CAST(len(toks) AS BIGINT) AS n_toks,
+             sum(CAST(len(toks) AS BIGINT)) OVER (
+               PARTITION BY source
+               ORDER BY ${hexParse8("substr(md5('mix:' || doc_id), 1, 8)")},
+                        doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM docs_tok),
+    partialfill AS (
+      SELECT r.source,
+             CAST(count(*) AS BIGINT) AS n_kept_partial,
+             CAST(sum(r.n_toks) AS BIGINT) AS kept_tokens_partial
+      FROM rankedfill r JOIN planned p USING (source)
+      WHERE r.cum <= p.plan_tokens % p.n_tokens
+      GROUP BY r.source)
+    SELECT p.source, p.n_tokens, p.plan_tokens,
+           CAST(p.plan_tokens // p.n_tokens AS BIGINT) AS full_epochs,
+           CAST(coalesce(f.n_kept_partial, 0) AS BIGINT) AS n_kept_partial,
+           CAST(coalesce(f.kept_tokens_partial, 0) AS BIGINT)
+             AS kept_tokens_partial,
+           CAST(p.plan_tokens // p.n_tokens * p.n_tokens
+                + coalesce(f.kept_tokens_partial, 0) AS BIGINT)
+             AS sampled_tokens,
+           CAST(CAST(p.plan_tokens // p.n_tokens * p.n_tokens
+                     + coalesce(f.kept_tokens_partial, 0) AS HUGEINT)
+                * 1000000 // greatest(p.plan_tokens, 1) AS BIGINT)
+             AS plan_fill_ppm
+    FROM planned p LEFT JOIN partialfill f USING (source)
+    ORDER BY source""")
 
   val eventsFunnel: String = s"""
     WITH $EvCte,

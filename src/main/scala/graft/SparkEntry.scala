@@ -1986,6 +1986,14 @@ object SparkEntry {
       graft.operators.CorpusOps.mixReport(T.documents(s, d))
         .orderBy("lang", "source")),
 
+    "sample_mix_apply" -> ((s, d) =>
+      // the solver's plan applied: per-source full-epoch count plus the
+      // md5-ordered partial-epoch fill under plan mod n — same params as
+      // corpus_mix_solve so the two rows read as plan → apply
+      graft.operators.CorpusOps.sampleMixApply(T.documents(s, d),
+          budgetPct = 120, maxEpochsPct = 122)
+        .orderBy("source")),
+
     "corpus_mix_solve" -> ((s, d) =>
       // the mix PLAN the report feeds: epoch-capped sqrt-temperature
       // waterfilling of a 120%-of-corpus token budget under a 1.22-epoch
@@ -2624,6 +2632,8 @@ object SparkEntry {
       OracleExt.corpusMixSolve(budgetPct = 120, maxEpochsPct = 122),
     "docs_stream_mix_solve_update" ->
       OracleExt.corpusMixSolve(budgetPct = 120, maxEpochsPct = 122),
+    "sample_mix_apply" ->
+      OracleExt.sampleMixApply(budgetPct = 120, maxEpochsPct = 122),
     "events_asof_join" -> OracleExt.eventsAsofJoin,
     "events_asof_join_native" -> OracleExt.eventsAsofJoin,
     "events_stream_asof_join" -> OracleExt.eventsAsofJoin,

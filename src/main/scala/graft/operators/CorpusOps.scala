@@ -379,6 +379,60 @@ object CorpusOps {
               "plan_tokens", "epochs_ppm", "budget_share_ppm")
   }
 
+  /** APPLIES the mix plan ([[mixSolve]]) — the step between the solver's
+    * per-source token allocation and an actual training manifest: each
+    * source's plan decomposes into FULL epochs (plan div n — every doc,
+    * repeated) plus a PARTIAL epoch filled deterministically by
+    * salted-md5 order (the [[sampleTokenBudget]] fill, salt "mix") up to
+    * plan mod n tokens. The output is the per-source epoch table a run
+    * config consumes: how many full passes, how many docs and tokens of
+    * the fractional pass, and the realized fill ratio in ppm (< 10⁶ only
+    * by the granularity of the boundary document — the solver's token
+    * budget cannot always be hit exactly by whole docs).
+    *
+    * Scale shape: the plan is the solver's own |sources|-row frame
+    * (shared code — apply and plan cannot disagree) and BROADCASTS onto
+    * the one corpus pass the partial fill needs: a per-source cumulative
+    * window (sort within source partitions, never global), then a
+    * partial-agg'd per-source count. Two corpus scans total (solver
+    * totals + fill), both shuffle-bounded by |sources| output rows.
+    */
+  def sampleMixApply(docs: DataFrame, budgetPct: Long = 120,
+                     maxEpochsPct: Long = 150): DataFrame = {
+    val plan = mixSolve(docs, budgetPct, maxEpochsPct)
+      .select("source", "n_tokens", "plan_tokens")
+    val w = Window.partitionBy("source")
+      .orderBy(hashUniform("mix", col("doc_id")), col("doc_id"))
+    val ranked = docs
+      .withColumn("n_toks", TextOps.tokenCount(col("text")))
+      .withColumn("cum_tokens",
+        sum(col("n_toks")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("source", "n_toks", "cum_tokens")
+    val partial = ranked.join(broadcast(plan), Seq("source"))
+      .filter(col("cum_tokens") <= expr("plan_tokens % n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept_partial"),
+           sum(col("n_toks")).as("kept_tokens_partial"))
+    plan.join(partial, Seq("source"), "left")
+      .withColumn("n_kept_partial",
+        coalesce(col("n_kept_partial"), lit(0L)))
+      .withColumn("kept_tokens_partial",
+        coalesce(col("kept_tokens_partial"), lit(0L)))
+      .withColumn("full_epochs", expr("plan_tokens div n_tokens"))
+      .withColumn("sampled_tokens",
+        expr("full_epochs * n_tokens + kept_tokens_partial"))
+      .withColumn("plan_fill_ppm", expr(
+        // sampled ~10¹⁴ × 10⁶ overflows BIGINT — 128-bit like the solver;
+        // greatest(plan, 1): a zero plan row cannot occur with sane
+        // params (budget > 0 ⇒ every uncapped share > 0, caps > 0), the
+        // guard only keeps ANSI division total on both engines
+        """CAST(CAST(sampled_tokens AS DECIMAL(38,0)) * 1000000
+           div greatest(plan_tokens, 1L) AS BIGINT)"""))
+      .select("source", "n_tokens", "plan_tokens", "full_epochs",
+              "n_kept_partial", "kept_tokens_partial", "sampled_tokens",
+              "plan_fill_ppm")
+  }
+
   /** Temperature-weighted source sampling — the training-mix step that
     * up-weights small sources and down-weights dominant ones: source i
     * gets sampling mass ∝ n_i^α with α = 1/2 (the "temperature"; α = 1 is

@@ -354,6 +354,31 @@ class CorpusOpsSpec extends AnyFunSuite {
       plan <= cap })
   }
 
+  test("mix apply decomposes the plan into full epochs + md5 partial fill") {
+    // same masses as the solver test (400/100/4 → plan 330/165/8) but
+    // with EQUAL-size docs per source, so the partial-fill counts are
+    // independent of the md5 pick order: big = 40×10 (full 0, partial
+    // 330 → 33 docs/330 toks, ppm exactly 10⁶), mid = 10×10 (full 1,
+    // partial 65 → 6 docs/60 toks, sampled 160, ppm 160e6 div 165 =
+    // 969696), tiny = 1×4 (full 2, partial 0 → fill left-join misses →
+    // coalesced zeros, sampled = plan = 8, ppm 10⁶)
+    def docsOf(src: String, n: Int, size: Int, base: Long) =
+      (0 until n).map(i =>
+        (base + i, Seq.fill(size)("w").mkString(" "), "en", src,
+         size.toLong))
+    val docs = (docsOf("big", 40, 10, 1000) ++ docsOf("mid", 10, 10, 2000)
+        ++ docsOf("tiny", 1, 4, 3000))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.sampleMixApply(docs, budgetPct = 100,
+        maxEpochsPct = 200)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out("big") == ((400L, 330L, 0L, 33L, 330L, 330L, 1000000L)))
+    assert(out("mid") == ((100L, 165L, 1L, 6L, 60L, 160L, 969696L)))
+    assert(out("tiny") == ((4L, 8L, 2L, 0L, 0L, 8L, 1000000L)))
+  }
+
   test("mix solve drops token-less sources and survives all-capped") {
     val docs = Seq(
       (1L, "a b c d", "en", "real", 7L),
