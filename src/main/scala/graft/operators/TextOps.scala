@@ -1161,7 +1161,9 @@ object TextOps {
   /** Per-(benchmark-suite × corpus-source) exact-leakage ATTRIBUTION — the
     * breakdown a data lead reads after [[exactSubstringContamination]]
     * says "something leaked": WHICH eval suite leaked into WHICH ingest
-    * source, how many docs and distinct matched n-token windows, and each
+    * source, how many docs and window hits (one hit per doc × per-doc
+    * DISTINCT matched window — a window repeated inside one doc counts
+    * once, the same window in two docs counts twice), and each
     * source's flagged fraction in integer ppm (the number that decides
     * whether a source is quarantined wholesale or spot-trimmed).
     * `benchmark` carries a `suite` column; a window shared by two suites
