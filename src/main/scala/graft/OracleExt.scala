@@ -1239,7 +1239,11 @@ object OracleExt {
     FROM r WHERE rk <= 25 ORDER BY lang, rk"""
 
   /** capacity=512, nShards=8 — constants must match the SparkEntry call. */
-  val corpusPackSequences: String = docQ(s"""
+  /** The concat-and-chunk offset CTEs (shard assign + per-shard running
+    * token offset) shared by the pack query and its efficiency report —
+    * one definition, two consumers, the mixSolveCtes discipline.
+    */
+  private val PackOffsetsCtes: String = s"""
     , sized AS (
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
              ${hexParse8("substr(md5('shard:' || doc_id), 1, 8)")} % 8 AS shard
@@ -1250,12 +1254,41 @@ object OracleExt {
                PARTITION BY shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS start_offset
-      FROM sized)
+      FROM sized)"""
+
+  val corpusPackSequences: String = docQ(s"""
+    $PackOffsetsCtes
     SELECT shard, CAST(start_offset // 512 AS BIGINT) AS seq_id,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
     FROM offsets GROUP BY shard, start_offset // 512
     ORDER BY shard, seq_id""")
+
+  /** Mirrors CorpusOps.packReport: the pack query's offset CTEs verbatim,
+    * then per-shard tail waste and boundary-crossing doc counts — all
+    * BIGINT (waste < capacity, so no 128-bit needed anywhere).
+    */
+  val corpusPackReport: String = docQ(s"""
+    $PackOffsetsCtes,
+    per AS (
+      SELECT shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN n_tokens > 0 AND
+                        (start_offset + n_tokens - 1) // 512
+                          <> start_offset // 512
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split
+      FROM offsets GROUP BY shard)
+    SELECT shard, n_docs, total_tokens,
+           CAST((total_tokens + 511) // 512 AS BIGINT) AS n_seqs,
+           CAST((total_tokens + 511) // 512 * 512 - total_tokens AS BIGINT)
+             AS tail_waste_tokens,
+           CAST(((total_tokens + 511) // 512 * 512 - total_tokens) * 1000000
+                // greatest((total_tokens + 511) // 512 * 512, 1) AS BIGINT)
+             AS waste_ppm,
+           n_docs_split,
+           CAST(n_docs_split * 1000000 // n_docs AS BIGINT) AS split_ppm
+    FROM per ORDER BY shard""")
 
   def corpusShard(nShards: Int): String = s"""
     WITH s AS (

@@ -1104,6 +1104,13 @@ object SparkEntry {
           T.documents(s, d), capacityTokens = 512, nShards = 8)
         .orderBy("shard", "seq_id")),
 
+    "corpus_pack_report" -> ((s, d) =>
+      // packing-efficiency sign-off for the same 512-token/8-shard pack:
+      // per-shard tail waste + boundary-crossing (fragmented) docs in ppm
+      graft.operators.CorpusOps.packReport(
+          T.documents(s, d), capacityTokens = 512, nShards = 8)
+        .orderBy("shard")),
+
     "corpus_shard" -> ((s, d) =>
       graft.operators.CorpusOps.shardAssign(T.documents(s, d), nShards = 8)
         .orderBy("shard")),
@@ -2541,6 +2548,7 @@ object SparkEntry {
     "docs_stream_importance" -> OracleExt.dsirWeights(64,
       "lang = 'en' AND doc_id % 7 = 0"),
     "corpus_pack_sequences" -> OracleExt.corpusPackSequences,
+    "corpus_pack_report" -> OracleExt.corpusPackReport,
     "pii_scrub" -> OracleExt.piiScrub,
     "tfidf_top_terms" -> OracleExt.tfidfTopTerms,
     "decontaminate_semantic" -> OracleExt.decontaminateSemantic(0.4),

@@ -685,6 +685,56 @@ object CorpusOps {
            sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  /** Packing-efficiency REPORT for [[packSequences]] — the sign-off a
+    * training engineer reads before shipping packed shards. The pack
+    * model is concatenate-and-chunk (GPT-style: documents stream into
+    * fixed-capacity sequences, a document may span a boundary), so there
+    * is no per-sequence padding — the two numbers that matter are:
+    * TAIL waste (each shard's final partial sequence: n_seqs·capacity −
+    * total_tokens, in ppm of the shard's sequence capacity) and
+    * FRAGMENTATION (documents whose token span crosses a sequence
+    * boundary — the docs that get truncated context or cross-doc
+    * attention contamination, in ppm of the shard's docs). Zero-token
+    * docs cannot cross a boundary and are excluded from the split count
+    * (their span is empty), but they do count as docs.
+    *
+    * Scale shape: the SAME per-shard offset window as [[packSequences]]
+    * (sorts inside shard partitions, never global) followed by one
+    * partial-agg'd per-shard aggregate; the waste/split arithmetic runs
+    * on the |shards|-row frame. All integer: waste < capacity, so every
+    * ppm term fits BIGINT outright.
+    */
+  def packReport(docs: DataFrame, capacityTokens: Int,
+                 nShards: Int): DataFrame = {
+    val cap = capacityTokens.toLong
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    docs
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      .withColumn("shard", hashUniform("shard", col("doc_id")) % nShards)
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("splits", expr(
+        s"""CASE WHEN n_tokens > 0 AND
+             (start_offset + n_tokens - 1) div $cap != start_offset div $cap
+           THEN 1L ELSE 0L END"""))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           sum(col("splits")).as("n_docs_split"))
+      .withColumn("n_seqs",
+        expr(s"(total_tokens + ${cap - 1}) div $cap"))
+      .withColumn("tail_waste_tokens",
+        expr(s"n_seqs * ${cap}L - total_tokens"))
+      .withColumn("waste_ppm", expr(
+        // greatest(..., 1): an all-zero-token shard has n_seqs = 0; the
+        // guard keeps ANSI division total (waste is 0 there anyway)
+        s"tail_waste_tokens * 1000000 div greatest(n_seqs * ${cap}L, 1L)"))
+      .withColumn("split_ppm", expr("n_docs_split * 1000000 div n_docs"))
+      .select("shard", "n_docs", "total_tokens", "n_seqs",
+              "tail_waste_tokens", "waste_ppm", "n_docs_split", "split_ppm")
+  }
+
   /** Deterministic shard assignment for training output: shard =
     * md5-uniform(doc_id) mod nShards. Returns per-shard stats; the write
     * path at scale is `repartition(nShards, col("shard")).write` so each

@@ -395,6 +395,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getBoolean(4) && r.getLong(5) == 6L) // plan = cap = 4*150/100
   }
 
+  test("pack report counts tail waste and boundary-crossing docs") {
+    // one shard (nShards = 1 → assignment irrelevant), capacity 10,
+    // doc_id order = pack order: sizes 4/0/4/4 at offsets 0/4/4/8 —
+    // only the last doc spans the seq boundary at 10 (tokens 8..11);
+    // the zero-token doc cannot split. total 12 → 2 seqs, tail waste
+    // 8 of 20 slots = 400000 ppm; splits 1 of 4 docs = 250000 ppm.
+    def doc(id: Long, n: Int) =
+      (id, if (n == 0) "" else Seq.fill(n)("w").mkString(" "), "en", "s",
+       n.toLong)
+    val docs = Seq(doc(1, 4), doc(2, 0), doc(3, 4), doc(4, 4))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.packReport(docs, capacityTokens = 10, nShards = 1)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((4L, 12L, 2L, 8L, 400000L, 1L, 250000L)))
+  }
+
   test("shard assignment is total and deterministic") {
     val docs = (1L to 100L).map(i => (i, "en", "s", 7L, s"t$i"))
       .toDF("doc_id", "lang", "source", "n_chars", "text")
