@@ -64,21 +64,45 @@ object CorpusOps {
     // otherwise carries the producing plan's estimate, which the next
     // round's three-way consumption compounds geometrically until stats
     // PLANNING dominates the loop (Barriers.withSizeEstimate scaladoc).
-    // Row counts are one cheap action each over just-materialized blocks;
-    // both frames are two longs wide.
-    val symRaw = LoopProbe.timed("cc", 0, "edges") { edges
+    // Barriers are LAZY here (r19 optimization): the action that needs a
+    // frame's scalar (count / convergence sum) also computes and caches
+    // its blocks, so every round is ONE job instead of a
+    // materialize-then-aggregate pair.
+    val symRaw = Barriers.materialize(edges
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .transform(Barriers.materialize(_, eager = true)) }
-    val sym = Barriers.withSizeEstimate(symRaw, symRaw.count(), 32)
-    val labels0 = LoopProbe.timed("cc", 0, "labels0") { nodes
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .transform(Barriers.materialize(_, eager = true)) }
-    val nNodes = labels0.count()
-    var labels = Barriers.withSizeEstimate(labels0, nNodes, 32)
-    var prevSum = Option.empty[Long]
-    var converged = false
-    var iter = 0
+      .unionAll(edges.select(col("doc_b").as("src"),
+                             col("doc_a").as("dst"))))
+    val sym = Barriers.withSizeEstimate(symRaw,
+      LoopProbe.timed("cc", 0, "edges") { symRaw.count() }, 32)
+    // Round 1 runs SPECIALIZED (r19 optimization): the label table is the
+    // identity at entry, so the dst-label lookup join degenerates to
+    // min(dst) over the raw edges and the pointer jump (label of own
+    // label) is the identity — round 1 is one groupBy + one left join,
+    // not three joins. Its action also folds in the node count and BOTH
+    // convergence sums: sum(doc_id) is the identity fixpoint's sum, so an
+    // edgeless/self-loop-only graph converges without entering the
+    // generic loop at all.
+    val l1Raw = Barriers.materialize(nodes
+      .select(col("doc_id"))
+      .join(sym.groupBy(col("src").as("doc_id"))
+               .agg(min(col("dst")).as("nbr_min")),
+            Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("nbr_min"), col("doc_id")))
+          .as("cluster_id")))
+    val r1 = LoopProbe.timed("cc", 1, "round") {
+      l1Raw.agg(count(lit(1)),
+                coalesce(sum(col("doc_id")), lit(0L)),
+                coalesce(sum(col("cluster_id")), lit(0L))).head() }
+    val nNodes = r1.getLong(0)
+    val idSum = r1.getLong(1)
+    var curSum = r1.getLong(2)
+    var labels = Barriers.withSizeEstimate(l1Raw, nNodes, 32)
+    // sum unchanged from the identity ⇒ least() kept every doc_id (each
+    // term is ≤ its identity value, so sum equality is pointwise
+    // equality) ⇒ no edge connects distinct ids — already the fixpoint
+    var converged = curSum == idSum
+    var iter = if (converged) 0 else 1
     // `iter` counts label-DECREASING rounds; the round that confirms the
     // fixpoint (sum unchanged) doesn't increment it. `<=` admits that
     // confirming round when the diameter is exactly maxIter — the labels
@@ -96,26 +120,25 @@ object CorpusOps {
                             col("cluster_id").as("jump_lab")),
               Seq("cluster_id"))
         .select(col("doc_id"), col("jump_lab"))
-      val next = Barriers.withSizeEstimate(
-        LoopProbe.timed("cc", iter + 1, "round") {
-          labels
-            .join(nbrMin, Seq("doc_id"), "left_outer")
-            .join(jump, Seq("doc_id"))
-            .select(col("doc_id"),
-              least(col("cluster_id"),
-                    coalesce(col("nbr_min"), col("cluster_id")),
-                    col("jump_lab")).as("cluster_id"))
-            .transform(Barriers.materialize(_, eager = true)) },
-        nNodes, 32)
-      val s = LoopProbe.timed("cc", iter + 1, "sum") {
-        next.agg(coalesce(sum(col("cluster_id")), lit(0L)))
+      val nextRaw = Barriers.materialize(labels
+        .join(nbrMin, Seq("doc_id"), "left_outer")
+        .join(jump, Seq("doc_id"))
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+                coalesce(col("nbr_min"), col("cluster_id")),
+                col("jump_lab")).as("cluster_id")))
+      // one action: computes the round, caches the barrier blocks, and
+      // returns the convergence sum
+      val s = LoopProbe.timed("cc", iter + 1, "round") {
+        nextRaw.agg(coalesce(sum(col("cluster_id")), lit(0L)))
           .head().getLong(0) }
+      val next = Barriers.withSizeEstimate(nextRaw, nNodes, 32)
       // the old round's blocks are dead once `next` is materialized —
       // without this, persist/localCheckpoint pins one label copy per round
       Barriers.release(labels)
       labels = next
-      if (prevSum.contains(s)) converged = true
-      else { prevSum = Some(s); iter += 1 }
+      if (s == curSum) converged = true
+      else { curSum = s; iter += 1 }
     }
     Barriers.release(sym)
     // Fail loudly: a non-fixpoint result carries split cluster ids, and a
@@ -157,14 +180,18 @@ object CorpusOps {
     * over the corpus, no second pass over text).
     */
   def keepBestPerCluster(assign: DataFrame, docs: DataFrame): DataFrame = {
-    val sized = assign
-      .select("doc_id", "cluster_id")
+    val ids = assign.select("doc_id", "cluster_id")
+    val keepers = ids
       .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
-    val keepers = sized.groupBy("cluster_id")
+      .groupBy("cluster_id")
       .agg(max(struct(col("n_chars"), (-col("doc_id")).as("negid"),
         col("doc_id"))).as("m"))
       .select(col("cluster_id"), col("m.doc_id").as("keeper_id"))
-    sized.join(keepers, Seq("cluster_id"))
+    // verdict join keys on the bare assignment, not the sized frame:
+    // n_chars is not in the output, so re-deriving the docs join on this
+    // side only re-shuffled the corpus a second time (r19 optimization —
+    // one less corpus-wide join per drop-list query)
+    ids.join(keepers, Seq("cluster_id"))
       .withColumn("dropped", col("doc_id") =!= col("keeper_id"))
       .select("doc_id", "cluster_id", "keeper_id", "dropped")
   }

@@ -621,19 +621,30 @@ object TextOps {
       .drop((0 until nMd5).map(h => s"_h$h") :+ "_sh": _*)
   }
 
-  /** LSH banding: b bands of r=k/b signature rows each; docs sharing any
-    * band hash are near-duplicate candidates. Candidate generation is a
-    * self-equi-join on the band hash — shuffle on band, never O(n²).
+  /** Exploded (doc_id, band) LSH keys via the BATCH signature path
+    * (explode + partial-agg [[withMinhashSignature]], then the band
+    * concat) — bit-identical band values to [[withMinhashBandKeys]]'s
+    * per-row projection, but codegen'd end to end. Shared by
+    * [[minhashCandidates]] and [[incrementalDedupSurvivors]] so the batch
+    * operators all take the corpus-scan-appropriate form.
     */
-  def minhashCandidates(docs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame = {
+  private[operators] def bandedKeys(docs: DataFrame, k: Int,
+                                    bands: Int): DataFrame = {
     val r = k / bands
     val sigs = withMinhashSignature(docs, k)
     val bandCols = (0 until bands).map { j =>
       md5(concat_ws("|",
         lit(j.toString) +: (0 until r).map(i => col(s"sig${j * r + i}")): _*))
     }
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+  }
+
+  /** LSH banding: b bands of r=k/b signature rows each; docs sharing any
+    * band hash are near-duplicate candidates. Candidate generation is a
+    * self-equi-join on the band hash — shuffle on band, never O(n²).
+    */
+  def minhashCandidates(docs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame = {
+    val banded = bandedKeys(docs, k, bands)
       // both sides of the candidate self-join read this frame — without a
       // barrier the whole shingle→signature pipeline runs twice
       .transform(Barriers.materialize(_))
@@ -748,10 +759,16 @@ object TextOps {
       .filter(col("rk") === 1)
       .join(histHashes, Seq("content_hash"), "left_anti")
       .select("doc_id", "content_hash")
-    val histBands = withMinhashBandKeys(history, k, bands)
-      .select(explode(col("bands")).as("band")).distinct()
-    val batchBands = withMinhashBandKeys(batch, k, bands)
-      .select(col("doc_id"), explode(col("bands")).as("band"))
+    // batch operator ⇒ batch band form (r19 optimization): the per-row
+    // projection [[withMinhashBandKeys]] evaluates its transform/array_min
+    // chain INTERPRETED — right for one-document streaming ingest, wrong
+    // for a corpus scan (its own scaladoc) — while [[bandedKeys]] is the
+    // codegen'd explode + partial-agg path with bit-identical band values.
+    // batchBands feeds three consumers (shadow self-join sides + the
+    // history screen), so it is barriered once.
+    val histBands = bandedKeys(history, k, bands)
+      .select("band").distinct()
+    val batchBands = Barriers.materialize(bandedKeys(batch, k, bands))
     val shadowed = batchBands.as("a")
       .join(batchBands.as("b"),
         col("a.band") === col("b.band") && col("b.doc_id") < col("a.doc_id"))
