@@ -114,7 +114,15 @@ object CorpusOps {
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_lab")).as("nbr_min"))
       // pointer jump: label(label(v)) — every label IS a node id, so the
-      // lookup is an inner equi-join of the label table against itself
+      // lookup is an inner equi-join of the label table against itself.
+      // (A second jump per round was measured in this round's r19 probe:
+      // rounds went only 9→8 on the winnowed graph and 8→8 on the cosine
+      // graph — with ids placed randomly along a chain the jump chain
+      // doesn't compress, nbrMin does the propagation — so the extra
+      // n-row join per round doesn't pay. The accelerator that DOES
+      // help adversarial long-chain graphs is edge contraction
+      // (label-graph propagation, Kiveris et al.); left unimplemented —
+      // these graphs converge in ≤ 9 rounds without it.)
       val jump = labels
         .join(labels.select(col("doc_id").as("cluster_id"),
                             col("cluster_id").as("jump_lab")),

@@ -46,7 +46,11 @@ object LoopDrift {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.operators.LoopProbe.enable()
-    val queries = Seq("embedding_kmeans_assign", "dedup_clusters_cosine")
+    // SPARK_GRAFT_LOOP_QUERIES overrides the audited pair — any declared
+    // query that drives a LoopProbe'd fixed-point loop can be probed
+    val queries = sys.env.get("SPARK_GRAFT_LOOP_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("embedding_kmeans_assign", "dedup_clusters_cosine"))
     for (name <- queries; r <- 1 to reps) {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
