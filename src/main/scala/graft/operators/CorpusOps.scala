@@ -68,10 +68,15 @@ object CorpusOps {
     // frame's scalar (count / convergence sum) also computes and caches
     // its blocks, so every round is ONE job instead of a
     // materialize-then-aggregate pair.
+    // both directions in ONE pass over the edge plan: the former
+    // unionAll of two projections duplicated the (un-barriered) pair
+    // pipeline feeding `edges` — the banded self-join + groupBy ran
+    // twice per CC invocation (r19 optimization)
     val symRaw = Barriers.materialize(edges
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(edges.select(col("doc_b").as("src"),
-                             col("doc_a").as("dst"))))
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val sym = Barriers.withSizeEstimate(symRaw,
       LoopProbe.timed("cc", 0, "edges") { symRaw.count() }, 32)
     // Round 1 runs SPECIALIZED (r19 optimization): the label table is the

@@ -186,7 +186,16 @@ object StreamingOps {
     // no concurrent observer.
     val overrides =
       Map("spark.sql.shuffle.partitions" -> streamShufflePartitions(spark)) ++
-        (if (largeState) Map(StateProviderKey -> RocksDBProvider) else Map.empty)
+        (if (largeState) Map(
+          StateProviderKey -> RocksDBProvider,
+          // changelog checkpointing commits only the trigger's delta to
+          // the checkpoint instead of snapshotting each store's full
+          // SST set per commit — the commit path for frequent triggers
+          // over table-sized state at any scale (A/B'd at sf0.1 in r19:
+          // see OPTIMIZATION_r19.md; overridable for re-measurement)
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+            sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"))
+        else Map.empty)
     val saved = overrides.keys
       .map(k => k -> spark.conf.getOption(k)).toMap
     def restore(): Unit = saved.foreach {
