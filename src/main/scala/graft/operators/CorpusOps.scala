@@ -60,14 +60,74 @@ object CorpusOps {
     */
   def connectedComponents(
       nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Implementation knob (r20 optimization): `contract` (default) is the
+    // edge-contraction loop below — O(log n) rounds on EVERY graph shape,
+    // measured ~half the rounds of the jump loop on the declared
+    // winnowed/cosine graphs. `jump` keeps the r19 label-propagation loop
+    // for A/B re-measurement; both compute the identical fixpoint (min
+    // node id per component) and the oracle verifies them interchangeably.
+    val impl = nodes.sparkSession.conf.getOption("graft.cc.impl")
+      .orElse(sys.env.get("SPARK_GRAFT_CC_IMPL")).getOrElse("contract")
+    impl match {
+      case "contract" => connectedComponentsContract(nodes, edges, maxIter)
+      case "jump"     => connectedComponentsJump(nodes, edges, maxIter)
+      case other => throw new IllegalArgumentException(
+        s"graft.cc.impl must be contract|jump, got: $other")
+    }
+  }
+
+  /** Edge-contraction connected components (r20 — the Kiveris et al.
+    * "label-graph propagation" accelerator the r19 round left on the
+    * table): after the specialized round 1, the loop runs on the
+    * CONTRACTED label graph, not the doc-level edge list. Each round
+    * builds the supernode map
+    *
+    *   m(s) = min(s, min over E-neighbors of s, label(s))
+    *
+    * over the current label image, rewrites both the label table and the
+    * edge graph through it, and terminates when the contracted graph has
+    * no edges left — at which point every component has collapsed to one
+    * supernode and labels are exactly the component minimum.
+    *
+    * Why both terms: contraction alone (min-neighbor hooking) shrinks
+    * RANDOM-id chains geometrically (~2-3× per round — local minima
+    * absorb both neighbors) but degenerates to one hop per round on
+    * ORDERED-id chains (the min-neighbor map is injective there, nothing
+    * merges); the jump term label(s) — the label of the supernode's own
+    * node row — composes reach across rounds exactly as the r19 loop's
+    * label(label(v)) did, covering 2^rounds hops on ordered chains. The
+    * hybrid is never slower than either accelerator alone (simulated:
+    * random 200-path 69→8 rounds, ordered 200-path 9→9, 100k-path ≤18
+    * rounds from either id placement, grids 20→6).
+    *
+    * Convergence proof sketch: labels only decrease (every m term is ≤ s
+    * or a label of a connected node); E_r is by induction exactly
+    * {(lab_r(u), lab_r(v)) : (u,v) ∈ sym, labels differ} (m rewrites
+    * every doc with label s to the same m(s), so the edge rewrite and the
+    * label rewrite cannot disagree); E empty ⇒ labels constant across
+    * every edge ⇒ constant per component ⇒ the component min, which
+    * always labels itself.
+    *
+    * Scale shape per round: one groupBy(min) + the map joins over the
+    * SHRINKING contracted edge graph plus two keyed passes over the label
+    * table — strictly less than the r19 loop's three corpus-keyed joins
+    * once the graph contracts, and half the rounds. Each round is ONE
+    * job: the convergence action is a tagged union of single-row counts
+    * over the new edge frame and the new label frame, so both materialize
+    * (and the old round's blocks release) in the same action.
+    *
+    * Edge endpoints are expected to be ⊆ `nodes` (every declared caller
+    * satisfies it). A foreign endpoint is tolerated with DEFINED
+    * semantics: it conducts connectivity and may surface as a component's
+    * label if it is the smallest id (the jump lookup is a left join, so
+    * no row is ever dropped — the r19 ADVICE latent-drop case).
+    */
+  private[graft] def connectedComponentsContract(
+      nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // Honest size estimates on every materialized frame: the checkpoint
-    // otherwise carries the producing plan's estimate, which the next
-    // round's three-way consumption compounds geometrically until stats
-    // PLANNING dominates the loop (Barriers.withSizeEstimate scaladoc).
-    // Barriers are LAZY here (r19 optimization): the action that needs a
-    // frame's scalar (count / convergence sum) also computes and caches
-    // its blocks, so every round is ONE job instead of a
-    // materialize-then-aggregate pair.
+    // otherwise carries the producing plan's estimate, which repeated
+    // consumption compounds geometrically until stats PLANNING dominates
+    // the loop (Barriers.withSizeEstimate scaladoc).
     // both directions in ONE pass over the edge plan: the former
     // unionAll of two projections duplicated the (un-barriered) pair
     // pipeline feeding `edges` — the banded self-join + groupBy ran
@@ -77,16 +137,122 @@ object CorpusOps {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    val symCount = LoopProbe.timed("cc", 0, "edges") { symRaw.count() }
+    val sym = Barriers.withSizeEstimate(symRaw, symCount, 32)
+    // Round 1 runs SPECIALIZED (r19 optimization, kept): the label table
+    // is the identity at entry, so the dst-label lookup join degenerates
+    // to min(dst) over the raw edges — one groupBy + one left join.
+    val l1Raw = Barriers.materialize(nodes
+      .select(col("doc_id"))
+      .join(sym.groupBy(col("src").as("doc_id"))
+               .agg(min(col("dst")).as("nbr_min")),
+            Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("nbr_min"), col("doc_id")))
+          .as("cluster_id")))
+    // The contracted label graph after round 1: sym rewritten through the
+    // round-1 labels (left joins — a foreign endpoint keeps its own id).
+    // ONE tagged-union action materializes l1 AND e1 and returns both
+    // counts (two single-row aggregate branches in one job; l1's lazy
+    // blocks are computed once and shared by its three consumers here).
+    val e1Raw = Barriers.materialize(sym
+      .join(l1Raw.select(col("doc_id").as("src"),
+                         col("cluster_id").as("src_t")), Seq("src"), "left_outer")
+      .join(l1Raw.select(col("doc_id").as("dst"),
+                         col("cluster_id").as("dst_t")), Seq("dst"), "left_outer")
+      .select(coalesce(col("src_t"), col("src")).as("src"),
+              coalesce(col("dst_t"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    def twoCounts(tagA: String, a: DataFrame, b: DataFrame): (Long, Long) = {
+      val rows = a.agg(count(lit(1)).as("n")).select(lit(tagA).as("t"), col("n"))
+        .unionAll(b.agg(count(lit(1)).as("n")).select(lit("b").as("t"), col("n")))
+        .collect()
+      val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      (m(tagA), m("b"))
+    }
+    val (nNodes, e1Count) = LoopProbe.timed("cc", 1, "round") {
+      twoCounts("l", l1Raw, e1Raw)
+    }
+    var labels = Barriers.withSizeEstimate(l1Raw, nNodes, 32)
+    var e = Barriers.withSizeEstimate(e1Raw, e1Count, 32)
+    var eCount = e1Count
+    Barriers.release(sym)
+    var iter = 0
+    while (eCount > 0 && iter < maxIter) {
+      // supernode map over the current label image: least of (self,
+      // cluster-level neighbor min, jump = the label of the supernode's
+      // own node row). The jump lookup is a LEFT join so a label that is
+      // not a node id (foreign edge endpoint) stays inert instead of
+      // dropping rows. Only CHANGED supernodes are kept — the map shrinks
+      // with the graph and the rewrites below left-join + coalesce.
+      val nbrMin = e.groupBy(col("src").as("s"))
+        .agg(min(col("dst")).as("nbr_min"))
+      val mRaw = Barriers.materialize(labels
+        .select(col("cluster_id").as("s")).distinct()
+        .join(labels.select(col("doc_id").as("s"),
+                            col("cluster_id").as("lab_s")),
+              Seq("s"), "left_outer")
+        .join(nbrMin, Seq("s"), "left_outer")
+        .select(col("s"),
+          least(col("s"), coalesce(col("lab_s"), col("s")),
+                coalesce(col("nbr_min"), col("s"))).as("t"))
+        .filter(col("t") =!= col("s")))
+      val nextLabelsRaw = Barriers.materialize(labels
+        .join(mRaw.select(col("s").as("cluster_id"), col("t")),
+              Seq("cluster_id"), "left_outer")
+        .select(col("doc_id"),
+                coalesce(col("t"), col("cluster_id")).as("cluster_id")))
+      val nextERaw = Barriers.materialize(e
+        .join(mRaw.select(col("s").as("src"), col("t").as("src_t")),
+              Seq("src"), "left_outer")
+        .join(mRaw.select(col("s").as("dst"), col("t").as("dst_t")),
+              Seq("dst"), "left_outer")
+        .select(coalesce(col("src_t"), col("src")).as("src"),
+                coalesce(col("dst_t"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+      // one action per round: materializes m, the new labels and the new
+      // edge graph, and returns both convergence counts
+      val (nLab, nE) = LoopProbe.timed("cc", iter + 2, "round") {
+        twoCounts("l", nextLabelsRaw, nextERaw)
+      }
+      require(nLab == nNodes) // the left-join rewrite preserves every row
+      // the old round's blocks are dead once the new frames are
+      // materialized — without this, one copy per round stays pinned
+      Barriers.release(labels)
+      Barriers.release(e)
+      Barriers.release(mRaw)
+      labels = Barriers.withSizeEstimate(nextLabelsRaw, nNodes, 32)
+      e = Barriers.withSizeEstimate(nextERaw, nE, 32)
+      eCount = nE
+      iter += 1
+    }
+    // Fail loudly: a non-empty contracted graph carries split cluster
+    // ids, and a downstream dedup would silently keep duplicates.
+    if (eCount > 0)
+      throw new IllegalStateException(
+        s"connectedComponents: contracted graph not empty after $maxIter " +
+        "rounds — contraction + jump cover ~2^maxIter-hop components; " +
+        "raise maxIter, and check the edge set for a percolated giant " +
+        "component (threshold too low for the corpus)")
+    labels
+  }
+
+  /** The r19 label-propagation loop (min over self / neighbor labels /
+    * label-of-own-label, pointer jumping) — kept verbatim behind
+    * `graft.cc.impl = jump` for A/B re-measurement against the
+    * contraction loop above; same fixpoint, same oracle.
+    */
+  private[graft] def connectedComponentsJump(
+      nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val symRaw = Barriers.materialize(edges
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val sym = Barriers.withSizeEstimate(symRaw,
       LoopProbe.timed("cc", 0, "edges") { symRaw.count() }, 32)
-    // Round 1 runs SPECIALIZED (r19 optimization): the label table is the
-    // identity at entry, so the dst-label lookup join degenerates to
-    // min(dst) over the raw edges and the pointer jump (label of own
-    // label) is the identity — round 1 is one groupBy + one left join,
-    // not three joins. Its action also folds in the node count and BOTH
-    // convergence sums: sum(doc_id) is the identity fixpoint's sum, so an
-    // edgeless/self-loop-only graph converges without entering the
-    // generic loop at all.
     val l1Raw = Barriers.materialize(nodes
       .select(col("doc_id"))
       .join(sym.groupBy(col("src").as("doc_id"))

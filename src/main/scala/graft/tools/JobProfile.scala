@@ -13,7 +13,17 @@ import org.apache.spark.scheduler._
   */
 object JobProfile {
   def main(args: Array[String]): Unit = {
+    // r19 ADVICE: usage on bad arity / unknown query, not a MatchError
+    if (args.length < 2) {
+      System.err.println(
+        "usage: runMain graft.tools.JobProfile <sfDir> <queryName> [reps]")
+      sys.exit(2)
+    }
     val Array(sfDir, name) = args.take(2)
+    if (!graft.SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query: $name (see SparkEntry.queries)")
+      sys.exit(2)
+    }
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -13,8 +13,20 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    // r19 ADVICE: usage on bad arity / unknown query, not a MatchError
+    if (args.length < 4) {
+      System.err.println("usage: runMain graft.tools.PlanDump " +
+        "<sfDir> <outDir> <suffix> <q1,q2,...>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, suffix, qlist) = args.take(4)
     val names = qlist.split(",").map(_.trim).filter(_.nonEmpty)
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.mkString(",")} (see SparkEntry.queries)")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

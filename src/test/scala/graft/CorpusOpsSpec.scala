@@ -48,16 +48,53 @@ class CorpusOpsSpec extends AnyFunSuite {
     val nodes = (1L to n.toLong).toDF("doc_id")
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
       .toDF("doc_a", "doc_b")
-    // with pointer jumping the min's reach doubles per round (1,2,4,8…),
-    // so the diameter-5 chain needs exactly 4 label-decreasing rounds;
-    // the confirming round must not count against maxIter (correct
-    // labels + throw = bug)
-    val got = CorpusOps.connectedComponents(nodes, edges, maxIter = 4)
+    // contraction + jump: the diameter-5 ordered chain needs round 1 plus
+    // exactly 3 contraction rounds (reach doubles per round); maxIter
+    // bounds the contraction rounds, so 3 passes and 2 must throw
+    // (correct labels + throw = bug; wrong labels + no throw = worse)
+    val got = CorpusOps.connectedComponents(nodes, edges, maxIter = 3)
       .as[(Long, Long)].collect()
     assert(got.forall(_._2 == 1L))
     intercept[IllegalStateException] {
-      CorpusOps.connectedComponents(nodes, edges, maxIter = 3)
+      CorpusOps.connectedComponents(nodes, edges, maxIter = 2)
     }
+    // the r19 jump loop stays available for A/B under graft.cc.impl and
+    // must compute the identical fixpoint at its own round semantics
+    val jump = CorpusOps.connectedComponentsJump(nodes, edges, maxIter = 4)
+      .as[(Long, Long)].collect()
+    assert(jump.forall(_._2 == 1L))
+  }
+
+  test("contraction components: random-id chain converges in O(log n) " +
+       "rounds and matches the jump loop") {
+    // random id placement along a chain is the shape pointer jumping
+    // cannot accelerate (r19 probe: ~40-70 rounds for 200 nodes under any
+    // jump depth); contraction merges at every local minimum, so the
+    // graph collapses geometrically — maxIter 10 must cover 200 nodes
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((1L to 200L).toVector)
+    val nodes = ids.toDF("doc_id")
+    val edges = (0 until 199).map(i => (ids(i), ids(i + 1)))
+      .toDF("doc_a", "doc_b")
+    val got = CorpusOps.connectedComponents(nodes, edges, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 200 && got.values.forall(_ == 1L))
+    val jump = CorpusOps.connectedComponentsJump(nodes, edges, maxIter = 200)
+      .as[(Long, Long)].collect().toMap
+    assert(jump == got)
+  }
+
+  test("contraction components: a foreign edge endpoint conducts " +
+       "connectivity without dropping rows") {
+    // endpoint 0 is absent from nodes; 5-0 and 0-9 still connect 5 and 9,
+    // and the foreign min id becomes the component label (the defined
+    // tolerance the scaladoc states; the jump lookup is a left join so
+    // no node's row is lost)
+    val nodes = Seq(5L, 9L, 12L).toDF("doc_id")
+    val edges = Seq((5L, 0L), (0L, 9L)).toDF("doc_a", "doc_b")
+    val got = CorpusOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 0L, 9L -> 0L, 12L -> 12L))
   }
 
   test("pointer jumping: a 1000-hop chain converges in O(log d) rounds") {
