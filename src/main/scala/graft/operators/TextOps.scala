@@ -586,20 +586,45 @@ object TextOps {
     * projection (the streaming near-dup path: an aggregation before
     * `flatMapGroupsWithState` would be a second stateful operator).
     *
-    * The md5 arrays are staged as their own projection step
-    * (`withColumn`), so the `MinhashSlicesPerMd5` slice-sharing cut
-    * survives: ceil(k/4) md5 walks per document, not k — `CollapseProject`
-    * keeps expensive many-referenced aliases un-inlined. The remaining
-    * higher-order `transform`/`array_min` evaluation is interpreted —
-    * right for per-document streaming ingest (arrays are the size of ONE
-    * document); wrong for batch corpus scans, which keep the
-    * explode+partial-agg formulation.
+    * The per-document pass is the native
+    * [[graft.functions.MinhashBandKeys]] expression (r20 optimization):
+    * the previous k × `array_min(transform(_h, substring))` HOF
+    * formulation stayed INTERPRETED and materialized one md5 array per
+    * hash family per row — r20 JobProfile showed that projection
+    * dominating the near-minhash streams' per-trigger compute. The
+    * expression is one plain JVM walk per document (n·ceil(k/4) digests +
+    * running slice minima + band digests) and participates in whole-stage
+    * codegen; TextOpsSpec pins bit-parity against the batch
+    * explode+partial-agg path.
     *
     * `bands` is NULL for shingle-less docs (under 3 tokens) — callers
     * must filter, mirroring how such docs drop out of the batch explode.
     */
   def withMinhashBandKeys(docs: DataFrame, k: Int = 8,
                           bands: Int = 4): DataFrame = {
+    // `hof` keeps the r19 interpreted formulation selectable for A/B
+    // re-measurement (the graft.cc.impl precedent); both produce
+    // bit-identical band arrays (MinhashBandKeysSpec pins it).
+    val impl = docs.sparkSession.conf.getOption("graft.bandkeys.impl")
+      .orElse(sys.env.get("SPARK_GRAFT_BANDKEYS_IMPL")).getOrElse("native")
+    impl match {
+      case "native" =>
+        docs.withColumn("bands",
+          graft.functions.MinhashBandKeys.minhash_band_keys(
+            shingles(tokens(col("text")), 3), k, bands))
+      case "hof" => withMinhashBandKeysHof(docs, k, bands)
+      case other => throw new IllegalArgumentException(
+        s"graft.bandkeys.impl must be native|hof, got: $other")
+    }
+  }
+
+  /** The r19 per-row HOF formulation (staged md5 arrays +
+    * `array_min(transform(...))` per signature — interpreted eval), kept
+    * verbatim behind `graft.bandkeys.impl = hof` for A/B re-measurement
+    * against the native expression above.
+    */
+  private[operators] def withMinhashBandKeysHof(docs: DataFrame, k: Int,
+                                                bands: Int): DataFrame = {
     val r = k / bands
     val nMd5 = (k + MinhashSlicesPerMd5 - 1) / MinhashSlicesPerMd5
     val withH = (0 until nMd5).foldLeft(
