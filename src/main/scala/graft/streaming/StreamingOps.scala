@@ -951,8 +951,15 @@ object StreamingOps {
     import graft.operators.{Barriers, Multimodal, VectorOps}
     import graft.functions.ArrayMath.{dot_product, l2_norm}
     val docsStatic = graft.sources.Tables.documents(spark, dir)
-    // static frame index: features once (barrier — the band explode and
-    // the own-half join both read them), bands + hub-cap as in batch
+    // Static frame index, derived ONCE PER STREAM START (r20, verdict
+    // item 7): a stream-static join re-executes its static SUBTREE every
+    // micro-batch, so anything derived from the cached features — the
+    // hub-cap groupBy + join, the norm projections, the own-half media
+    // lookup — used to re-run per trigger (×nFiles) and, for the norms,
+    // once per HALF. Everything a trigger touches is now a barriered
+    // frame read directly from cached blocks; the intermediates (raw
+    // features, un-capped bands) are released once their consumers are
+    // materialized, so the stream pins exactly two static copies.
     val fstat = Barriers.materialize(Multimodal.frameFeatures(
       Multimodal.frameSample(Multimodal.mediaFromDocuments(docsStatic),
                              frameBytes, stride), dim))
@@ -964,9 +971,17 @@ object StreamingOps {
       .agg(count(lit(1)).as("bc"))
       .filter(col("bc") <= maxBucket)
       .select("band")
-    val fIdx = fBands.join(okBuckets, Seq("band"))
-    val fv = fstat.select(col("vec_id"), col("embedding").as("fv"))
-      .withColumn("nf", l2_norm(col("fv")))
+    val fIdx = Barriers.materialize(fBands.join(okBuckets, Seq("band")))
+    // one static row per frame: media id for the own half, vector + norm
+    // for both halves' exact cosine
+    val fAll = Barriers.materialize(fstat
+      .select(col("vec_id"),
+        expr(s"vec_id div ${Multimodal.FrameIdShift}L").as("fmedia"),
+        col("embedding").as("fv"))
+      .withColumn("nf", l2_norm(col("fv"))))
+    Barriers.release(fBands)
+    Barriers.release(fstat)
+    val fv = fAll.select("vec_id", "fv", "nf")
     // landing captions: vectors are a stateless per-row projection
     val capStream = Multimodal.captionVectors(
       stagedStreamSplit(spark, dir, "documents", nFiles), dim)
@@ -980,8 +995,7 @@ object StreamingOps {
     // own half: every (caption, own-frame) sim row — sub-threshold sims
     // feed own_best_sim, so no filter
     val ownRows = withSim(capStream
-        .join(fstat.select(col("vec_id"),
-            expr(s"vec_id div ${Multimodal.FrameIdShift}L").as("fmedia")),
+        .join(fAll.select("vec_id", "fmedia"),
           col("media_id") === col("fmedia"))
         .select("media_id", "vec_id", "cv", "nc"))
       .withColumn("src", lit("own"))
