@@ -357,6 +357,12 @@ object CorpusOps {
     * embedding-cluster verdict — the quality column is the policy, the
     * max-struct partial aggregate is the plan (map-side combine, no window
     * over the corpus, no second pass over text).
+    *
+    * Contract (r19 ADVICE): `assign` doc_ids are assumed to be a SUBSET
+    * of `docs` — every declared caller clusters ids drawn from `docs`
+    * itself. A doc_id present in assign but missing from docs keeps its
+    * verdict row (the keeper aggregate simply never sees its n_chars);
+    * callers that cannot guarantee the subset must pre-filter.
     */
   def keepBestPerCluster(assign: DataFrame, docs: DataFrame): DataFrame = {
     val ids = assign.select("doc_id", "cluster_id")

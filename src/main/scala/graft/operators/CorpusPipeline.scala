@@ -135,9 +135,17 @@ object CorpusPipeline {
                      benchmark: DataFrame, minQuality: Double,
                      semThreshold: Double = 0.4,
                      nShards: Int = 8): DataFrame = {
+    // Token counts ride the chain (r20, guide §1.2 "don't compute
+    // twice"): the manifest needs per-doc token counts at the END of the
+    // chain; computing them here means ONE tokenization pass (folded
+    // into the gate materialization) instead of re-tokenizing the
+    // surviving corpus at the manifest — each stage barrier carries one
+    // extra long per row. Values are identical by determinism of
+    // tokenCount over the same text.
+    val docsT = docs.withColumn("__n_toks", TextOps.tokenCount(col("text")))
     // text stages, cheap → expensive: gate + exact + MinHash (cleanCorpus),
     // then the MOSS verdict over those survivors only
-    val kept1 = Barriers.materialize(cleanCorpus(docs, minQuality))
+    val kept1 = Barriers.materialize(cleanCorpus(docsT, minQuality))
     val wdrop = CorpusOps.winnowedDropList(kept1)
       .filter(col("dropped")).select("doc_id")
     val kept2 = Barriers.materialize(kept1.join(wdrop, Seq("doc_id"), "left_anti"))
@@ -153,7 +161,7 @@ object CorpusPipeline {
     CorpusOps.quarantinedSplit(kept4)
       .withColumn("shard",
         CorpusOps.hashUniform("shard", col("doc_id")) % nShards)
-      .withColumn("n_toks", TextOps.tokenCount(col("text")))
+      .withColumn("n_toks", col("__n_toks"))
       .groupBy(col("final_split").as("split"), col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
       .withColumn("share_ppm",
@@ -187,7 +195,15 @@ object CorpusPipeline {
   def releaseReport(docs: DataFrame, embeddings: DataFrame,
                     benchmark: DataFrame, minQuality: Double,
                     semThreshold: Double = 0.4): DataFrame = {
-    val gate = Barriers.materialize(gateStage(docs, minQuality))
+    // One tokenization pass for all seven surviving-stage count rows
+    // (r20, guide §1.2): each stage's (n_docs, n_tokens) row used to
+    // re-run tokenCount over its materialized frame — seven extra
+    // full-text passes per report. The count now rides the chain as a
+    // column computed once at the gate materialization; only the
+    // stage-0 row (the raw input, which never enters the chain) still
+    // tokenizes itself.
+    val docsT = docs.withColumn("__n_toks", TextOps.tokenCount(col("text")))
+    val gate = Barriers.materialize(gateStage(docsT, minQuality))
     val exact = Barriers.materialize(exactStage(gate))
     val kept1 = Barriers.materialize(minhashStage(exact))
     val wdrop = CorpusOps.winnowedDropList(kept1)
@@ -207,10 +223,12 @@ object CorpusPipeline {
       (3, "minhash", kept1), (4, "winnowed", kept2), (5, "semdedup", kept3),
       (6, "decontaminate", kept4), (7, "quarantine", unmoved))
     stages.map { case (i, nm, df) =>
+      val toks =
+        if (df.columns.contains("__n_toks")) col("__n_toks")
+        else TextOps.tokenCount(col("text"))
       df.agg(count(lit(1)).as("n_docs"),
              // null-sum (empty stage) clamps to 0 — same rule as tokenCount
-             coalesce(sum(TextOps.tokenCount(col("text"))), lit(0L))
-               .as("n_tokens"))
+             coalesce(sum(toks), lit(0L)).as("n_tokens"))
         .select(lit(i.toLong).as("stage_idx"), lit(nm).as("stage"),
                 col("n_docs"), col("n_tokens"))
     }.reduce(_.union(_))

@@ -427,7 +427,14 @@ object Multimodal {
     // one screen pass for the whole queue (r19 optimization): the banded
     // hit rows are materialized once and feed BOTH the verdict (via the
     // match report) and the best-foreign-frame payload; caps/feats ride
-    // their own shared barriers (capFeatFrames)
+    // their own shared barriers (capFeatFrames).
+    // Intentional pin (r19 ADVICE item 3): these barriers cannot be
+    // released inside this function — the returned frame is lazy, so the
+    // caller materializes AFTER we return and the blocks must survive
+    // until then. The harness's between-query cache purge reclaims them;
+    // a long-lived session composing several caption queries should purge
+    // (or run each query's action before composing the next) — recorded
+    // here as the documented leak inventory entry.
     val (caps, feats) = capFeatFrames(docs, frameBytes, stride, dim)
     val hits = Barriers.materialize(captionFrameHitsFrom(caps, feats,
       threshold, dim, bands, rowsPerBand, maxBucket))
