@@ -321,19 +321,20 @@ object StreamingOps {
     // bounded driver collect: exactly `buckets` rows (64), the model
     val fitted = CorpusOps.dsirDelta(q, target, buckets)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val deltaLit = map(fitted.toSeq.sortBy(_._1)
-      .flatMap { case (b, d) => Seq(lit(b), lit(d)) }: _*)
+    // per-gram scoring is the native one-pass expression (r20, guide
+    // §4.1 stay in codegen): the previous
+    // aggregate(transform(element_at(mapLit, md5-slice))) chain stayed
+    // INTERPRETED per row — StreamProfile measured it as the trigger's
+    // dominant addBatch cost; DsirGramWeightSpec pins bit-parity
     val scored = docsStream(spark, dir)
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("grams",
         concat(col("toks"), TextOps.shingles(col("toks"), 2)))
       .filter(size(col("grams")) > 0) // the batch explode drops these too
-      .withColumn("deltas", transform(col("grams"), g =>
-        element_at(deltaLit,
-          conv(substring(md5(g), 1, 6), 16, 10).cast("long") % buckets)))
       .select(col("doc_id"),
         size(col("grams")).cast("long").as("n_grams"),
-        aggregate(col("deltas"), lit(0L), (acc, x) => acc + x)
+        graft.functions.DsirGramWeight
+          .dsir_gram_weight(col("grams"), fitted, buckets)
           .as("weight_fp"))
       .withColumn("w_per_gram_fp", expr("weight_fp div n_grams"))
       .withColumn("target_like", col("weight_fp") > 0)
